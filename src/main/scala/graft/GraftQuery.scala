@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a Spark DataFrame program over the TESTDATA tables in
+  * `dir`, plus — when the semantics are SQL-expressible — an equivalent
+  * ANSI SQL oracle that DuckDB runs over the same parquet tables.
+  *
+  * Oracle-parity rules used throughout (empirically verified against
+  * DuckDB 1.0 semantics):
+  *  - row-level double arithmetic is left unrounded (IEEE ops on identical
+  *    inputs are bit-identical in both engines);
+  *  - aggregates over doubles go through `CAST(x AS DECIMAL(38,6))` so the
+  *    sum is order-independent, then back to DOUBLE for a canonical value;
+  *  - `round` is only applied to decimals (HALF_UP in both engines) —
+  *    `round(double, n)` disagrees between engines on exact-half cases;
+  *  - Spark `dayofweek` is 1=Sunday; DuckDB `dayofweek` is 0=Sunday.
+  */
+final case class GraftQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    bench: Boolean = false)
+
+object GraftQuery {
+  /** All query groups, in inventory order. */
+  def all: Seq[GraftQuery] =
+    queries.EtlParity.defs ++
+      queries.Relational.defs ++
+      queries.TextAnalysis.defs ++
+      queries.Dedup.defs ++
+      queries.Similarity.defs ++
+      queries.Events.defs ++
+      queries.Multimodal.defs
+}
