@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+import org.apache.spark.sql.functions.call_function
+
+/** Registration + Column API for the engine's native Catalyst expressions.
+  * Registered per-session (idempotent) so they're callable both from the
+  * Column API and from SQL text.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val registry = castToImpl(spark).sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
+  }
+
+  /** 64-bit polynomial rolling hash of a string column. */
+  def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
+
+  /** 64-bit SimHash of an array<string> token column. */
+  def simhash64(c: Column): Column = call_function("simhash64", c)
+
+  /** k=32 MinHash signature (array<long>) of an array<string> column. */
+  def minhash_sig(c: Column): Column = call_function("minhash_sig", c)
+}

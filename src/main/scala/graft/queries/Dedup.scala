@@ -1,7 +1,216 @@
 package graft.queries
 
-import graft.GraftQuery
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions
 
+/** Deduplication operators over `documents` — the core of a training-data
+  * pipeline at 100 TB:
+  *
+  *  - exact dedup: normalized-fingerprint groupBy (one shuffle on the
+  *    16-byte hash, not the document text);
+  *  - n-gram Jaccard: exact token-set similarity over *blocked* candidate
+  *    pairs (equi + band range join) — never all-pairs;
+  *  - MinHash+LSH: k=32 signature computed inside one higher-order
+  *    expression (no explode, no shuffle), b=8/r=4 banding, candidate
+  *    pairs from the band-bucket self-join, then exact-Jaccard rescoring;
+  *  - SimHash: native 64-bit fingerprint expression + 16-bit-band
+  *    blocking for Hamming-distance pairs.
+  *
+  * The LSH family is how this survives scale: the only shuffle is on
+  * (band, bandHash) keys, candidate sets are tiny vs n², and everything
+  * upstream is narrow per-row work.
+  */
 object Dedup {
-  def defs: Seq[GraftQuery] = Seq.empty
+
+  /** Distinct word tokens per doc (set semantics for Jaccard). */
+  private def tokenSet: Column = array_distinct(split(col("text"), " "))
+
+  /** Distinct word-3-gram shingles per doc. The corpus vocabulary is tiny,
+    * so unigram sets saturate (every doc resembles every doc); shingles
+    * capture word order and are the discriminative unit for near-dup
+    * detection (Broder's shingling).
+    */
+  private def shingleSet: Column = {
+    val toks = split(col("text"), " ")
+    when(size(toks) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(2)),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + lit(1)), element_at(toks, i + lit(2))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Shingle sequence with duplicates — SimHash weights by frequency. */
+  private def shingleList: Column = {
+    val toks = split(col("text"), " ")
+    when(size(toks) >= 3,
+      transform(
+        sequence(lit(1), size(toks) - lit(2)),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + lit(1)), element_at(toks, i + lit(2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val shingleSetSql =
+    "list_distinct(list_transform(generate_series(1, greatest(len(tokens) - 2, 0)), " +
+      "i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))"
+
+  // --- MinHash machinery -------------------------------------------------
+
+  private[queries] val MinhashK = graft.functions.MinHashSig.K
+  private[queries] val Bands = 8
+  private[queries] val RowsPerBand = MinhashK / Bands
+
+  private[queries] def mix64(z0: Long): Long = {
+    var z = z0 + -7046029254386353131L
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+
+  /** docs with doc_id, shingle set, k=32 native MinHash signature
+    * (graft.functions.MinHashSig — one codegen'd pass per row).
+    */
+  private def withSignature(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), shingleSet.as("toks"))
+      .withColumn("sig", GraftFunctions.minhash_sig(col("toks")))
+  }
+
+  /** Exact Jaccard over two token-set columns. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // Exact dedup — corpus summary: total vs distinct normalized docs.
+    GraftQuery(
+      "dd_exact_stats",
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .agg(
+            count(lit(1)).as("total_docs"),
+            countDistinct(md5(lower(trim(col("text"))))).as("unique_docs")),
+      Some("SELECT count(*) AS total_docs, " +
+        "count(DISTINCT md5(lower(trim(text)))) AS unique_docs FROM documents")),
+
+    // Exact dedup — keeper selection: min doc_id per fingerprint group.
+    // At scale this is the dedup primitive: shuffle 16-byte hashes, keep
+    // one winner per group, never move the documents themselves.
+    GraftQuery(
+      "dd_exact_keep_first",
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .groupBy(md5(lower(trim(col("text")))).as("fingerprint"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size")),
+      Some("SELECT md5(lower(trim(text))) AS fingerprint, min(doc_id) AS keep_id, " +
+        "count(*) AS group_size FROM documents GROUP BY 1")),
+
+    // Blocked exact 3-gram Jaccard near-dup pairs. The n_chars ±16 range
+    // join runs as an equi join on length buckets (probe side exploded to
+    // the 3 adjacent buckets) + exact residual filter — the formulation
+    // that scales: no all-pairs, shuffle only on small bucket keys.
+    GraftQuery(
+      "dd_ngram_jaccard",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), shingleSet.as("sh"))
+        val probe = docs.select(
+          col("doc_id").as("doc_a"), col("n_chars").as("chars_a"),
+          col("sh").as("sh_a"),
+          explode(array(
+            (col("n_chars") / 16).cast("long") - 1,
+            (col("n_chars") / 16).cast("long"),
+            (col("n_chars") / 16).cast("long") + 1)).as("bucket"))
+        val build = docs.select(
+          col("doc_id").as("doc_b"), col("n_chars").as("chars_b"),
+          col("sh").as("sh_b"),
+          (col("n_chars") / 16).cast("long").as("bucket"))
+        probe.join(build, Seq("bucket"))
+          .filter(col("doc_a") < col("doc_b") &&
+            abs(col("chars_b") - col("chars_a")) <= 16)
+          .select(col("doc_a"), col("doc_b"),
+            jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+          .filter(col("jaccard") >= 0.8d)
+      },
+      Some("WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
+        s"s AS (SELECT doc_id, n_chars, $shingleSetSql AS sh FROM t) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "len(list_intersect(a.sh, b.sh)) / " +
+        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard " +
+        "FROM s a JOIN s b ON b.n_chars BETWEEN a.n_chars - 16 AND a.n_chars + 16 " +
+        "AND a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.sh, b.sh)) / " +
+        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8"),
+      bench = true),
+
+    // MinHash + LSH near-dup pairs, rescored with exact Jaccard.
+    // Non-SQL-expressible (rows-only check); recall vs brute force is
+    // asserted in DedupSpec.
+    GraftQuery(
+      "dd_minhash_lsh",
+      (s, dir) => {
+        val docs = withSignature(s, dir).cache()
+        // band key: hash of the r signature values in each band
+        val bands = docs.select(
+          col("doc_id"), col("toks"),
+          posexplode(array((0 until Bands).map { j =>
+            hash((j * RowsPerBand until (j + 1) * RowsPerBand)
+              .map(i => col("sig")(i)): _*)
+          }: _*)).as(Seq("band", "band_hash")))
+        val l = bands.select(
+          col("band"), col("band_hash"),
+          col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+        val r = bands.select(
+          col("band"), col("band_hash"),
+          col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+        l.join(r, Seq("band", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("toks_a"), col("toks_b"))
+          .dropDuplicates("doc_a", "doc_b") // same pair from several bands
+          .select(col("doc_a"), col("doc_b"),
+            jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+          .filter(col("jaccard") >= 0.5d)
+      }),
+
+    // SimHash fingerprint per document (native expression; rows-only).
+    GraftQuery(
+      "dd_simhash",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            GraftFunctions.simhash64(shingleList).as("simhash"))
+      }),
+
+    // SimHash near-dup pairs: block on 16-bit bands (a pair within
+    // Hamming distance r collides on >= 1 of 4 bands for r <= 3; wider r
+    // still collides with high probability), verify with bit_count(xor).
+    GraftQuery(
+      "dd_simhash_pairs",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            GraftFunctions.simhash64(shingleList).as("simhash"))
+        val bands = docs.select(
+          col("doc_id"), col("simhash"),
+          posexplode(array((0 until 4).map { j =>
+            shiftright(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+          }: _*)).as(Seq("band", "band_val")))
+        val l = bands.select(col("band"), col("band_val"),
+          col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+        val r = bands.select(col("band"), col("band_val"),
+          col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+        l.join(r, Seq("band", "band_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+          .dropDuplicates("doc_a", "doc_b")
+          .filter(col("hamming") <= 8)
+      }))
 }

@@ -1,7 +1,143 @@
 package graft.queries
 
-import graft.GraftQuery
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions
 
+/** Text-analysis operators for an LLM-data pipeline, over the `documents`
+  * table: token stats, quality scoring, language-ID heuristic, document
+  * fingerprinting, shingle extraction.
+  *
+  * Everything is per-row narrow work built from codegen'd builtins and
+  * higher-order array functions — no UDFs, no shuffles, no explode (the
+  * shingle set is computed inside a single `transform`/`array_distinct`
+  * expression). At 100 TB this family is embarrassingly parallel and
+  * scales linearly with input splits.
+  */
 object TextAnalysis {
-  def defs: Seq[GraftQuery] = Seq.empty
+
+  private def tokens: Column = split(col("text"), " ")
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // Token counting: whitespace tokenizer + char lengths.
+    GraftQuery(
+      "txt_token_stats",
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens")),
+      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens " +
+        "FROM documents")),
+
+    // Quality scoring: stopword ratio, mean token length, composite score.
+    // All-double arithmetic on identical operands — bit-stable vs DuckDB.
+    GraftQuery(
+      "txt_quality_score",
+      (s, dir) => {
+        val nTokens = size(tokens).cast("long")
+        val nStop = size(filter(tokens, w => w.isin("the", "a"))).cast("long")
+        val avgTokLen = (length(col("text")).cast("long") - nTokens + lit(1L))
+          .cast("double") / nTokens.cast("double")
+        val stopRatio = nStop.cast("double") / nTokens.cast("double")
+        Tables.table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            nStop.as("n_stopwords"),
+            stopRatio.as("stopword_ratio"),
+            avgTokLen.as("avg_token_len"),
+            (stopRatio * lit(0.5d) + least(avgTokLen, lit(10.0d)) / lit(10.0d) * lit(0.5d))
+              .as("quality_score"))
+      },
+      Some("SELECT doc_id, " +
+        "CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS BIGINT) AS n_stopwords, " +
+        "CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS BIGINT) " +
+        " / CAST(len(string_split(text,' ')) AS DOUBLE) AS stopword_ratio, " +
+        "CAST(CAST(length(text) AS BIGINT) - len(string_split(text,' ')) + 1 AS DOUBLE) " +
+        " / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len, " +
+        "(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS BIGINT) " +
+        "   / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.5 " +
+        " + least(CAST(CAST(length(text) AS BIGINT) - len(string_split(text,' ')) + 1 AS DOUBLE) " +
+        "   / CAST(len(string_split(text,' ')) AS DOUBLE), CAST(10 AS DOUBLE)) / 10 * 0.5 " +
+        " AS quality_score FROM documents")),
+
+    // Language-ID: stopword-profile scores + deterministic argmax.
+    // (A real model would go here; the operator shape — per-row profile
+    // scoring with tie-broken argmax — is what the engine provides.)
+    GraftQuery(
+      "txt_langid",
+      (s, dir) => {
+        val sEn = size(filter(tokens, w => w.isin("the", "a", "of"))).cast("long")
+        val sEs = size(filter(tokens, w => w.isin("el", "la", "de"))).cast("long")
+        val sDe = size(filter(tokens, w => w.isin("der", "die", "und"))).cast("long")
+        Tables.table(s, dir, "documents")
+          .select(
+            col("doc_id"), col("lang"),
+            sEn.as("score_en"), sEs.as("score_es"), sDe.as("score_de"),
+            when(sEn >= sEs && sEn >= sDe, "en")
+              .when(sEs >= sDe, "es")
+              .otherwise("de")
+              .as("predicted_lang"))
+      },
+      Some("WITH scored AS (SELECT doc_id, lang, " +
+        "CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) AS BIGINT) AS score_en, " +
+        "CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de'))) AS BIGINT) AS score_es, " +
+        "CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','und'))) AS BIGINT) AS score_de " +
+        "FROM documents) " +
+        "SELECT doc_id, lang, score_en, score_es, score_de, " +
+        "CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en' " +
+        "WHEN score_es >= score_de THEN 'es' ELSE 'de' END AS predicted_lang FROM scored")),
+
+    // Normalized md5 document fingerprint (SQL-expressible flavor).
+    GraftQuery(
+      "txt_md5_fingerprint",
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), md5(lower(trim(col("text")))).as("fingerprint")),
+      Some("SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents")),
+
+    // Rolling-hash fingerprint via the native Catalyst expression
+    // (graft.functions.RollingHash, codegen'd). Not SQL-expressible —
+    // driver records a rows-only check; determinism is asserted in
+    // TextAnalysisSpec.
+    GraftQuery(
+      "txt_rolling_fingerprint",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
+      }),
+
+    // Word-3-gram distinct shingle count per doc, computed inside one
+    // higher-order expression: no explode, no per-doc shuffle.
+    GraftQuery(
+      "txt_shingle_stats",
+      (s, dir) => {
+        val toks = tokens
+        // Spark sequence(1, 0) is DESCENDING [1,0] (DuckDB's is empty) —
+        // guard short docs explicitly.
+        val shingles = when(size(toks) >= 3,
+          transform(
+            sequence(lit(1), size(toks) - lit(2)),
+            i => concat_ws(" ",
+              element_at(toks, i), element_at(toks, i + lit(1)), element_at(toks, i + lit(2)))))
+          .otherwise(array().cast("array<string>"))
+        Tables.table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            greatest(size(toks) - lit(2), lit(0)).cast("long").as("n_shingles"),
+            size(array_distinct(shingles)).cast("long").as("n_distinct_shingles"))
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) " +
+        "SELECT doc_id, CAST(greatest(len(tokens) - 2, 0) AS BIGINT) AS n_shingles, " +
+        "CAST(len(list_distinct(list_transform(generate_series(1, greatest(len(tokens) - 2, 0)), " +
+        "i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS BIGINT) " +
+        "AS n_distinct_shingles FROM t")))
 }

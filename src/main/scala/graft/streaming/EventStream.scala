@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table: the same hourly windowed
+  * aggregation the batch path computes, expressed as
+  * readStream → watermark → window → writeStream. In production this runs
+  * against a file/Kafka source with late data bounded by the watermark;
+  * here the finite parquet directory drives it to completion so batch and
+  * stream results can be compared exactly (EventStreamSpec + the
+  * `ev_hourly_stream` query).
+  */
+object EventStream {
+
+  /** events schema as stored (ts = INT64 nanos via nanosAsLong). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The shared aggregation: tumbling 1h windows per event_type.
+    * Works on both batch and streaming DataFrames (same code path —
+    * that's the point of the Dataset API).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType).as("total_value"))
+      .select(
+        (unix_timestamp(col("window.start")) / 3600L).cast("long").as("hour_bucket"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Run the streaming flavor to completion over the finite input and
+    * return the materialized result. availableNow + memory sink: the
+    * stream consumes every file, then the in-memory table is the answer.
+    */
+  def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source wants a directory; select just the events file
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val name = s"ev_stream_${System.nanoTime()}"
+    val q = hourlyAgg(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // copy out of the memory sink so the result outlives the query
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
+}

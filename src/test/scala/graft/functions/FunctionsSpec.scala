@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class FunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("rolling_hash: deterministic, matches scalar reference, null-safe") {
+    GraftFunctions.register(spark)
+    val df = Seq("hello world", "hello world", "otro texto", null)
+      .toDF("s")
+      .select(col("s"), GraftFunctions.rolling_hash(col("s")).as("h"))
+    val rows = df.collect()
+    assert(rows(0).getLong(1) == rows(1).getLong(1))
+    assert(rows(0).getLong(1) != rows(2).getLong(1))
+    assert(rows(3).isNullAt(1))
+    // matches the shared scalar implementation byte-for-byte
+    assert(rows(0).getLong(1) ==
+      RollingHash.hashBytes("hello world".getBytes("UTF-8")))
+  }
+
+  test("rolling_hash callable from SQL text") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
+    assert(viaSql == RollingHash.hashBytes("abc".getBytes("UTF-8")))
+  }
+
+  test("simhash64: near-identical token arrays land within small hamming distance") {
+    GraftFunctions.register(spark)
+    val base = (1 to 200).map(i => s"tok$i")
+    val perturbed = base.updated(7, "CHANGED").updated(100, "ALSO")
+    val distant = (1 to 200).map(i => s"other$i")
+    val df = Seq(base, perturbed, distant).toDF("toks")
+      .select(GraftFunctions.simhash64(col("toks")).as("h"))
+    val Array(h1, h2, h3) = df.collect().map(_.getLong(0))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h1, h2) <= 8, s"near-dup hamming ${hamming(h1, h2)}")
+    assert(hamming(h1, h3) > 16, s"unrelated hamming ${hamming(h1, h3)}")
+  }
+
+  test("minhash_sig: signature agreement estimates jaccard") {
+    GraftFunctions.register(spark)
+    // two sets with known overlap: 80 shared / 120 union = 2/3 jaccard
+    val a = (1 to 100).map(i => s"s$i")
+    val b = (21 to 120).map(i => s"s$i")
+    val df = Seq(a, b).toDF("toks")
+      .select(GraftFunctions.minhash_sig(col("toks")).as("sig"))
+    val Array(s1, s2) = df.collect().map(_.getSeq[Long](0))
+    assert(s1.length == MinHashSig.K)
+    val agree = s1.zip(s2).count { case (x, y) => x == y }.toDouble / MinHashSig.K
+    val trueJ = 80.0 / 120.0
+    assert(math.abs(agree - trueJ) < 0.25, s"minhash agreement $agree vs jaccard $trueJ")
+    // identical input -> identical signature
+    val again = Seq(a).toDF("toks")
+      .select(GraftFunctions.minhash_sig(col("toks")).as("sig"))
+      .head().getSeq[Long](0)
+    assert(again == s1)
+  }
+
+  test("expressions hold under codegen and interpreted paths equally") {
+    GraftFunctions.register(spark)
+    val df = Seq.tabulate(64)(i => s"text $i " * (i + 1)).toDF("s")
+      .select(GraftFunctions.rolling_hash(col("s")).as("h"),
+        GraftFunctions.simhash64(split(col("s"), " ")).as("sh"))
+    val withCodegen = df.collect().toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(df.collect().toSeq == withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("brute-force topk: 5 ranked neighbors per query, sane cosines, no self") {
+    val out = graft.SparkEntry.queries("sim_brute_topk")(spark, dir).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0L until 10L).toSet)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      // ranks ordered by descending cosine
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val cosines = sorted.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("LSH ANN results are true cosines and recall a meaningful share of brute-force") {
+    val brute = graft.SparkEntry.queries("sim_brute_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annRows = graft.SparkEntry.queries("sim_lsh_ann")(spark, dir).collect()
+    val ann = annRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each ANN hit carries the exact cosine a brute-force scorer computes
+    val bruteCos = graft.SparkEntry.queries("sim_brute_topk")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cosine"))).toMap
+    annRows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      bruteCos.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+    val recall = (ann & brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"ANN recall@5 $recall") // 2-band/8-bit LSH on near-random vectors
+    assert(ann.nonEmpty)
+  }
+
+  test("near-dup pairs are symmetric-free and above threshold") {
+    val rows = graft.SparkEntry.queries("sim_neardup_pairs")(spark, dir).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getAs[Double]("cosine") >= 0.4))
+  }
+}
