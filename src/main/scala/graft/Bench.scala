@@ -1,24 +1,65 @@
 package graft
+
+import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs the headline (bench-flagged) queries against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Each query is fully materialized through the `noop` sink — a bare
+  * `count()` would let Catalyst prune away the computed columns and
+  * time only the scan. `etl_reference_workload` is the reference repo's
+  * own end-to-end job (379-row CSV → 123 rows, partitioned CSV sink),
+  * directly comparable to BASELINE.md's 42s/87s wall clocks.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft_bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      body
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warm the JVM + parquet footers so the first timed query doesn't
+    // absorb one-time session costs
+    Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
+      .foreach(t => Tables.table(spark, sfDir, t).count())
+
+    val headline = GraftQuery.all.filter(_.bench)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    headline.foreach { q =>
+      results(q.name) = time {
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache() // queries may cache internally; no leakage
+    }
+
+    // the reference's own workload, end to end (extract → … → sink)
+    results("etl_reference_workload") = time {
+      val out = Files.createTempDirectory("graft_bench_etl").toString
+      val cfg = etl.ConfigLoader.load("/root/repo/config",
+        env = Some("nonexistent"), overrides = Seq(s"paths.output_base=$out"))
+      new etl.EntregasEtl(cfg, spark).run()
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

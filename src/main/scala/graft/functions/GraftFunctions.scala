@@ -18,6 +18,9 @@ object GraftFunctions {
       "simhash64", exprs => SimHash(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "sorted_set_jaccard",
+      exprs => SortedSetJaccard(exprs.head, exprs(1)), "scala_udf")
   }
 
   /** 64-bit polynomial rolling hash of a string column. */
@@ -28,4 +31,8 @@ object GraftFunctions {
 
   /** k=32 MinHash signature (array<long>) of an array<string> column. */
   def minhash_sig(c: Column): Column = call_function("minhash_sig", c)
+
+  /** Exact Jaccard of two sorted-distinct array<bigint> columns. */
+  def sorted_set_jaccard(a: Column, b: Column): Column =
+    call_function("sorted_set_jaccard", a, b)
 }

@@ -70,7 +70,8 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** docs with doc_id, shingle set, k=32 native MinHash signature
+  /** docs with doc_id, sorted hashed shingle set (for cheap exact
+    * rescoring) and the k=32 native MinHash signature
     * (graft.functions.MinHashSig — one codegen'd pass per row).
     */
   private def withSignature(s: SparkSession, dir: String): DataFrame = {
@@ -78,12 +79,10 @@ object Dedup {
     Tables.table(s, dir, "documents")
       .select(col("doc_id"), shingleSet.as("toks"))
       .withColumn("sig", GraftFunctions.minhash_sig(col("toks")))
+      .withColumn("sh",
+        array_sort(array_distinct(transform(col("toks"), sh => xxhash64(sh)))))
+      .drop("toks")
   }
-
-  /** Exact Jaccard over two token-set columns. */
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
 
   def defs: Seq[GraftQuery] = Seq(
 
@@ -114,27 +113,41 @@ object Dedup {
     // join runs as an equi join on length buckets (probe side exploded to
     // the 3 adjacent buckets) + exact residual filter — the formulation
     // that scales: no all-pairs, shuffle only on small bucket keys.
+    // Shingles are hashed to int64 once per doc so the per-pair set ops
+    // compare longs, not strings (~10x cheaper; jaccard identical w.h.p.
+    // — 64-bit collisions across a corpus are negligible).
     GraftQuery(
       "dd_ngram_jaccard",
       (s, dir) => {
+        GraftFunctions.register(s)
         val docs = Tables.table(s, dir, "documents")
-          .select(col("doc_id"), col("n_chars"), shingleSet.as("sh"))
-        val probe = docs.select(
+          .select(col("doc_id"), col("n_chars"),
+            array_sort(array_distinct(transform(shingleSet, sh => xxhash64(sh)))).as("sh"))
+          .cache()
+        // candidate generation over NARROW columns only — the 4KB shingle
+        // arrays never travel through the exploded bucket join
+        val keys = docs.select(col("doc_id"), col("n_chars"))
+        val probe = keys.select(
           col("doc_id").as("doc_a"), col("n_chars").as("chars_a"),
-          col("sh").as("sh_a"),
           explode(array(
             (col("n_chars") / 16).cast("long") - 1,
             (col("n_chars") / 16).cast("long"),
             (col("n_chars") / 16).cast("long") + 1)).as("bucket"))
-        val build = docs.select(
+        val build = keys.select(
           col("doc_id").as("doc_b"), col("n_chars").as("chars_b"),
-          col("sh").as("sh_b"),
           (col("n_chars") / 16).cast("long").as("bucket"))
-        probe.join(build, Seq("bucket"))
+        val candidates = probe.join(build, Seq("bucket"))
           .filter(col("doc_a") < col("doc_b") &&
             abs(col("chars_b") - col("chars_a")) <= 16)
+          .select(col("doc_a"), col("doc_b"))
+        // attach each side's array once per pair via broadcast hash joins
+        val aSide = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val bSide = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        candidates
+          .join(broadcast(aSide), Seq("doc_a"))
+          .join(broadcast(bSide), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+            GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
           .filter(col("jaccard") >= 0.8d)
       },
       Some("WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
@@ -155,27 +168,32 @@ object Dedup {
       "dd_minhash_lsh",
       (s, dir) => {
         val docs = withSignature(s, dir).cache()
-        // band key: hash of the r signature values in each band
+        // band keys over NARROW columns: (band, band_hash, doc_id) only —
+        // signature arrays and shingle arrays stay out of the self-join
         val bands = docs.select(
-          col("doc_id"), col("toks"),
+          col("doc_id"),
           posexplode(array((0 until Bands).map { j =>
             hash((j * RowsPerBand until (j + 1) * RowsPerBand)
               .map(i => col("sig")(i)): _*)
           }: _*)).as(Seq("band", "band_hash")))
-        val l = bands.select(
-          col("band"), col("band_hash"),
-          col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-        val r = bands.select(
-          col("band"), col("band_hash"),
-          col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-        l.join(r, Seq("band", "band_hash"))
+        val l = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+        val r = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+        val candidates = l.join(r, Seq("band", "band_hash"))
           .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("toks_a"), col("toks_b"))
+          .select(col("doc_a"), col("doc_b"))
           .dropDuplicates("doc_a", "doc_b") // same pair from several bands
+        // exact rescoring: arrays attach once per surviving pair
+        val aSide = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val bSide = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        candidates
+          .join(broadcast(aSide), Seq("doc_a"))
+          .join(broadcast(bSide), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+            GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
           .filter(col("jaccard") >= 0.5d)
-      }),
+      },
+      oracle = None,
+      bench = true),
 
     // SimHash fingerprint per document (native expression; rows-only).
     GraftQuery(

@@ -172,7 +172,8 @@ object Relational {
       Some("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
         "(SELECT o_custkey, o_orderkey, o_totalprice, " +
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
-        "FROM orders) WHERE rn <= 3")),
+        "FROM orders) WHERE rn <= 3"),
+      bench = true),
 
     // Window: running cumulative sum per supplier (decimal — frame-order
     // independent, so DuckDB's segment-tree evaluation matches).
