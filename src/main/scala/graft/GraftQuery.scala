@@ -27,6 +27,7 @@ object GraftQuery {
   def all: Seq[GraftQuery] =
     queries.EtlParity.defs ++
       queries.Relational.defs ++
+      queries.Advanced.defs ++
       queries.TextAnalysis.defs ++
       queries.Dedup.defs ++
       queries.Similarity.defs ++
