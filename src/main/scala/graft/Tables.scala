@@ -31,5 +31,6 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / lit(1000L)).cast("long")))
+      // integral div: double division rounds at 2^53, nanos are ~2^60
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
 }

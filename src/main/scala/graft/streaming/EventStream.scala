@@ -29,7 +29,8 @@ object EventStream {
     */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
-      .withColumn("event_ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      // integral div: double division rounds at 2^53, nanos are ~2^60
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
       .agg(
@@ -38,6 +39,35 @@ object EventStream {
       .select(
         (unix_timestamp(col("window.start")) / 3600L).cast("long").as("hour_bucket"),
         col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup: drop duplicate event_ids within the
+    * watermark horizon — the streaming flavor of the training-data
+    * dedup primitive (state store holds one key per id inside the
+    * watermark; late duplicates beyond it age out).
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val name = s"ev_dedup_${System.nanoTime()}"
+    val q = stream
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
 
   /** Run the streaming flavor to completion over the finite input and
     * return the materialized result. availableNow + memory sink: the
