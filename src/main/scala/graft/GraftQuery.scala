@@ -28,6 +28,7 @@ object GraftQuery {
     queries.EtlParity.defs ++
       queries.Relational.defs ++
       queries.Advanced.defs ++
+      queries.Coverage.defs ++
       queries.TextAnalysis.defs ++
       queries.Dedup.defs ++
       queries.Similarity.defs ++

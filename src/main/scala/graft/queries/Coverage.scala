@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{GraftQuery, Tables}
+
+/** Remaining relational-surface coverage: union all, grouping sets with
+  * grouping_id, date arithmetic, math functions, null-handling functions,
+  * seeded sampling, HLL approximate distinct.
+  */
+object Coverage {
+
+  private val dec6 = DecimalType(38, 6)
+  private def decSum(c: Column): Column = sum(c.cast(dec6)).cast(DoubleType)
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // UNION ALL (bag semantics — no dedup shuffle).
+    GraftQuery(
+      "q_union_all",
+      (s, dir) => {
+        val o = Tables.table(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey").as("k"), lit("open").as("src"))
+          .unionAll(o.filter(col("o_totalprice") > 400000.0d)
+            .select(col("o_orderkey").as("k"), lit("big").as("src")))
+      },
+      Some("SELECT o_orderkey AS k, 'open' AS src FROM orders WHERE o_orderstatus = 'O' " +
+        "UNION ALL SELECT o_orderkey AS k, 'big' AS src FROM orders WHERE o_totalprice > 400000")),
+
+    // GROUPING SETS with grouping_id: two explicit grouping shapes.
+    GraftQuery(
+      "q_grouping_sets",
+      (s, dir) =>
+        Tables.table(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid")),
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))")),
+
+    // Date arithmetic: add/diff/truncate/extract epoch.
+    GraftQuery(
+      "q_date_arith",
+      (s, dir) =>
+        Tables.table(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+            datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+              .cast("long").as("days_to_ref"),
+            date_trunc("month", col("o_orderdate")).as("order_month"),
+            last_day(col("o_orderdate").cast("date")).as("month_end")),
+      Some("SELECT o_orderkey, " +
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date, " +
+        "date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_ref, " +
+        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month, " +
+        "last_day(CAST(o_orderdate AS DATE)) AS month_end FROM orders")),
+
+    // Math-function surface. Transcendentals (exp/ln/pow/sqrt) round to
+    // 6 dp: libm implementations may differ in the last ulp across
+    // engines; integer-exact ops (abs/ceil/floor) stay raw.
+    GraftQuery(
+      "q_math_funcs",
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            abs(col("l_discount") - lit(0.05d)).as("disc_dev"),
+            ceil(col("l_quantity")).cast("long").as("qty_ceil"),
+            floor(col("l_extendedprice")).cast("long").as("price_floor"),
+            round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+            round(log(col("l_extendedprice") + lit(1.0d)), 6).as("price_ln"),
+            round(pow(col("l_discount") + lit(1.0d), lit(2.0d)), 6).as("disc_sq")),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "abs(l_discount - CAST(0.05 AS DOUBLE)) AS disc_dev, " +
+        "CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil, " +
+        "CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, " +
+        "round(sqrt(l_extendedprice), 6) AS price_sqrt, " +
+        "round(ln(l_extendedprice + 1), 6) AS price_ln, " +
+        "round(pow(l_discount + 1, 2), 6) AS disc_sq FROM lineitem")),
+
+    // Null-handling functions over synthesized nulls.
+    GraftQuery(
+      "q_null_handling",
+      (s, dir) =>
+        Tables.table(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+            coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_filled"),
+            when(col("o_totalprice") > 250000.0d, col("o_totalprice")).as("big_or_null"),
+            nvl2(nullif(col("o_orderstatus"), lit("P")), lit("known"), lit("unknown"))
+              .as("status_kind")),
+      Some("SELECT o_orderkey, " +
+        "nullif(o_orderstatus, 'P') AS status_or_null, " +
+        "coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled, " +
+        "CASE WHEN o_totalprice > 250000 THEN o_totalprice END AS big_or_null, " +
+        "CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL THEN 'known' ELSE 'unknown' END " +
+        "AS status_kind FROM orders")),
+
+    // Seeded Bernoulli sampling — deterministic for a fixed seed and
+    // input layout, but the RNG stream is engine-specific (rows-only
+    // driver check; statistical bounds in CoverageSpec).
+    GraftQuery(
+      "q_sample",
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+          .select(col("l_orderkey"), col("l_linenumber"))),
+
+    // HLL approximate distinct — sketch values are engine-specific
+    // (rows-only driver check; error bound asserted in CoverageSpec).
+    GraftQuery(
+      "q_approx_distinct",
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"))))
+}
