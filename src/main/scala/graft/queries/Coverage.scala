@@ -120,5 +120,23 @@ object Coverage {
         Tables.table(s, dir, "lineitem")
           .agg(
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            approx_count_distinct(col("l_orderkey")).as("approx_orders"))))
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+
+    // Native per-key top-k via the custom TopKPerKey operator
+    // (graft.plans): partial heaps -> one k-pruned shuffle -> final
+    // heaps, instead of the window pattern's full shuffle + sort.
+    GraftQuery(
+      "q_topk_per_key_native",
+      (s, dir) =>
+        org.apache.spark.sql.graft.GraftPlans.topKPerKey(
+          Tables.table(s, dir, "orders")
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          keys = Seq(col("o_custkey")),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          k = 3),
+      Some("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+        "FROM orders) WHERE rn <= 3"),
+      bench = true))
 }

@@ -1,0 +1,44 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.classic.ClassicConversions
+import graft.plans.{TopKPerKey, TopKPerKeyStrategy}
+
+/** Column-API surface for the engine's custom operators. Lives inside the
+  * `org.apache.spark.sql` namespace because constructing a Dataset from a
+  * custom LogicalPlan (`Dataset.ofRows`) and converting public `Column`s
+  * to Catalyst expressions are `private[sql]` — the standard shim pattern
+  * for Spark extension libraries.
+  */
+object GraftPlans {
+
+  /** Ensure the planner knows the custom strategy (idempotent; the
+    * sanctioned runtime hook for session-scoped strategies).
+    */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies = cur :+ TopKPerKeyStrategy
+  }
+
+  /** First k rows per key group under `order` (pass a total order for
+    * deterministic results). Plans to the two-phase heap operator —
+    * see graft.plans.TopKPerKey.
+    *
+    * Key/order Columns are resolved by borrowing the analyzer's own work:
+    * the analyzed `sortWithinPartitions` / `repartition` plans yield
+    * fully-resolved SortOrder / key expressions against the same child.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val sortPlan = ClassicConversions.castToImpl(df.sortWithinPartitions(order: _*))
+      .queryExecution.analyzed.asInstanceOf[logical.Sort]
+    val keyPlan = ClassicConversions.castToImpl(df.repartition(keys: _*))
+      .queryExecution.analyzed.asInstanceOf[logical.RepartitionByExpression]
+    val plan = TopKPerKey(keyPlan.partitionExpressions, sortPlan.order, k, sortPlan.child)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      ClassicConversions.castToImpl(spark), plan)
+  }
+}

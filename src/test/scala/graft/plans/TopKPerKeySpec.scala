@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftPlans
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkTestSession, Tables}
+
+class TopKPerKeySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("native top-k per key equals the window row_number formulation") {
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val native = GraftPlans.topKPerKey(orders,
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val window = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .drop("rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(native == window)
+    assert(native.nonEmpty)
+  }
+
+  test("plan shape: partial and final heap nodes with one exchange between") {
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val df = GraftPlans.topKPerKey(orders,
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc), k = 2)
+    df.collect()
+    // AQE renders the plan twice (final + initial): 2 nodes per rendering
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size % 2 == 0, plan)
+    assert("TopKPerKey \\[".r.findAllIn(plan).nonEmpty, plan)
+    assert(plan.contains("Exchange"), plan)
+  }
+
+  test("k larger than any group degrades to identity") {
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+    val native = GraftPlans.topKPerKey(orders,
+      keys = Seq(col("o_custkey")), order = Seq(col("o_orderkey").asc), k = 1000000)
+    assert(native.count() == orders.count())
+  }
+
+  test("ties broken deterministically by the total order") {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    val a = GraftPlans.topKPerKey(li, Seq(col("l_suppkey")),
+      Seq(col("l_orderkey").asc, col("l_linenumber").asc), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = GraftPlans.topKPerKey(li.repartition(13), Seq(col("l_suppkey")),
+      Seq(col("l_orderkey").asc, col("l_linenumber").asc), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b) // partitioning-independent
+  }
+}
