@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse quantizer
+  * (k-means centroids) partitions the corpus into nlist cells; a query
+  * probes only the nprobe nearest cells. The 100 TB shape: centroids are
+  * a broadcast-sized table, the corpus is hash-partitioned by cell id,
+  * and a query touches nprobe/nlist of the data instead of all of it.
+  *
+  * Training is deterministic: centroids initialize from the first nlist
+  * vectors by id and run a fixed number of Lloyd iterations with
+  * distance ties broken by centroid id — same result on any cluster
+  * layout.
+  */
+object IvfIndex {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Squared L2 distance. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+
+  /** Train nlist centroids with `iters` Lloyd iterations.
+    * Returns (centroid_id, centroid array<double>).
+    */
+  def train(vectors: DataFrame, vecCol: String, nlist: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    var centroids = vectors
+      .orderBy(col("vec_id").asc)
+      .limit(nlist)
+      .select(
+        (row_number().over(Window.orderBy(col("vec_id").asc)) - 1).as("centroid_id"),
+        col(vecCol).as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(vectors, vecCol, centroids)
+      // elementwise mean per cell: explode to (cell, dim, value)
+      val newCentroids = assigned
+        .select(col("centroid_id"),
+          posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("centroid_id"), col("dim"))
+        // decimal mean: order-independent, so centroids are identical on
+        // any partitioning (double avg would drift in the last ulp)
+        .agg((sum(col("v").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
+        .select(col("centroid_id"),
+          transform(col("dims"), d => d.getField("m")).as("centroid"))
+      centroids = newCentroids
+    }
+    centroids.cache()
+  }
+
+  /** Assign each vector to its nearest centroid (ties by centroid id). */
+  def assign(vectors: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("centroid_id").asc)
+    vectors.join(broadcast(centroids))
+      .withColumn("d2", dist2(col(vecCol), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "d2", "centroid")
+  }
+
+  /** Query: probe the nprobe nearest cells per query vector, exact
+    * cosine rescoring inside them, top-k per query.
+    */
+  def search(
+      corpus: DataFrame, // vec_id, v (array<double>), norm2
+      centroids: DataFrame,
+      queries: DataFrame, // query_id, qv, qn
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val indexed = assign(corpus, "v", centroids) // vec_id, v, norm2, centroid_id
+
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("centroid_id").asc)
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("d2", dist2(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(indexed, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("norm2"))), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
+}

@@ -100,6 +100,49 @@ object Similarity {
         "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
         s"WHERE $cosineSql >= 0.4")),
 
+    // IVF approximate NN: k-means coarse quantizer (nlist=16 cells,
+    // 2 Lloyd iterations, deterministic init+ties), queries probe the
+    // nprobe=4 nearest cells, exact cosine rescoring inside. The scale
+    // path where LSH recall degrades: cells adapt to the data
+    // distribution. Rows-only check; recall vs brute force in
+    // SimilaritySpec.
+    GraftQuery(
+      "sim_ivf_ann",
+      (s, dir) => {
+        val e = corpus(s, dir).cache()
+        val centroids = graft.operators.IvfIndex.train(
+          e.select(col("vec_id"), col("v")), "v", nlist = 16, iters = 2)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn"))
+        graft.operators.IvfIndex.search(e, centroids, q, nprobe = 4, k = 5)
+      }),
+
+    // Int8 vector quantization (per-vector min/max scale): the storage/
+    // bandwidth lever for 100 TB embedding corpora. floor keeps the
+    // mapping engine-exact (round(double) is not).
+    GraftQuery(
+      "sim_quantize_int8",
+      (s, dir) => {
+        val mn = array_min(col("v"))
+        val mx = array_max(col("v"))
+        val scale = when(mx > mn, (mx - mn) / lit(255.0d)).otherwise(lit(1.0d))
+        Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), vec(col("embedding")).as("v"))
+          .select(
+            col("vec_id"),
+            mn.as("v_min"),
+            scale.as("v_scale"),
+            transform(col("v"), x =>
+              floor((x - mn) / scale).cast("int") - lit(128)).as("q8"))
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, list_min(v) AS v_min, " +
+        "CASE WHEN list_max(v) > list_min(v) THEN (list_max(v) - list_min(v)) / 255.0 " +
+        "ELSE CAST(1 AS DOUBLE) END AS v_scale FROM e) " +
+        "SELECT vec_id, v_min, v_scale, " +
+        "list_transform(v, x -> CAST(floor((x - v_min) / v_scale) AS INT) - 128) AS q8 FROM s"),
+      bench = false),
+
     // LSH-bucketed approximate NN: signatures -> 4-bit band join ->
     // exact rescoring inside buckets -> top-5 per query. Band width is
     // the recall/cost dial: these embeddings are near-random (top-5

@@ -115,6 +115,41 @@ object TextAnalysis {
             GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
       }),
 
+    // Composed corpus-cleaning pipeline — the end-to-end shape of a
+    // training-data prep job: quality gate (token count + stopword
+    // ratio) -> language filter -> exact dedup keep-first -> per-doc
+    // stats of the surviving corpus. One narrow pass + one 16-byte-hash
+    // shuffle, regardless of corpus size.
+    GraftQuery(
+      "pipe_corpus_clean",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTokens = size(toks).cast("long")
+        val nStop = size(filter(toks, w => w.isin("the", "a"))).cast("long")
+        val stopRatio = nStop.cast("double") / nTokens.cast("double")
+        Tables.table(s, dir, "documents")
+          .filter(col("lang").isin("en", "es", "de", "fr"))
+          .withColumn("n_tokens", nTokens)
+          .withColumn("stop_ratio", stopRatio)
+          .filter(col("n_tokens") >= 20 && col("n_tokens") <= 200 &&
+            col("stop_ratio") >= 0.01d)
+          .groupBy(md5(lower(trim(col("text")))).as("fingerprint"))
+          .agg(
+            min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_copies"),
+            min(col("n_tokens")).as("n_tokens"))
+      },
+      Some("WITH scored AS (SELECT doc_id, text, lang, " +
+        "CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS BIGINT) " +
+        " / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_ratio " +
+        "FROM documents WHERE lang IN ('en','es','de','fr')) " +
+        "SELECT md5(lower(trim(text))) AS fingerprint, min(doc_id) AS keep_id, " +
+        "count(*) AS n_copies, min(n_tokens) AS n_tokens FROM scored " +
+        "WHERE n_tokens BETWEEN 20 AND 200 AND stop_ratio >= 0.01 " +
+        "GROUP BY 1"),
+      bench = true),
+
     // Word-3-gram distinct shingle count per doc, computed inside one
     // higher-order expression: no explode, no per-doc shuffle.
     GraftQuery(

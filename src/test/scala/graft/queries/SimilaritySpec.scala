@@ -41,6 +41,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("IVF ANN: valid cosines, deterministic, better recall than blind chance") {
+    val brute = graft.SparkEntry.queries("sim_brute_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = graft.SparkEntry.queries("sim_ivf_ann")
+    val ivf1 = q(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = q(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf1 == ivf2) // deterministic training + ties
+    val recall = (ivf1 & brute).size.toDouble / brute.size
+    // probing 4/16 cells of a near-random corpus: recall ≈ cell mass
+    // visited at minimum; genuinely clustered data would be far higher
+    assert(recall >= 0.2, s"IVF recall@5 $recall")
+    assert(ivf1.nonEmpty)
+  }
+
+  test("int8 quantization: values in range, reconstruction within one step") {
+    val rows = graft.SparkEntry.queries("sim_quantize_int8")(spark, dir).collect()
+    rows.foreach { r =>
+      val mn = r.getDouble(1)
+      val scale = r.getDouble(2)
+      val q8 = r.getSeq[Int](3)
+      assert(q8.forall(v => v >= -128 && v <= 128))
+      // reconstruct: mn + (q+128)*scale must be within one quant step
+      assert(scale > 0)
+      q8.foreach { v => assert((v + 128) * scale <= (255.0 * scale) + 1e-9) }
+    }
+  }
+
   test("near-dup pairs are symmetric-free and above threshold") {
     val rows = graft.SparkEntry.queries("sim_neardup_pairs")(spark, dir).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
