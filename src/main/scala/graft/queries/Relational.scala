@@ -113,6 +113,30 @@ object Relational {
         "GROUP BY r_name, n_name"),
       bench = true),
 
+    // TPC-H Q14-style promo-revenue ratio: fact⋈dimension join with a
+    // conditional aggregate ratio (exercises `part`).
+    GraftQuery(
+      "q14_promo_revenue",
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+        val part = Tables.table(s, dir, "part")
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .agg(
+            (lit(100.0d) *
+              decSum(when(col("p_type") === "PROMO",
+                col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).otherwise(lit(0.0d))) /
+              decSum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))))
+              .as("promo_pct"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("SELECT 100 * " +
+        s"${decSumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE CAST(0 AS DOUBLE) END")} / " +
+        s"${decSumSql("l_extendedprice * (1 - l_discount)")} AS promo_pct, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'")),
+
     // Left-semi join (EXISTS).
     GraftQuery(
       "q_semi_join",
