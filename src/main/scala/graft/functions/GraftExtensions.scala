@@ -37,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_set_jaccard",
         "sorted_set_jaccard(array<bigint>, array<bigint>) - exact Jaccard of sorted sets"),
       (exprs: Seq[Expression]) => SortedSetJaccard(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"),
+      info("ngram_hashes",
+        "ngram_hashes(array<string>) - sorted distinct 3-gram hashes"),
+      (exprs: Seq[Expression]) => NGramHashes(exprs.head)))
   }
 }

@@ -21,6 +21,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "sorted_set_jaccard",
       exprs => SortedSetJaccard(exprs.head, exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "ngram_hashes", exprs => NGramHashes(exprs.head), "scala_udf")
   }
 
   /** 64-bit polynomial rolling hash of a string column. */
@@ -35,4 +37,7 @@ object GraftFunctions {
   /** Exact Jaccard of two sorted-distinct array<bigint> columns. */
   def sorted_set_jaccard(a: Column, b: Column): Column =
     call_function("sorted_set_jaccard", a, b)
+
+  /** Sorted distinct 3-gram hashes of an array<string> token column. */
+  def ngram_hashes(c: Column): Column = call_function("ngram_hashes", c)
 }

@@ -18,20 +18,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig requires array<string>, got $other")
+      s"minhash_sig requires array<string> or array<bigint>, got $other")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any =
-    MinHashSig.signature(input.asInstanceOf[ArrayData])
+  private def prehashed: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(input: Any): Any =
+    if (prehashed) MinHashSig.signatureOfHashes(input.asInstanceOf[ArrayData])
+    else MinHashSig.signature(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (prehashed) "signatureOfHashes" else "signature"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashSig.signature($c);")
+      s"${ev.value} = graft.functions.MinHashSig.$method($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -85,4 +92,25 @@ object MinHashSig {
     }
     new GenericArrayData(sig)
   }
+
+  /** Signature over already-hashed elements (e.g. [[NGramHashes]]). */
+  def signatureOfHashes(hashes: ArrayData): ArrayData = {
+    val sig = Array.fill(K)(Long.MaxValue)
+    val n = hashes.numElements()
+    var t = 0
+    while (t < n) {
+      val base = hashes.getLong(t)
+      var i = 0
+      while (i < K) {
+        val v = hashA(i) * base + hashB(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Public alias of the finalizer for sibling expressions. */
+  def mix64Public(z: Long): Long = mix64(z)
 }

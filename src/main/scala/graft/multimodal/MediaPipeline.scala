@@ -50,6 +50,13 @@ object MediaDecoder {
   }
 }
 
+/** One sampled frame of a (stub-decoded) video payload. */
+final case class FrameSample(
+    doc_id: Long,
+    frame_index: Int,
+    frame_ts_ms: Long,
+    frame_checksum: Long)
+
 /** Spark-side plumbing for multimodal decode: binary columns flow through
   * a typed Dataset; the decode runs via `mapPartitions` so the codec sees
   * batches, not rows; output is a flat feature frame ready to join back.
@@ -75,6 +82,32 @@ object MediaPipeline {
     import spark.implicits._
     mediaDataset(spark, dir)
       .mapPartitions(MediaDecoder.decodeBatch)
+      .toDF()
+  }
+
+  /** Frame sampling: each payload yields `framesPerDoc` frame rows — the
+    * 1→N flatMap shape video pipelines need (a real decoder would seek
+    * keyframes; the STUB derives frames deterministically from payload
+    * bytes). Still partition-local: no shuffle, output fans out in place.
+    */
+  def sampleFrames(spark: SparkSession, dir: String, framesPerDoc: Int): DataFrame = {
+    import spark.implicits._
+    mediaDataset(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          var h = 1125899906842597L
+          var i = 0
+          while (i < r.payload.length) { h = h * 31L + r.payload(i); i += 1 }
+          val durationMs = 1000L + Math.floorMod(h, 60000L) // fake duration
+          (0 until framesPerDoc).iterator.map { f =>
+            FrameSample(
+              doc_id = r.doc_id,
+              frame_index = f,
+              frame_ts_ms = durationMs * f / framesPerDoc,
+              frame_checksum = h * 31L + f)
+          }
+        }
+      }
       .toDF()
   }
 }

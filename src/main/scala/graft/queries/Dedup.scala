@@ -57,34 +57,11 @@ object Dedup {
     "list_distinct(list_transform(generate_series(1, greatest(len(tokens) - 2, 0)), " +
       "i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))"
 
-  // --- MinHash machinery -------------------------------------------------
-
-  private[queries] val MinhashK = graft.functions.MinHashSig.K
-  private[queries] val Bands = 8
-  private[queries] val RowsPerBand = MinhashK / Bands
-
   private[queries] def mix64(z0: Long): Long = {
     var z = z0 + -7046029254386353131L
     z = (z ^ (z >>> 30)) * -4658895280553007687L
     z = (z ^ (z >>> 27)) * -7723592293110705685L
     z ^ (z >>> 31)
-  }
-
-  /** docs with doc_id, sorted hashed shingle set (for cheap exact
-    * rescoring) and the k=32 native MinHash signature
-    * (graft.functions.MinHashSig — one codegen'd pass per row).
-    */
-  private def withSignature(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Tables.table(s, dir, "documents")
-      // the table arrives as one small file = one partition; spread the
-      // (CPU-heavy) shingle+signature work across all cores first
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingleSet.as("toks"))
-      .withColumn("sig", GraftFunctions.minhash_sig(col("toks")))
-      .withColumn("sh",
-        array_sort(array_distinct(transform(col("toks"), sh => xxhash64(sh)))))
-      .drop("toks")
   }
 
   def defs: Seq[GraftQuery] = Seq(
@@ -126,7 +103,7 @@ object Dedup {
         val docs = Tables.table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism) // one input file
           .select(col("doc_id"), col("n_chars"),
-            array_sort(array_distinct(transform(shingleSet, sh => xxhash64(sh)))).as("sh"))
+            GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
           .cache()
         // candidate generation over NARROW columns only — the 4KB shingle
         // arrays never travel through the exploded bucket join
@@ -169,37 +146,15 @@ object Dedup {
         "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8"),
       bench = true),
 
-    // MinHash + LSH near-dup pairs, rescored with exact Jaccard.
+    // MinHash + LSH near-dup pairs, rescored with exact Jaccard — the
+    // graft.operators.NearDupLsh pipeline (shared with ScaleSmoke).
     // Non-SQL-expressible (rows-only check); recall vs brute force is
     // asserted in DedupSpec.
     GraftQuery(
       "dd_minhash_lsh",
-      (s, dir) => {
-        val docs = withSignature(s, dir).cache()
-        // band keys over NARROW columns: (band, band_hash, doc_id) only —
-        // signature arrays and shingle arrays stay out of the self-join
-        val bands = docs.select(
-          col("doc_id"),
-          posexplode(array((0 until Bands).map { j =>
-            hash((j * RowsPerBand until (j + 1) * RowsPerBand)
-              .map(i => col("sig")(i)): _*)
-          }: _*)).as(Seq("band", "band_hash")))
-        val l = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-        val r = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
-        val candidates = l.join(r, Seq("band", "band_hash"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
-          .dropDuplicates("doc_a", "doc_b") // same pair from several bands
-        // exact rescoring: arrays attach once per surviving pair
-        val aSide = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val bSide = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        candidates
-          .join(broadcast(aSide), Seq("doc_a"))
-          .join(broadcast(bSide), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-          .filter(col("jaccard") >= 0.5d)
-      },
+      (s, dir) => graft.operators.NearDupLsh.pairs(
+        Tables.table(s, dir, "documents").select(col("doc_id"), col("text")),
+        threshold = 0.5d),
       oracle = None,
       bench = true),
 

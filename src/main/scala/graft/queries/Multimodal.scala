@@ -32,5 +32,11 @@ object Multimodal {
     // semantics asserted in MultimodalSpec.
     GraftQuery(
       "mm_decode_features",
-      (s, dir) => MediaPipeline.decodeFeatures(s, dir)))
+      (s, dir) => MediaPipeline.decodeFeatures(s, dir)),
+
+    // Frame sampling: 1→N fan-out per payload, partition-local
+    // (rows-only; shape + determinism asserted in MultimodalSpec).
+    GraftQuery(
+      "mm_frame_sample",
+      (s, dir) => MediaPipeline.sampleFrames(s, dir, framesPerDoc = 4)))
 }

@@ -36,6 +36,26 @@ object TextAnalysis {
         "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens " +
         "FROM documents")),
 
+    // BPE-style pre-tokenization: the GPT-2-ish split into letter runs,
+    // digit runs, and punctuation runs (regexp, not whitespace) — the
+    // token-count estimator a data pipeline runs before real BPE.
+    GraftQuery(
+      "txt_bpe_tokens",
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0)))
+              .cast("long").as("n_bpe_tokens"),
+            size(array_distinct(
+              regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))))
+              .cast("long").as("n_distinct_bpe_tokens")),
+      Some("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) " +
+        "AS n_bpe_tokens, " +
+        "CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS BIGINT) " +
+        "AS n_distinct_bpe_tokens FROM documents")),
+
     // Quality scoring: stopword ratio, mean token length, composite score.
     // All-double arithmetic on identical operands — bit-stable vs DuckDB.
     GraftQuery(

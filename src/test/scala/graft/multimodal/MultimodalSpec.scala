@@ -26,6 +26,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_bytes")).sum == expected)
   }
 
+  test("frame sampling fans out 1->N per payload, deterministic, monotone ts") {
+    val frames = MediaPipeline.sampleFrames(spark, dir, framesPerDoc = 4).collect()
+    assert(frames.length == 500 * 4)
+    val byDoc = frames.groupBy(_.getLong(0))
+    byDoc.values.foreach { fs =>
+      assert(fs.map(_.getAs[Int]("frame_index")).sorted.toSeq == (0 until 4))
+      val ts = fs.sortBy(_.getAs[Int]("frame_index")).map(_.getAs[Long]("frame_ts_ms"))
+      assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    }
+    val again = MediaPipeline.sampleFrames(spark, dir, framesPerDoc = 4).collect()
+    assert(frames.map(_.getLong(3)).sorted.toSeq == again.map(_.getLong(3)).sorted.toSeq)
+  }
+
   test("decode runs partition-parallel without shuffle") {
     val ds = MediaPipeline.mediaDataset(spark, dir).repartition(8)
     import spark.implicits._
