@@ -122,6 +122,46 @@ object Coverage {
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
             approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
 
+    // Statistical moments computed from decimal power sums — the
+    // order-independent formulation (builtin stddev/corr are
+    // merge-order-sensitive in the last ulp): var = (Σx² − (Σx)²/n)/(n−1),
+    // corr from the cross sum. Rounded to absorb the final double ops.
+    GraftQuery(
+      "q_stats_moments",
+      (s, dir) => {
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        val n = count(lit(1)).cast(DoubleType)
+        val sx = decSum(x)
+        val sy = decSum(y)
+        val sxx = decSum(x * x)
+        val syy = decSum(y * y)
+        val sxy = decSum(x * y)
+        val varX = (sxx - sx * sx / n) / (n - lit(1.0d))
+        val varY = (syy - sy * sy / n) / (n - lit(1.0d))
+        val cov = (sxy - sx * sy / n) / (n - lit(1.0d))
+        Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            varX.cast(DecimalType(38, 4)).cast(DoubleType).as("var_qty"),
+            sqrt(varX).cast(DecimalType(38, 4)).cast(DoubleType).as("stddev_qty"),
+            (cov / (sqrt(varX) * sqrt(varY))).cast(DecimalType(38, 6)).cast(DoubleType)
+              .as("corr_qty_price"),
+            count(lit(1)).as("n"))
+      },
+      Some {
+        def ds(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
+        val n = "CAST(count(*) AS DOUBLE)"
+        val varX = s"(${ds("l_quantity * l_quantity")} - ${ds("l_quantity")} * ${ds("l_quantity")} / $n) / ($n - 1)"
+        val varY = s"(${ds("l_extendedprice * l_extendedprice")} - ${ds("l_extendedprice")} * ${ds("l_extendedprice")} / $n) / ($n - 1)"
+        val cov = s"(${ds("l_quantity * l_extendedprice")} - ${ds("l_quantity")} * ${ds("l_extendedprice")} / $n) / ($n - 1)"
+        "SELECT l_returnflag, " +
+          s"CAST(CAST($varX AS DECIMAL(38,4)) AS DOUBLE) AS var_qty, " +
+          s"CAST(CAST(sqrt($varX) AS DECIMAL(38,4)) AS DOUBLE) AS stddev_qty, " +
+          s"CAST(CAST($cov / (sqrt($varX) * sqrt($varY)) AS DECIMAL(38,6)) AS DOUBLE) AS corr_qty_price, " +
+          "count(*) AS n FROM lineitem GROUP BY l_returnflag"
+      }),
+
     // Native per-key top-k via the custom TopKPerKey operator
     // (graft.plans): partial heaps -> one k-pruned shuffle -> final
     // heaps, instead of the window pattern's full shuffle + sort.
