@@ -14,29 +14,50 @@ import java.nio.file.{Files, Paths}
   */
 object Main {
 
-  def main(args: Array[String]): Unit = {
-    var configDir = "config"
-    var env: Option[String] = None
-    var dryRun = false
-    var showConfig = false
-    var metricsOut = "execution_metrics.json"
-    val dotlist = Seq.newBuilder[String]
+  final case class CliOptions(
+      configDir: String = "config",
+      env: Option[String] = None,
+      dryRun: Boolean = false,
+      showConfig: Boolean = false,
+      metricsOut: String = "execution_metrics.json",
+      dotlist: Seq[String] = Nil)
 
+  /** Pure argument parser (testable; `main` adds the exits). */
+  def parseArgs(args: Array[String]): Either[String, CliOptions] = {
+    var opts = CliOptions()
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--config-dir" => configDir = args(i + 1); i += 2
-        case "--env" => env = Some(args(i + 1)); i += 2
-        case "--dry-run" => dryRun = true; i += 1
-        case "--show-config" => showConfig = true; i += 1
-        case "--metrics-out" => metricsOut = args(i + 1); i += 2
-        case kv if kv.contains("=") => dotlist += kv; i += 1
-        case other =>
-          System.err.println(s"unknown argument: $other"); sys.exit(2)
+        case flag @ ("--config-dir" | "--env" | "--metrics-out") =>
+          if (i + 1 >= args.length) return Left(s"$flag requires a value")
+          opts = flag match {
+            case "--config-dir" => opts.copy(configDir = args(i + 1))
+            case "--env" => opts.copy(env = Some(args(i + 1)))
+            case _ => opts.copy(metricsOut = args(i + 1))
+          }
+          i += 2
+        case "--dry-run" => opts = opts.copy(dryRun = true); i += 1
+        case "--show-config" => opts = opts.copy(showConfig = true); i += 1
+        case kv if kv.contains("=") && !kv.startsWith("--") =>
+          opts = opts.copy(dotlist = opts.dotlist :+ kv); i += 1
+        case other => return Left(s"unknown argument: $other")
       }
     }
+    Right(opts)
+  }
 
-    val config = ConfigLoader.load(configDir, env, dotlist.result())
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args) match {
+      case Left(err) => System.err.println(err); sys.exit(2)
+      case Right(o) => o
+    }
+    val configDir = opts.configDir
+    val env = opts.env
+    val dryRun = opts.dryRun
+    val showConfig = opts.showConfig
+    val metricsOut = opts.metricsOut
+
+    val config = ConfigLoader.load(configDir, env, opts.dotlist)
 
     config.filters.validate() match {
       case Left(err) => System.err.println(s"invalid filters: $err"); sys.exit(1)
