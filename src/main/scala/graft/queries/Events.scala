@@ -48,6 +48,24 @@ object Events {
         "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1, 2")),
 
+    // Schema-on-read: parse props into a typed struct (absent fields are
+    // typed nulls, not errors) — the from_json flavor of JSON access.
+    GraftQuery(
+      "ev_json_struct",
+      (s, dir) =>
+        Tables.table(s, dir, "events")
+          .select(
+            col("event_id"),
+            from_json(col("props"), StructType(Seq(
+              StructField("k", LongType), StructField("missing", LongType))))
+              .as("p"))
+          .select(
+            col("event_id"),
+            col("p.k").as("k_value"),
+            col("p.missing").as("missing_value")),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value, " +
+        "CAST(NULL AS BIGINT) AS missing_value FROM events")),
+
     // JSON payload extraction (schema-on-read over the props column).
     GraftQuery(
       "ev_json_extract",
