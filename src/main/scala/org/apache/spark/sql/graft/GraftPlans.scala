@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.classic.ClassicConversions
-import graft.plans.{TopKPerKey, TopKPerKeyStrategy}
+import graft.plans.{TopKPerKey, TopKPerKeyStrategy, TopKRewriteRule}
 
 /** Column-API surface for the engine's custom operators. Lives inside the
   * `org.apache.spark.sql` namespace because constructing a Dataset from a
@@ -20,6 +20,16 @@ object GraftPlans {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies = cur :+ TopKPerKeyStrategy
+  }
+
+  /** Additionally enable the automatic `row_number() <= k` → TopKPerKey
+    * rewrite (opt-in; see graft.plans.TopKRewriteRule).
+    */
+  def installOptimizations(spark: SparkSession): Unit = {
+    install(spark)
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(TopKRewriteRule))
+      spark.experimental.extraOptimizations = cur :+ TopKRewriteRule
   }
 
   /** First k rows per key group under `order` (pass a total order for
