@@ -122,6 +122,26 @@ object Coverage {
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
             approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
 
+    // Structured aggregates: arg-max (deterministic via a unique compare
+    // key), sorted list aggregation, ordered string aggregation.
+    GraftQuery(
+      "q_agg_structured",
+      (s, dir) =>
+        Tables.table(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+            min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+            array_sort(collect_list(col("o_orderstatus"))).as("all_statuses_sorted"),
+            concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+              .as("distinct_statuses")),
+      Some("SELECT o_orderpriority, " +
+        "arg_max(o_orderstatus, o_orderkey) AS latest_status, " +
+        "arg_min(o_orderstatus, o_orderkey) AS first_status, " +
+        "list_sort(list(o_orderstatus)) AS all_statuses_sorted, " +
+        "array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS distinct_statuses " +
+        "FROM orders GROUP BY o_orderpriority")),
+
     // Statistical moments computed from decimal power sums — the
     // order-independent formulation (builtin stddev/corr are
     // merge-order-sensitive in the last ulp): var = (Σx² − (Σx)²/n)/(n−1),
