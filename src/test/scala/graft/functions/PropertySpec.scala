@@ -66,6 +66,23 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ngram_hashes jaccard equals string-shingle jaccard") {
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "ee", "f1"))
+    check(Prop.forAll(tokGen, tokGen) { (ta, tb) =>
+      def shingleSet(ts: List[String]): Set[String] =
+        if (ts.length < 3) Set.empty
+        else ts.sliding(3).map(_.mkString(" ")).toSet
+      val sa = shingleSet(ta)
+      val sb = shingleSet(tb)
+      val expected =
+        if (sa.isEmpty && sb.isEmpty) 0.0
+        else (sa & sb).size.toDouble / (sa | sb).size.toDouble
+      val ha = NGramHashes.hashes(strArr(ta))
+      val hb = NGramHashes.hashes(strArr(tb))
+      SortedSetJaccard.jaccard(ha, hb) == expected
+    })
+  }
+
   test("simhash: order-insensitive for multiset-equal inputs") {
     check(Prop.forAll(
       Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "ccc", "dddd", "x1", "y2"))) { toks =>
