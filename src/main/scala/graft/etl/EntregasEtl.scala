@@ -61,7 +61,7 @@ final class EntregasEtl(val config: EtlConfig, val spark: SparkSession) {
       val cleaned = applyDataQuality(raw)
       val filtered = applyFilters(cleaned)
       val output = standardize(transform(filtered))
-      val partitions = Load(output, config.paths.outputBase)
+      val partitions = Load(output, config.paths.outputBase, config.paths.outputFormat)
       RunMetrics(
         environment = config.environment,
         startDate = config.filters.startDate,

@@ -18,7 +18,13 @@ final case class EtlConfig(
     columnMapping: Seq[(String, String)],
     countryNames: Map[String, String])
 
-final case class PathsConfig(inputFile: String, outputBase: String)
+/** `outputFormat` is an engine extension (csv = reference parity;
+  * parquet = the at-scale sink); absent from the reference config.
+  */
+final case class PathsConfig(
+    inputFile: String,
+    outputBase: String,
+    outputFormat: String = "csv")
 
 final case class FiltersConfig(startDate: String, endDate: String, country: Option[String]) {
   /** Driver-side date validation (reference `main.py:125-148`): plain
@@ -168,7 +174,8 @@ object ConfigLoader {
     environment = Option(str(cfg, "environment")).getOrElse("develop"),
     paths = PathsConfig(
       inputFile = str(cfg, "paths", "input_file"),
-      outputBase = str(cfg, "paths", "output_base")),
+      outputBase = str(cfg, "paths", "output_base"),
+      outputFormat = Option(str(cfg, "paths", "output_format")).getOrElse("csv")),
     filters = FiltersConfig(
       startDate = str(cfg, "filters", "start_date"),
       endDate = str(cfg, "filters", "end_date"),

@@ -214,13 +214,21 @@ object Load {
 
   /** Writes and returns per-partition row counts (the reference's
     * `partitions_created` metric), computed as one aggregate.
+    *
+    * `format`: `csv` (reference-parity, default) or `parquet` — at scale
+    * parquet is the right sink (columnar, splittable, statistics for
+    * downstream pruning); the directory layout is identical.
     */
-  def apply(df: DataFrame, outputBase: String): Map[String, Long] = {
-    df.write
+  def apply(df: DataFrame, outputBase: String, format: String = "csv"): Map[String, Long] = {
+    val writer = df.write
       .partitionBy("fecha_proceso")
-      .option("header", "true")
       .mode("overwrite")
-      .csv(outputBase)
+    format match {
+      case "csv" => writer.option("header", "true").csv(outputBase)
+      case "parquet" => writer.parquet(outputBase)
+      case other => throw new IllegalArgumentException(
+        s"unsupported output format: $other (csv | parquet)")
+    }
     df.groupBy("fecha_proceso").agg(count(lit(1)).as("n"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))

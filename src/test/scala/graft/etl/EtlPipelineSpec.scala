@@ -48,6 +48,19 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(back.columns.length == Schemas.outputColumns.length)
   }
 
+  test("parquet sink: same layout and rows, columnar files") {
+    val out = Files.createTempDirectory("graft_etl_parquet").toString
+    val cfg = ConfigLoader.load("/root/repo/config", env = Some("nonexistent"),
+      overrides = Seq(s"paths.output_base=$out", "paths.output_format=parquet"))
+    val metrics = EntregasEtl(cfg, Some(spark)).run()
+    assert(metrics.finalRows == 123)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 123)
+    assert(back.columns.length == Schemas.outputColumns.length)
+    // parquet keeps real types (not CSV strings)
+    assert(back.schema("precio_total").dataType.typeName == "double")
+  }
+
   test("country override narrows the run (CLI dotlist path)") {
     val out = Files.createTempDirectory("graft_etl_gt").toString
     val cfg = ConfigLoader.load("/root/repo/config", env = Some("nonexistent"),
