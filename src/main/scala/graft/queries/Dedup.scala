@@ -24,23 +24,11 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
-  /** Distinct word tokens per doc (set semantics for Jaccard). */
-  private def tokenSet: Column = array_distinct(split(col("text"), " "))
-
-  /** Distinct word-3-gram shingles per doc. The corpus vocabulary is tiny,
-    * so unigram sets saturate (every doc resembles every doc); shingles
-    * capture word order and are the discriminative unit for near-dup
-    * detection (Broder's shingling).
-    */
-  private def shingleSet: Column = {
-    val toks = split(col("text"), " ")
-    when(size(toks) >= 3,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - lit(2)),
-        i => concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + lit(1)), element_at(toks, i + lit(2))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  // The corpus vocabulary is tiny, so unigram sets saturate (every doc
+  // resembles every doc); word-3-gram shingles capture word order and are
+  // the discriminative unit for near-dup detection (Broder's shingling).
+  // Engine-side shingle hashing is the native `ngram_hashes` expression;
+  // the string form below exists for SimHash's frequency weighting.
 
   /** Shingle sequence with duplicates — SimHash weights by frequency. */
   private def shingleList: Column = {
