@@ -112,6 +112,19 @@ object Coverage {
           .sample(withReplacement = false, fraction = 0.1, seed = 42L)
           .select(col("l_orderkey"), col("l_linenumber"))),
 
+    // Approximate percentiles (t-digest-style sketch) — engine-specific
+    // values (rows-only check; tolerance vs exact in CoverageSpec).
+    GraftQuery(
+      "q_approx_percentile",
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+              .as("p50_price_approx"),
+            percentile_approx(col("l_quantity"), lit(0.9), lit(10000))
+              .as("p90_qty_approx"))),
+
     // HLL approximate distinct — sketch values are engine-specific
     // (rows-only driver check; error bound asserted in CoverageSpec).
     GraftQuery(
