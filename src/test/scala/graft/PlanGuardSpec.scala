@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale are asserted, not assumed — losing a pushdown, a broadcast, or
+  * the top-k operator in a refactor fails here, not at 100 TB.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: date filter pushed to the parquet scan, schema pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "q1 must not read unused columns")
+  }
+
+  test("q5: every dimension join is broadcast") {
+    val p = plan("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_topk_orders: TakeOrderedAndProject, no global sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("etl_f5: range predicate reaches the scan") {
+    val p = plan("etl_f5_range_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("semi/anti joins plan as semi/anti, not inner+dedup") {
+    assert(plan("q_semi_join").contains("LeftSemi"), plan("q_semi_join"))
+    assert(plan("q_anti_join").contains("LeftAnti"), plan("q_anti_join"))
+  }
+
+  test("native top-k per key plans the two-phase heap operator") {
+    val p = plan("q_topk_per_key_native")
+    assert("TopKPerKey \\[".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("narrow per-row text ops stay in one whole-stage codegen span") {
+    val p = plan("txt_token_stats")
+    assert(p.contains("*(1)"), p) // the whole-stage-codegen span marker
+    assert(!p.contains("Exchange"), "per-row text stats must not shuffle")
+  }
+}
