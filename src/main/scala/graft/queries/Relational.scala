@@ -268,6 +268,28 @@ object Relational {
       Some("SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R' " +
         "UNION SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'O'")),
 
+    // Set ops, bag semantics: multiplicities preserved (min for
+    // intersect, difference for except).
+    GraftQuery(
+      "q_set_intersect_all",
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+        li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+          .intersectAll(li.filter(col("l_linestatus") === "F").select(col("l_suppkey")))
+      },
+      Some("SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R' " +
+        "INTERSECT ALL SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'")),
+
+    GraftQuery(
+      "q_set_except_all",
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+        li.filter(col("l_linestatus") === "O").select(col("l_suppkey"))
+          .exceptAll(li.filter(col("l_returnflag") === "R").select(col("l_suppkey")))
+      },
+      Some("SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'O' " +
+        "EXCEPT ALL SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'")),
+
     // Grouping sets: ROLLUP over the region→nation hierarchy.
     GraftQuery(
       "q_rollup",
