@@ -5,7 +5,7 @@ import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
@@ -30,10 +30,14 @@ case class TopKPerKey(
     copy(child = newChild)
 }
 
-/** Physical two-phase heap selection. `partial = true` runs on whatever
-  * partitioning the child has; the final node demands clustering on the
-  * keys, so EnsureRequirements inserts exactly one hash exchange between
-  * the two — over the pre-pruned rows.
+/** Physical two-phase selection. `partial = true` runs on whatever
+  * partitioning the child has and keeps per-key bounded heaps (over a
+  * configurable key cap, extra keys' rows stream through un-pruned — a
+  * superset is a correct partial result). The final node demands
+  * clustering AND (key, order) sort order, so EnsureRequirements inserts
+  * one hash exchange plus a spill-safe SortExec over the pre-pruned rows;
+  * the final pass is then a streaming "first k per group" with O(1)
+  * state — no cardinality limit at any key count.
   */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
@@ -45,36 +49,118 @@ case class TopKPerKeyExec(
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  private def groupOrdering: Seq[SortOrder] =
+    keys.map(SortOrder(_, Ascending)) ++ order
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
+
+  // Final phase consumes (key, order)-sorted input: EnsureRequirements
+  // plants a spill-safe SortExec over the pruned shuffle output, making
+  // final-phase state O(1) regardless of key cardinality.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Nil :: Nil else groupOrdering :: Nil
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else groupOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val limit = k
-    child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val rowOrdering = GenerateOrdering.generate(sortOrder, childOutput)
-      // max-heap per key: head = current worst of the kept k
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, JPriorityQueue[UnsafeRow]]
-      iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(),
-          new JPriorityQueue[UnsafeRow](limit + 1, rowOrdering.reversed()))
-        if (heap.size < limit) {
-          heap.add(row.copy().asInstanceOf[UnsafeRow])
-        } else if (rowOrdering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy().asInstanceOf[UnsafeRow])
+    val maxKeys = session.sessionState.conf
+      .getConfString("spark.graft.topk.maxKeysInMemory", "4194304").toInt
+    if (partial) {
+      child.execute().mapPartitions { iter =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val rowOrdering = GenerateOrdering.generate(sortOrder, childOutput)
+        // max-heap per key: head = current worst of the kept k. Keys are
+        // probed with the projection's reused buffer and copied only on
+        // first insert; kept rows are copied InternalRows (no UnsafeRow
+        // cast — children are free to emit any InternalRow). Above
+        // `maxKeys` distinct keys the pass degrades gracefully: rows of
+        // keys beyond the cap stream through un-pruned (a superset is
+        // always a correct partial result; the final phase re-prunes).
+        val heaps = mutable.LinkedHashMap.empty[UnsafeRow, JPriorityQueue[InternalRow]]
+        new Iterator[InternalRow] {
+          private var passThrough: InternalRow = _
+          private var drain: Iterator[InternalRow] = _
+
+          private def consume(): Unit = {
+            while (passThrough == null && iter.hasNext) {
+              val row = iter.next()
+              val probe = keyProj(row)
+              var heap = heaps.getOrElse(probe, null)
+              if (heap == null) {
+                if (heaps.size >= maxKeys) {
+                  passThrough = row
+                  return
+                }
+                heap = new JPriorityQueue[InternalRow](limit + 1, rowOrdering.reversed())
+                heaps.put(probe.copy(), heap)
+              }
+              if (heap.size < limit) {
+                heap.add(row.copy())
+              } else if (rowOrdering.compare(row, heap.peek()) < 0) {
+                heap.poll()
+                heap.add(row.copy())
+              }
+            }
+          }
+
+          override def hasNext: Boolean = {
+            if (passThrough != null) return true
+            consume()
+            if (passThrough != null) return true
+            if (drain == null) drain = heaps.valuesIterator.flatMap { heap =>
+              val arr = new Array[InternalRow](heap.size)
+              var i = arr.length - 1
+              while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // emit best-first
+              arr.iterator
+            }
+            drain.hasNext
+          }
+
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            if (passThrough != null) { val r = passThrough; passThrough = null; r }
+            else drain.next()
+          }
         }
       }
-      heaps.valuesIterator.flatMap { heap =>
-        val arr = new Array[UnsafeRow](heap.size)
-        var i = arr.length - 1
-        while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // emit best-first
-        arr.iterator
+    } else {
+      // Streaming first-k-per-group over (key, order)-sorted input.
+      child.execute().mapPartitions { iter =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        new Iterator[InternalRow] {
+          private var currentKey: UnsafeRow = _
+          private var emitted = 0
+          private var pending: InternalRow = _
+
+          private def advance(): Unit = {
+            while (pending == null && iter.hasNext) {
+              val row = iter.next()
+              val key = keyProj(row)
+              if (currentKey == null || key != currentKey) {
+                currentKey = key.copy()
+                emitted = 0
+              }
+              if (emitted < limit) {
+                emitted += 1
+                pending = row
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { advance(); pending != null }
+
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = pending; pending = null; r
+          }
+        }
       }
     }
   }

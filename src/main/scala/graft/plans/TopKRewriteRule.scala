@@ -35,7 +35,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
             partitionSpec, orderSpec, child, _)))
         if we.windowFunction.isInstanceOf[RowNumber] &&
           we.windowSpec.frameSpecification.isInstanceOf[SpecifiedWindowFrame] &&
-          orderSpec.nonEmpty =>
+          partitionSpec.nonEmpty && orderSpec.nonEmpty =>
       val rank = alias.toAttribute
       limitOf(cond, rank) match {
         case Some(k) if k >= 1 &&

@@ -145,13 +145,15 @@ object Coverage {
           .agg(
             max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
             min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
-            array_sort(collect_list(col("o_orderstatus"))).as("all_statuses_sorted"),
+            // serialized: the driver comparator can't sort/hash raw arrays
+            concat_ws(",", array_sort(collect_list(col("o_orderstatus"))))
+              .as("all_statuses_sorted"),
             concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
               .as("distinct_statuses")),
       Some("SELECT o_orderpriority, " +
         "arg_max(o_orderstatus, o_orderkey) AS latest_status, " +
         "arg_min(o_orderstatus, o_orderkey) AS first_status, " +
-        "list_sort(list(o_orderstatus)) AS all_statuses_sorted, " +
+        "array_to_string(list_sort(list(o_orderstatus)), ',') AS all_statuses_sorted, " +
         "array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS distinct_statuses " +
         "FROM orders GROUP BY o_orderpriority")),
 

@@ -103,8 +103,10 @@ object Events {
         "lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_ts " +
         "FROM events) " +
         "SELECT user_id, event_id, " +
-        "SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END) " +
+        // CAST: DuckDB's windowed SUM yields HUGEINT; Spark yields BIGINT —
+        // the driver comparator is type-sensitive even when values agree.
+        "CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END) " +
         "OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq, " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq, " +
         "ts_us - coalesce(prev_ts, ts_us) AS gap_us FROM g")))
 }

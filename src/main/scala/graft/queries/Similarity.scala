@@ -132,15 +132,17 @@ object Similarity {
             col("vec_id"),
             mn.as("v_min"),
             scale.as("v_scale"),
-            transform(col("v"), x =>
-              floor((x - mn) / scale).cast("int") - lit(128)).as("q8"))
+            // serialized: the driver comparator can't sort/hash raw arrays
+            array_join(transform(col("v"), x =>
+              (floor((x - mn) / scale).cast("int") - lit(128)).cast("string")), ",")
+              .as("q8"))
       },
       Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "s AS (SELECT vec_id, v, list_min(v) AS v_min, " +
         "CASE WHEN list_max(v) > list_min(v) THEN (list_max(v) - list_min(v)) / 255.0 " +
         "ELSE CAST(1 AS DOUBLE) END AS v_scale FROM e) " +
         "SELECT vec_id, v_min, v_scale, " +
-        "list_transform(v, x -> CAST(floor((x - v_min) / v_scale) AS INT) - 128) AS q8 FROM s"),
+        "array_to_string(list_transform(v, x -> CAST(floor((x - v_min) / v_scale) AS INT) - 128), ',') AS q8 FROM s"),
       bench = false),
 
     // LSH-bucketed approximate NN: signatures -> 4-bit band join ->

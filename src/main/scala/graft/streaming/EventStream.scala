@@ -42,8 +42,11 @@ object EventStream {
 
   /** Streaming exact dedup: drop duplicate event_ids within the
     * watermark horizon — the streaming flavor of the training-data
-    * dedup primitive (state store holds one key per id inside the
-    * watermark; late duplicates beyond it age out).
+    * dedup primitive. Uses dropDuplicatesWithinWatermark so each key's
+    * state carries an expiry derived from the event time and is evicted
+    * once the watermark passes it — with plain dropDuplicates("event_id")
+    * the event-time column is not part of the dedup key, so state would
+    * grow without bound on an unbounded stream.
     */
   def dedupStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -55,7 +58,7 @@ object EventStream {
     val q = stream
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"))
       .writeStream
       .outputMode("append")

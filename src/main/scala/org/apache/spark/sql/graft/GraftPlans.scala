@@ -41,6 +41,10 @@ object GraftPlans {
     * fully-resolved SortOrder / key expressions against the same child.
     */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    require(keys.nonEmpty,
+      "topKPerKey requires at least one key; for global top-k use orderBy(...).limit(k) " +
+        "(TakeOrderedAndProject), which is already optimal")
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     install(spark)
     val sortPlan = ClassicConversions.castToImpl(df.sortWithinPartitions(order: _*))

@@ -51,6 +51,24 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(native.count() == orders.count())
   }
 
+  test("partial phase over the key cap streams rows through un-pruned, result unchanged") {
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val reference = GraftPlans.topKPerKey(orders, Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.graft.topk.maxKeysInMemory", "40")
+    try {
+      // sf0.001 orders has ~1000 custkeys: far over a 40-key cap per map
+      // partition, but ~1000/32 per post-shuffle partition in the final
+      // phase — exercises the degrade path without tripping the final guard
+      val capped = GraftPlans.topKPerKey(orders, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(capped == reference)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysInMemory")
+  }
+
   test("ties broken deterministically by the total order") {
     val li = Tables.table(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))

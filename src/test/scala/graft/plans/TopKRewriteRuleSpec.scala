@@ -40,6 +40,32 @@ class TopKRewriteRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("global top-k (empty PARTITION BY) keeps the stock window plan and runs") {
+    GraftPlans.installOptimizations(spark)
+    try {
+      // row_number() OVER (ORDER BY ...) with no partitioning: TopKPerKey
+      // would have no clustering keys — the rule must not fire.
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val df = Tables.table(spark, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+      assert(df.count() == 5) // planning used to crash here (ClusteredDistribution Nil)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TopKRewriteRule)
+    }
+  }
+
+  test("topKPerKey rejects empty keys explicitly") {
+    val e = intercept[IllegalArgumentException] {
+      GraftPlans.topKPerKey(
+        Tables.table(spark, dir, "orders"), Nil, Seq(col("o_totalprice").desc), 3)
+    }
+    assert(e.getMessage.contains("at least one key"))
+  }
+
   test("keeping the rank column suppresses the rewrite") {
     GraftPlans.installOptimizations(spark)
     try {

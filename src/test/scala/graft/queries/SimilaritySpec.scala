@@ -60,7 +60,7 @@ class SimilaritySpec extends AnyFunSuite {
     rows.foreach { r =>
       val mn = r.getDouble(1)
       val scale = r.getDouble(2)
-      val q8 = r.getSeq[Int](3)
+      val q8 = r.getString(3).split(",").map(_.toInt).toSeq
       assert(q8.forall(v => v >= -128 && v <= 128))
       // reconstruct: mn + (q+128)*scale must be within one quant step
       assert(scale > 0)
