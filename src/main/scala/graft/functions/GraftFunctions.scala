@@ -23,6 +23,10 @@ object GraftFunctions {
       exprs => SortedSetJaccard(exprs.head, exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction(
       "ngram_hashes", exprs => NGramHashes(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "l2_dist2", exprs => L2Distance2(exprs.head, exprs(1)), "scala_udf")
   }
 
   /** 64-bit polynomial rolling hash of a string column. */
@@ -40,4 +44,12 @@ object GraftFunctions {
 
   /** Sorted distinct 3-gram hashes of an array<string> token column. */
   def ngram_hashes(c: Column): Column = call_function("ngram_hashes", c)
+
+  /** Fused-loop dot product of two array<double> columns. */
+  def dot_product(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
+  /** Fused-loop squared L2 distance of two array<double> columns. */
+  def l2_dist2(a: Column, b: Column): Column =
+    call_function("l2_dist2", a, b)
 }

@@ -17,18 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  // native fused-loop vector ops (bit-identical fold order to the
+  // aggregate(zip_with(...)) composition, minus per-row allocation)
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_product(a, b)
 
   /** Squared L2 distance. */
   private def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.l2_dist2(a, b)
 
   /** Train nlist centroids with `iters` Lloyd iterations.
     * Returns (centroid_id, centroid array<double>).
     */
   def train(vectors: DataFrame, vecCol: String, nlist: Int, iters: Int): DataFrame = {
     val spark = vectors.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     var centroids = vectors
       .orderBy(col("vec_id").asc)
       .limit(nlist)
@@ -57,6 +60,7 @@ object IvfIndex {
 
   /** Assign each vector to its nearest centroid (ties by centroid id). */
   def assign(vectors: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("centroid_id").asc)
     vectors.join(broadcast(centroids))
@@ -75,6 +79,7 @@ object IvfIndex {
       queries: DataFrame, // query_id, qv, qn
       nprobe: Int,
       k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val indexed = assign(corpus, "v", centroids) // vec_id, v, norm2, centroid_id
 
     val wProbe = Window.partitionBy(col("query_id"))

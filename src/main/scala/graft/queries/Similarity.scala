@@ -23,17 +23,22 @@ object Similarity {
   /** embedding as array<double>. */
   private def vec(c: Column): Column = c.cast("array<double>")
 
+  // native fused-loop dot product (bit-identical to the
+  // aggregate(zip_with(...)) composition, minus the per-pair allocation);
+  // callers register via corpus()'s GraftFunctions.register
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_product(a, b)
 
   /** Rounded cosine similarity; operands must be array<double>. */
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     round(dot(a, b) / (sqrt(na) * sqrt(nb)), 6)
 
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
       .withColumn("norm2", dot(col("v"), col("v")))
+  }
 
   private val cosineSql =
     "round(list_dot_product(a.v, b.v) / " +

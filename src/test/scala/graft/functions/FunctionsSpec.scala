@@ -61,6 +61,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(again == s1)
   }
 
+  test("dot_product / l2_dist2 match the zip_with composition bit-for-bit") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rng.nextDouble() * 2 - 1),
+      Seq.fill(64)(rng.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val composed = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val native = df.select(
+      GraftFunctions.dot_product(col("a"), col("b")),
+      GraftFunctions.l2_dist2(col("a"), col("b")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(native == composed) // exact double equality: same fold order
+  }
+
   test("expressions hold under codegen and interpreted paths equally") {
     GraftFunctions.register(spark)
     val df = Seq.tabulate(64)(i => s"text $i " * (i + 1)).toDF("s")
