@@ -29,6 +29,7 @@ object GraftQuery {
       queries.Relational.defs ++
       queries.Advanced.defs ++
       queries.Coverage.defs ++
+      queries.Coverage2.defs ++
       queries.TextAnalysis.defs ++
       queries.Dedup.defs ++
       queries.Similarity.defs ++

@@ -45,6 +45,15 @@ class DedupSpec extends AnyFunSuite {
       s"blocking dropped pairs: missing=${truth -- blocked}, extra=${blocked -- truth}")
   }
 
+  test("ppjoin prefix filtering equals unblocked truth at threshold 0.8") {
+    val truth = bruteForcePairs(0.8)
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    val ppjoin = graft.SparkEntry.queries("dd_jaccard_ppjoin")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ppjoin == truth,
+      s"prefix filter dropped pairs: missing=${truth -- ppjoin}, extra=${ppjoin -- truth}")
+  }
+
   test("simhash pairs are a subset of hamming-verified near-dups and overlap truth") {
     val truth = bruteForcePairs(0.5)
     val rows = graft.SparkEntry.queries("dd_simhash_pairs")(spark, dir).collect()
