@@ -1,0 +1,234 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 batch sink with a full two-phase commit protocol —
+  * the write-side counterpart of [[SyntheticDocsSource]]:
+  *
+  *   df.write.format("graft-json").mode("overwrite").save(path)
+  *
+  * Each task writes JSON-lines to an attempt-unique temp file under
+  * `path/_tmp/` and reports (partition, rows, temp path) in its
+  * WriterCommitMessage; only the driver's commit() publishes data, by
+  * moving exactly the files named in commit messages into place and then
+  * atomically renaming a `_graft_manifest.json` (total rows + file list)
+  * — so readers observe either the complete previous state or the
+  * complete new one, task retries/speculation can never double-publish
+  * (a failed attempt's orphan file is swept, never moved), and abort()
+  * removes all temp output.
+  *
+  * Local-filesystem file ops keep this dependency-free for the local[N]
+  * target; a cluster deployment swaps the java.nio calls for the Hadoop
+  * FileSystem API — the protocol is unchanged.
+  *
+  * Option `failPartitionOnce` (test hook): the writer for that partition
+  * throws on its first task attempt, exercising retry + exactly-once.
+  */
+class GraftJsonSink extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-json"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType() // write-only source: schema always comes from the query
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftJsonSinkTable(schema)
+}
+
+object GraftJsonSink {
+
+  val ManifestName = "_graft_manifest.json"
+
+  private[sources] def renderRow(row: InternalRow, schema: StructType): String = {
+    val sb = new java.lang.StringBuilder(64)
+    sb.append('{')
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(',')
+      sb.append('"').append(schema(i).name).append("\":")
+      if (row.isNullAt(i)) sb.append("null")
+      else schema(i).dataType match {
+        case StringType => appendEscaped(sb, row.getUTF8String(i).toString)
+        case LongType => sb.append(row.getLong(i))
+        case IntegerType => sb.append(row.getInt(i))
+        case DoubleType => sb.append(row.getDouble(i))
+        case BooleanType => sb.append(row.getBoolean(i))
+        case dt => throw new IllegalArgumentException(
+          s"graft-json supports atomic string/long/int/double/boolean columns, got $dt")
+      }
+      i += 1
+    }
+    sb.append('}').toString
+  }
+
+  private def appendEscaped(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ if c < 0x20 => sb.append(f"\\u$c%04x")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+}
+
+private class GraftJsonSinkTable(writeSchema: StructType)
+    extends Table with SupportsWrite {
+
+  override def name(): String = "graft_json_sink"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftJsonWriteBuilder(
+      info.options.get("path"),
+      info.schema(),
+      Option(info.options.get("failPartitionOnce")).map(_.toInt))
+}
+
+private class GraftJsonWriteBuilder(
+    path: String,
+    schema: StructType,
+    failPartitionOnce: Option[Int]) extends WriteBuilder with SupportsTruncate {
+
+  require(path != null && path.nonEmpty, "graft-json requires a path")
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftJsonBatchWrite(path, schema, truncateFirst, failPartitionOnce)
+  }
+}
+
+private case class GraftJsonCommitMessage(
+    partitionId: Int,
+    taskId: Long,
+    tmpPath: String,
+    rows: Long) extends WriterCommitMessage
+
+private class GraftJsonBatchWrite(
+    path: String,
+    schema: StructType,
+    truncateFirst: Boolean,
+    failPartitionOnce: Option[Int]) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftJsonWriterFactory(path, schema, failPartitionOnce)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    if (truncateFirst) {
+      listFiles(dir).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") || n == GraftJsonSink.ManifestName
+      }.foreach(Files.deleteIfExists(_))
+    }
+    // publish exactly the committed attempts' files
+    val published = messages.map { case m: GraftJsonCommitMessage =>
+      val target = dir.resolve(f"part-${m.partitionId}%05d-${m.taskId}.json")
+      Files.move(Paths.get(m.tmpPath), target, StandardCopyOption.REPLACE_EXISTING)
+      (target.getFileName.toString, m.rows)
+    }
+    // manifest last, via atomic rename: the commit point
+    val manifest = new java.lang.StringBuilder()
+      .append("{\"rows\":").append(published.map(_._2).sum)
+      .append(",\"files\":[")
+      .append(published.map(f => "\"" + f._1 + "\"").sorted.mkString(","))
+      .append("]}\n").toString
+    val tmpManifest = dir.resolve(GraftJsonSink.ManifestName + ".tmp")
+    Files.write(tmpManifest, manifest.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmpManifest, dir.resolve(GraftJsonSink.ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    cleanTmp(dir) // sweep orphans from failed/speculative attempts
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanTmp(Paths.get(path))
+
+  private def listFiles(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  private def cleanTmp(dir: Path): Unit = {
+    val tmp = dir.resolve("_tmp")
+    listFiles(tmp).foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(tmp)
+  }
+}
+
+private class GraftJsonWriterFactory(
+    path: String,
+    schema: StructType,
+    failPartitionOnce: Option[Int]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val tmpDir = Paths.get(path, "_tmp")
+    Files.createDirectories(tmpDir)
+    val tmpFile = tmpDir.resolve(f"attempt-$partitionId%05d-$taskId.json")
+    new GraftJsonDataWriter(tmpFile, schema, partitionId, taskId,
+      failNow = failPartitionOnce.contains(partitionId) &&
+        TaskContext.get().attemptNumber() == 0)
+  }
+}
+
+private class GraftJsonDataWriter(
+    tmpFile: Path,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long,
+    failNow: Boolean) extends DataWriter[InternalRow] {
+
+  private val out = Files.newBufferedWriter(tmpFile, StandardCharsets.UTF_8)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (failNow) throw new RuntimeException(
+      s"graft-json injected failure (first attempt of this partition)")
+    out.write(GraftJsonSink.renderRow(row, schema))
+    out.write("\n")
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftJsonCommitMessage(partitionId, taskId, tmpFile.toString, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(tmpFile)
+  }
+
+  override def close(): Unit = out.close()
+}

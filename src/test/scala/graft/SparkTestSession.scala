@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for the whole test run. */
 object SparkTestSession {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]") // 2 task attempts: lets specs exercise retry paths
     .appName("graft_test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
