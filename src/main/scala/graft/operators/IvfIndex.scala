@@ -26,18 +26,69 @@ object IvfIndex {
   private def dist2(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.l2_dist2(a, b)
 
+  /** Rule-of-thumb index parameters for a corpus of n vectors: nlist ~
+    * sqrt(n) cells (the standard IVF sizing — cell scan cost and cell
+    * count balance), probing ~1/8 of them. Both clamped to sane floors.
+    */
+  def autoParams(n: Long): (Int, Int) = {
+    val nlist = math.max(16, math.min(65536, math.sqrt(n.toDouble).toInt))
+    val nprobe = math.max(4, nlist / 8)
+    (nlist, nprobe)
+  }
+
+  /** Deterministic farthest-first (k-means++-style, but argmax instead of
+    * random draw) seeding over a bounded sample: start from the lowest
+    * vec_id, then repeatedly add the sample vector farthest from its
+    * nearest chosen centroid (ties by vec_id). Same result on any
+    * partitioning; O(sample × nlist) driver work on a nlist*8 sample.
+    */
+  def farthestFirstInit(vectors: DataFrame, vecCol: String, nlist: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val sample = vectors.orderBy(col("vec_id").asc).limit(nlist * 8)
+      .select(col("vec_id"), col(vecCol))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (chosen.length < math.min(nlist, sample.length)) {
+      val next = sample.iterator
+        .filterNot(s => chosen.exists(_._1 == s._1))
+        .map(s => (s, chosen.iterator.map(c => d2(c._2, s._2)).min))
+        .maxBy { case ((id, _), dist) => (dist, -id) } // farthest, ties by lower id
+      chosen += next._1
+    }
+    import spark.implicits._
+    chosen.toSeq.zipWithIndex
+      .map { case ((_, v), i) => (i, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+  }
+
   /** Train nlist centroids with `iters` Lloyd iterations.
     * Returns (centroid_id, centroid array<double>).
+    * `init = "first"` seeds from the first nlist vectors by id (fast,
+    * fully distributed); `init = "farthest"` uses farthest-first seeding
+    * — better-separated seeds on clustered data at the cost of a small
+    * driver-side sample pass.
     */
-  def train(vectors: DataFrame, vecCol: String, nlist: Int, iters: Int): DataFrame = {
+  def train(
+      vectors: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      iters: Int,
+      init: String = "first"): DataFrame = {
     val spark = vectors.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    var centroids = vectors
-      .orderBy(col("vec_id").asc)
-      .limit(nlist)
-      .select(
-        (row_number().over(Window.orderBy(col("vec_id").asc)) - 1).as("centroid_id"),
-        col(vecCol).as("centroid"))
+    var centroids =
+      if (init == "farthest") farthestFirstInit(vectors, vecCol, nlist)
+      else vectors
+        .orderBy(col("vec_id").asc)
+        .limit(nlist)
+        .select(
+          (row_number().over(Window.orderBy(col("vec_id").asc)) - 1).as("centroid_id"),
+          col(vecCol).as("centroid"))
     for (_ <- 1 to iters) {
       val assigned = assign(vectors, vecCol, centroids)
       // elementwise mean per cell: explode to (cell, dim, value)

@@ -72,6 +72,36 @@ object EventStream {
     out
   }
 
+  /** Streaming → external sink with exactly-once semantics: each
+    * micro-batch lands in its own `batch=<id>` directory through the
+    * graft-json DSv2 sink. Idempotence under batch replay comes from the
+    * composition — a recovered/re-run batch id overwrites its own
+    * directory, and the sink's atomic manifest rename means a reader
+    * never observes a half-written batch. This is the canonical
+    * foreachBatch pattern for sinks without native streaming support.
+    */
+  def dedupToJsonSink(spark: SparkSession, dir: String, out: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val q = stream
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.format("graft-json").mode("overwrite").save(s"$out/batch=$id")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run the streaming flavor to completion over the finite input and
     * return the materialized result. availableNow + memory sink: the
     * stream consumes every file, then the in-memory table is the answer.

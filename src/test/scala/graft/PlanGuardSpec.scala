@@ -46,6 +46,25 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("TopKPerKey \\[".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("q_range_join: band join broadcasts the inline dimension, no shuffle join") {
+    val p = plan("q_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dd_jaccard_ppjoin: candidate generation is an equi join, never cartesian") {
+    val p = plan("dd_jaccard_ppjoin")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_exists_subquery: correlated EXISTS plans as semi/anti joins") {
+    val p = plan("q_exists_subquery")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("narrow per-row text ops stay in one whole-stage codegen span") {
     val p = plan("txt_token_stats")
     assert(p.contains("*(1)"), p) // the whole-stage-codegen span marker

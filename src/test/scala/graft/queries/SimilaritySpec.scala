@@ -55,6 +55,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf1.nonEmpty)
   }
 
+  test("IVF farthest-first init: deterministic, distinct well-separated seeds") {
+    val e = graft.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val c1 = graft.operators.IvfIndex.farthestFirstInit(e, "v", 8)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val c2 = graft.operators.IvfIndex.farthestFirstInit(e.repartition(7), "v", 8)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(c1.toSeq == c2.toSeq) // partitioning-independent
+    assert(c1.length == 8)
+    assert(c1.map(_._2).distinct.length == 8) // seeds are distinct vectors
+    // training with farthest seeds converges to valid centroids
+    val trained = graft.operators.IvfIndex.train(e, "v", nlist = 8, iters = 1,
+      init = "farthest")
+    assert(trained.count() >= 1)
+  }
+
+  test("IVF autoParams follow the sqrt rule with floors") {
+    assert(graft.operators.IvfIndex.autoParams(100L) == ((16, 4)))
+    assert(graft.operators.IvfIndex.autoParams(1000000L) == ((1000, 125)))
+    assert(graft.operators.IvfIndex.autoParams(10000000000L)._1 == 65536)
+  }
+
   test("int8 quantization: values in range, reconstruction within one step") {
     val rows = graft.SparkEntry.queries("sim_quantize_int8")(spark, dir).collect()
     rows.foreach { r =>
