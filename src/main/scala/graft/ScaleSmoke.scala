@@ -50,9 +50,29 @@ object ScaleSmoke {
     val (tTok, _) = time {
       docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
     }
+    // PPJoin on a realistic corpus: wide vocabulary (discriminative
+    // shingles) with 5% planted one-word-substitution near-dups
+    val dupDocs = spark.read
+      .format("graft-docs")
+      .option("rows", nDocs)
+      .option("partitions", cpus.toInt * 2)
+      .option("seed", 42)
+      .option("vocabSize", 50000)
+      .option("dupRate", 0.05)
+      .load()
+    val (tPp, nPp) = time {
+      operators.PrefixFilterJoin.pairs(
+        dupDocs.select(col("doc_id"), col("text")), num = 4, den = 5).count()
+    }
+    // the approximate miner on the same planted corpus: recall/cost vs exact
+    val (tLshDup, nLshDup) = time {
+      operators.NearDupLsh.pairs(dupDocs.select(col("doc_id"), col("text")), 0.8d).count()
+    }
     println(
       s"""{"n_docs":$nDocs,"minhash_lsh_sec":$tDedup,"neardup_pairs":$nPairs,""" +
-        s""""exact_dedup_sec":$tExact,"distinct_docs":$nGroups,"token_count_sec":$tTok}""")
+        s""""exact_dedup_sec":$tExact,"distinct_docs":$nGroups,"token_count_sec":$tTok,""" +
+        s""""ppjoin_sec":$tPp,"ppjoin_pairs":$nPp,""" +
+        s""""lsh_planted_sec":$tLshDup,"lsh_planted_pairs":$nLshDup}""")
     spark.stop()
   }
 }

@@ -262,6 +262,37 @@ object Coverage2 {
         "array_to_string(list_sort(list_distinct(toks[1:8])), ' ') AS head8_sorted " +
         "FROM t")),
 
+    // Second string-function wave: edit distance, padding, char/codepoint
+    // conversion, translate, anchored substrings, search, field split.
+    GraftQuery(
+      "q_string_funcs2",
+      (s, dir) =>
+        Tables.table(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            levenshtein(col("c_name"), col("c_mktsegment")).cast(LongType).as("lev"),
+            repeat(col("c_mktsegment"), 2).as("seg2"),
+            lpad(col("c_custkey").cast(StringType), 10, "0").as("key_padded"),
+            rpad(col("c_mktsegment"), 12, ".").as("seg_padded"),
+            ascii(col("c_name")).cast(LongType).as("first_cp"),
+            expr("char(c_custkey % 26 + 65)").as("key_letter"),
+            translate(col("c_name"), "#0", "@X").as("name_translated"),
+            expr("left(c_name, 8)").as("name_head"),
+            expr("right(c_name, 6)").as("name_tail"),
+            instr(col("c_name"), "#").cast(LongType).as("hash_pos"),
+            expr("split_part(c_name, '#', 2)").as("name_num")),
+      Some("SELECT c_custkey, " +
+        "CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev, " +
+        "repeat(c_mktsegment, 2) AS seg2, " +
+        "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded, " +
+        "rpad(c_mktsegment, 12, '.') AS seg_padded, " +
+        "CAST(ascii(c_name) AS BIGINT) AS first_cp, " +
+        "chr(CAST(c_custkey % 26 + 65 AS INT)) AS key_letter, " +
+        "translate(c_name, '#0', '@X') AS name_translated, " +
+        "left(c_name, 8) AS name_head, right(c_name, 6) AS name_tail, " +
+        "CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos, " +
+        "split_part(c_name, '#', 2) AS name_num FROM customer")),
+
     // Batch session windows: gap-merged per-user sessions via the native
     // session_window function (streaming-compatible formulation). The
     // oracle reproduces the gap-island algorithm; Spark's window end is

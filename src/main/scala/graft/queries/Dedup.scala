@@ -146,44 +146,11 @@ object Dedup {
     // no false negatives — hence the brute-force all-pairs oracle.
     GraftQuery(
       "dd_jaccard_ppjoin",
-      (s, dir) => {
-        GraftFunctions.register(s)
-        val docs = Tables.table(s, dir, "documents")
+      (s, dir) => graft.operators.PrefixFilterJoin.pairs(
+        Tables.table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism) // one input file
-          .select(col("doc_id"),
-            GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
-          .withColumn("sz", size(col("sh")))
-          .filter(col("sz") > 0)
-          .cache()
-        // global rarest-first order: frequency, ties by hash
-        val freq = docs.select(explode(col("sh")).as("h"))
-          .groupBy(col("h")).agg(count(lit(1)).as("f"))
-        // re-rank each doc's shingles and keep only the PPJoin prefix.
-        // ceil(0.8*sz) in exact integer arithmetic — 0.8 as a double
-        // would put ceil() one off for multiples of 5
-        val ranked = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
-          .join(freq, Seq("h"))
-          .groupBy(col("doc_id"), col("sz"))
-          .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
-          .select(col("doc_id"), col("sz"),
-            slice(transform(col("fh"), x => x.getField("h")),
-              lit(1), expr("sz - ((4 * sz + 4) div 5) + 1").cast("int")).as("prefix"))
-        val pref = ranked.select(col("doc_id"), col("sz"), explode(col("prefix")).as("h"))
-        val candidates = pref.select(col("h"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-          .join(pref.select(col("h"), col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("h"))
-          // doc order + length-ratio filter: jaccard >= t needs t|A| <= |B|
-          .filter(col("doc_a") < col("doc_b") &&
-            col("sz_b") * 5 >= col("sz_a") * 4 && col("sz_a") * 5 >= col("sz_b") * 4)
-          .select(col("doc_a"), col("doc_b"))
-          .distinct()
-          .repartition(64, col("doc_a"), col("doc_b")) // keep rescoring parallel under AQE
-        candidates
-          .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), Seq("doc_a"))
-          .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-          .filter(col("jaccard") >= 0.8d)
-      },
+          .select(col("doc_id"), col("text")),
+        num = 4, den = 5),
       Some("WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
         s"s AS (SELECT doc_id, $shingleSetSql AS sh FROM t) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

@@ -58,8 +58,17 @@ object SyntheticDocsSource {
     z ^ (z >>> 31)
   }
 
+  /** Word k of a vocabulary of `vocabSize` words: the 23 base words, then
+    * synthetic tokens — a wide vocabulary makes shingles discriminative
+    * (realistic for near-dup benchmarks; the tiny default saturates).
+    */
+  def word(k: Int, vocabSize: Int): String =
+    if (k < vocab.length) vocab(k) else "w" + k
+
   /** Deterministic text for (seed, id): 20–120 vocab words. */
-  def textFor(seed: Long, id: Long): String = {
+  def textFor(seed: Long, id: Long): String = textFor(seed, id, vocab.length)
+
+  def textFor(seed: Long, id: Long, vocabSize: Int): String = {
     val h0 = mix64(seed ^ id)
     val n = 20 + (Math.floorMod(h0, 101L)).toInt
     val sb = new java.lang.StringBuilder(n * 6)
@@ -68,10 +77,28 @@ object SyntheticDocsSource {
     while (i < n) {
       h = mix64(h)
       if (i > 0) sb.append(' ')
-      sb.append(vocab(Math.floorMod(h, vocab.size.toLong).toInt))
+      sb.append(word(Math.floorMod(h, vocabSize.toLong).toInt, vocabSize))
       i += 1
     }
     sb.toString
+  }
+
+  /** Document text honoring dupRate: a `dupRate` fraction of docs are
+    * near-copies of their predecessor (one word substituted at a
+    * deterministic position) — planted near-duplicates for dedup
+    * benchmarking. Deterministic in (seed, id).
+    */
+  def docText(seed: Long, id: Long, vocabSize: Int, dupRate: Double): String = {
+    val isDup = id > 0 && dupRate > 0 &&
+      Math.floorMod(mix64(id ^ (seed * 31 + 7)), 1000000L) < (dupRate * 1000000L).toLong
+    if (!isDup) textFor(seed, id, vocabSize)
+    else {
+      val words = textFor(seed, id - 1, vocabSize).split(" ")
+      val h = mix64(id * 13 ^ seed)
+      words(Math.floorMod(h, words.length.toLong).toInt) =
+        word(Math.floorMod(mix64(h), vocabSize.toLong).toInt, vocabSize)
+      words.mkString(" ")
+    }
   }
 }
 
@@ -87,10 +114,13 @@ private class SyntheticDocsTable(props: Map[String, String])
     new SyntheticDocsScanBuilder(
       rows = options.getLong("rows", 1000L),
       partitions = options.getInt("partitions", 8),
-      seed = options.getLong("seed", 42L))
+      seed = options.getLong("seed", 42L),
+      vocabSize = options.getInt("vocabSize", SyntheticDocsSource.vocab.length),
+      dupRate = options.getDouble("dupRate", 0.0d))
 }
 
-private class SyntheticDocsScanBuilder(rows: Long, partitions: Int, seed: Long)
+private class SyntheticDocsScanBuilder(
+    rows: Long, partitions: Int, seed: Long, vocabSize: Int, dupRate: Double)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = SyntheticDocsSource.schema
@@ -110,13 +140,14 @@ private class SyntheticDocsScanBuilder(rows: Long, partitions: Int, seed: Long)
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new DocsReaderFactory(required, seed)
+      new DocsReaderFactory(required, seed, vocabSize, dupRate)
   }
 }
 
 private case class DocsPartition(start: Long, end: Long) extends InputPartition
 
-private class DocsReaderFactory(required: StructType, seed: Long)
+private class DocsReaderFactory(
+    required: StructType, seed: Long, vocabSize: Int, dupRate: Double)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -127,7 +158,7 @@ private class DocsReaderFactory(required: StructType, seed: Long)
       override def next(): Boolean = { id += 1; id < end }
       override def get(): InternalRow = {
         // generate text lazily only if any text-derived column is needed
-        lazy val text = SyntheticDocsSource.textFor(seed, id)
+        lazy val text = SyntheticDocsSource.docText(seed, id, vocabSize, dupRate)
         val values = colIdx.map {
           case "doc_id" => id
           case "text" => UTF8String.fromString(text)

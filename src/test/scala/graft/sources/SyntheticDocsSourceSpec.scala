@@ -36,6 +36,24 @@ class SyntheticDocsSourceSpec extends AnyFunSuite {
     assert(df.agg(sum("doc_id")).head().getLong(0) == (0L until 1000L).sum)
   }
 
+  test("vocabSize/dupRate: wide vocab with planted near-dups, found by ppjoin") {
+    val df = spark.read.format("graft-docs")
+      .option("rows", 4000).option("partitions", 8).option("seed", 7)
+      .option("vocabSize", 50000).option("dupRate", 0.05)
+      .load()
+    // ~5% of docs are one-word-substituted copies of their predecessor
+    val planted = df.count() * 5 / 100
+    val pairs = graft.operators.PrefixFilterJoin
+      .pairs(df.select(col("doc_id"), col("text")), num = 4, den = 5)
+      .collect()
+    // long planted dups clear jaccard 0.8 (short ones legitimately don't:
+    // 3 of ~20 shingles change); wide vocab keeps chance pairs at zero
+    assert(pairs.length > planted / 3, s"found ${pairs.length} of ~$planted planted")
+    assert(pairs.forall(_.getDouble(2) >= 0.8d))
+    assert(pairs.forall(r => r.getLong(1) - r.getLong(0) == 1L),
+      "all true pairs are (id, id+1) by construction")
+  }
+
   test("feeds the dedup operators end to end") {
     val df = read(2000, 8)
     df.createOrReplaceTempView("synth_docs")
