@@ -27,6 +27,8 @@ object GraftFunctions {
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction(
       "l2_dist2", exprs => L2Distance2(exprs.head, exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "image_meta", exprs => ImageMeta(exprs.head), "scala_udf")
   }
 
   /** 64-bit polynomial rolling hash of a string column. */
@@ -52,4 +54,9 @@ object GraftFunctions {
   /** Fused-loop squared L2 distance of two array<double> columns. */
   def l2_dist2(a: Column, b: Column): Column =
     call_function("l2_dist2", a, b)
+
+  /** Image-container header sniff of a binary column:
+    * struct<format, width, height>, null if unrecognized.
+    */
+  def image_meta(c: Column): Column = call_function("image_meta", c)
 }

@@ -38,5 +38,36 @@ object Multimodal {
     // (rows-only; shape + determinism asserted in MultimodalSpec).
     GraftQuery(
       "mm_frame_sample",
-      (s, dir) => MediaPipeline.sampleFrames(s, dir, framesPerDoc = 4)))
+      (s, dir) => MediaPipeline.sampleFrames(s, dir, framesPerDoc = 4)),
+
+    // Image-header sniffing, oracle-gated by construction: build a real
+    // PNG header per row with dimensions derived from fixture columns
+    // (int → 4-byte big-endian via hex/unhex), parse it back with the
+    // native image_meta expression, and let the oracle compute the
+    // expected dimensions directly — the parser's output must agree
+    // cell-exactly with the values that went in.
+    GraftQuery(
+      "mm_image_meta",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+        val width = (col("n_chars") % 1024 + 1).cast("int")
+        val height = (col("doc_id") % 768 + 1).cast("int")
+        val payload = concat(
+          unhex(lit("89504E470D0A1A0A")), // PNG signature
+          unhex(lit("0000000D49484452")), // IHDR length + tag
+          be32(width), be32(height),
+          unhex(lit("0806000000"))) // bit depth, color type, etc.
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.image_meta(payload).as("m"))
+          .select(
+            col("doc_id"),
+            col("m.format").as("format"),
+            col("m.width").cast("long").as("width"),
+            col("m.height").cast("long").as("height"))
+      },
+      Some("SELECT doc_id, 'png' AS format, " +
+        "n_chars % 1024 + 1 AS width, doc_id % 768 + 1 AS height " +
+        "FROM documents")))
 }

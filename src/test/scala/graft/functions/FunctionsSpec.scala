@@ -81,6 +81,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native == composed) // exact double equality: same fold order
   }
 
+  test("image_meta parses real PNG/JPEG/GIF/BMP headers, null otherwise") {
+    GraftFunctions.register(spark)
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 0x0D, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, /* 640 */ 0, 0, 0x01, 0xE0, /* 480 */ 8, 6, 0, 0, 0)
+    val jpeg = bytes(0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00, // APP0, len 4
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x01, 0xE0, /* h 480 */ 0x02, 0x80, /* w 640 */
+      0x03, 0x01, 0x22, 0x00)
+    val gif = bytes('G', 'I', 'F', '8', '9', 'a',
+      0x40, 0x01, /* 320 LE */ 0xF0, 0x00, /* 240 LE */ 0xF7, 0x00, 0x00)
+    val bmp = bytes('B', 'M', 0, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, 40, 0, 0, 0,
+      0x20, 0x03, 0, 0, /* 800 LE */ 0x58, 0x02, 0, 0, /* 600 LE */ 1, 0)
+    val junk = "not an image at all".getBytes("UTF-8")
+    val df = Seq(
+      ("png", png), ("jpeg", jpeg), ("gif", gif), ("bmp", bmp), ("junk", junk))
+      .toDF("kind", "payload")
+      .select(col("kind"), GraftFunctions.image_meta(col("payload")).as("m"))
+      .select(col("kind"), col("m.format"), col("m.width"), col("m.height"))
+    val got = df.collect().map(r =>
+      (r.getString(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    assert(got == Set(
+      ("png", Some("png"), 640, 480),
+      ("jpeg", Some("jpeg"), 640, 480),
+      ("gif", Some("gif"), 320, 240),
+      ("bmp", Some("bmp"), 800, 600),
+      ("junk", None, -1, -1)), got)
+  }
+
   test("expressions hold under codegen and interpreted paths equally") {
     GraftFunctions.register(spark)
     val df = Seq.tabulate(64)(i => s"text $i " * (i + 1)).toDF("s")
