@@ -29,6 +29,8 @@ object GraftFunctions {
       "l2_dist2", exprs => L2Distance2(exprs.head, exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction(
       "image_meta", exprs => ImageMeta(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "audio_meta", exprs => AudioMeta(exprs.head), "scala_udf")
   }
 
   /** 64-bit polynomial rolling hash of a string column. */
@@ -59,4 +61,9 @@ object GraftFunctions {
     * struct<format, width, height>, null if unrecognized.
     */
   def image_meta(c: Column): Column = call_function("image_meta", c)
+
+  /** Audio-container header sniff of a binary column:
+    * struct<format, sample_rate, channels, bits>, null if unrecognized.
+    */
+  def audio_meta(c: Column): Column = call_function("audio_meta", c)
 }

@@ -69,5 +69,37 @@ object Multimodal {
       },
       Some("SELECT doc_id, 'png' AS format, " +
         "n_chars % 1024 + 1 AS width, doc_id % 768 + 1 AS height " +
+        "FROM documents")),
+
+    // Audio-header sniffing, oracle-gated the same way: build a real WAV
+    // RIFF header per row (little-endian fields via shift/hex/unhex),
+    // parse it back with audio_meta, oracle computes the inputs directly.
+    GraftQuery(
+      "mm_audio_meta",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        def le(c: org.apache.spark.sql.Column, n: Int) = concat((0 until n).map(k =>
+          unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255L))), 2, "0"))): _*)
+        val rate = (lit(8000L) + col("n_chars") % 40000L)
+        val ch = (col("doc_id") % 2 + 1)
+        val bits = ((col("doc_id") % 3) * 8 + 8)
+        val payload = concat(
+          lit("RIFF").cast("binary"), le(lit(36L), 4), lit("WAVE").cast("binary"),
+          lit("fmt ").cast("binary"), le(lit(16L), 4),
+          le(lit(1L), 2), le(ch, 2), le(rate, 4),
+          le(lit(0L), 4), le(lit(0L), 2), le(bits, 2))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.audio_meta(payload).as("m"))
+          .select(
+            col("doc_id"),
+            col("m.format").as("format"),
+            col("m.sample_rate").cast("long").as("sample_rate"),
+            col("m.channels").cast("long").as("channels"),
+            col("m.bits").cast("long").as("bits"))
+      },
+      Some("SELECT doc_id, 'wav' AS format, " +
+        "8000 + n_chars % 40000 AS sample_rate, " +
+        "doc_id % 2 + 1 AS channels, (doc_id % 3) * 8 + 8 AS bits " +
         "FROM documents")))
 }

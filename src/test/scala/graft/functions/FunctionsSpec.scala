@@ -113,6 +113,43 @@ class FunctionsSpec extends AnyFunSuite {
       ("junk", None, -1, -1)), got)
   }
 
+  test("audio_meta parses WAV fmt chunk and FLAC STREAMINFO, null otherwise") {
+    GraftFunctions.register(spark)
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // 44.1kHz stereo 16-bit WAV with a junk chunk before fmt
+    val wav = "RIFF".getBytes ++ bytes(36, 0, 0, 0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ bytes(2, 0, 0, 0, 0xAA, 0xBB) ++
+      "fmt ".getBytes ++ bytes(16, 0, 0, 0,
+        1, 0, /* pcm */ 2, 0, /* stereo */
+        0x44, 0xAC, 0, 0, /* 44100 LE */
+        0, 0, 0, 0, 0, 0, /* byte rate + align */
+        16, 0 /* bits */)
+    // FLAC STREAMINFO: rate 48000 = 0xBB80 -> bytes 18..20 hold
+    // rate<<4 | (channels-1)<<1 | (bits-1)>>4 bitfields
+    val flac = "fLaC".getBytes ++ bytes(0, 0, 0, 34) ++
+      bytes(0x10, 0x00, 0x10, 0x00, 0, 0, 0, 0, 0, 0) ++
+      bytes(0x0B, 0xB8, 0x02, 0xF0) ++ // 48000<<4=0x0BB802... ch=2,bits=16
+      bytes(0, 0, 0, 0, 0, 0, 0, 0)
+    val ogg = "OggS".getBytes ++ new Array[Byte](20)
+    val junk = "definitely not audio".getBytes("UTF-8")
+    val df = Seq(("wav", wav), ("flac", flac), ("ogg", ogg), ("junk", junk))
+      .toDF("kind", "payload")
+      .select(col("kind"), GraftFunctions.audio_meta(col("payload")).as("m"))
+      .select(col("kind"), col("m.format"), col("m.sample_rate"), col("m.channels"), col("m.bits"))
+    val got = df.collect().map { r =>
+      (r.getString(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4))
+    }.toSet
+    assert(got.contains(("wav", Some("wav"), 44100, 2, 16)), got)
+    assert(got.contains(("ogg", Some("ogg"), -1, -1, -1)), got)
+    assert(got.contains(("junk", None, -1, -1, -1)), got)
+    val flacRow = got.find(_._1 == "flac").get
+    assert(flacRow._2 == Some("flac") && flacRow._3 == 48000 && flacRow._4 == 2
+      && flacRow._5 == 16, flacRow)
+  }
+
   test("expressions hold under codegen and interpreted paths equally") {
     GraftFunctions.register(spark)
     val df = Seq.tabulate(64)(i => s"text $i " * (i + 1)).toDF("s")
