@@ -1,0 +1,253 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.types.{DataType, StructType, StringType, LongType, IntegerType, DoubleType, BooleanType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 TableCatalog over the graft-json table format — the
+  * piece that turns the sink into a full SQL-addressable format:
+  *
+  *   spark.conf: spark.sql.catalog.graftcat = graft.sources.GraftCatalog
+  *               spark.sql.catalog.graftcat.root = /data/graft
+  *   CREATE TABLE graftcat.ns.t (id BIGINT, s STRING)
+  *   INSERT INTO graftcat.ns.t SELECT ...
+  *   SELECT * FROM graftcat.ns.t
+  *
+  * Layout: one directory per table under root/<namespace...>/<name>,
+  * `_graft_table.json` holding the schema (written once at CREATE), data
+  * and `_graft_manifest.json` managed by the sink's two-phase commit —
+  * reads list exactly the manifest's files, so a concurrent writer is
+  * invisible until its atomic manifest swap. Scans parallelize per
+  * committed file.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Paths.get(Option(options.get("root"))
+      .getOrElse(sys.error(s"catalog $name requires option 'root'")))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirFor(ident: Identifier): Path =
+    ident.namespace.foldLeft(root)(_.resolve(_)).resolve(ident.name)
+
+  private def schemaFile(ident: Identifier): Path =
+    dirFor(ident).resolve(GraftCatalog.TableFileName)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(nsDir)) return Array.empty
+    val s = Files.list(nsDir)
+    try s.iterator().asScala
+      .filter(p => Files.exists(p.resolve(GraftCatalog.TableFileName)))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val f = schemaFile(ident)
+    if (!Files.exists(f)) throw new NoSuchTableException(ident)
+    val schema = DataType.fromJson(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    new GraftCatalogTable(ident.toString, dirFor(ident), schema)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty, "graft-json tables do not support partitioning")
+    val f = schemaFile(ident)
+    if (Files.exists(f)) throw new TableAlreadyExistsException(ident)
+    schema.foreach { field =>
+      require(Set[DataType](StringType, LongType, IntegerType, DoubleType, BooleanType)
+        .contains(field.dataType),
+        s"graft-json supports atomic string/long/int/double/boolean columns, " +
+          s"got ${field.dataType} for ${field.name}")
+    }
+    Files.createDirectories(dirFor(ident))
+    Files.write(f, schema.json.getBytes(StandardCharsets.UTF_8))
+    new GraftCatalogTable(ident.toString, dirFor(ident), schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog tables are schema-immutable")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirFor(ident)
+    if (!Files.exists(schemaFile(ident))) return false
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+    finally s.close()
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!Files.exists(schemaFile(oldIdent))) throw new NoSuchTableException(oldIdent)
+    if (Files.exists(schemaFile(newIdent))) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(dirFor(newIdent).getParent)
+    Files.move(dirFor(oldIdent), dirFor(newIdent))
+  }
+}
+
+object GraftCatalog {
+  val TableFileName = "_graft_table.json"
+}
+
+/** A catalog-managed graft-json table: reads list the manifest's
+  * committed files (one input partition each); writes reuse the sink's
+  * two-phase commit (INSERT INTO appends — the manifest merge keeps
+  * prior files; INSERT OVERWRITE truncates).
+  */
+private[sources] class GraftCatalogTable(
+    tableName: String, dir: Path, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val (_, files) = GraftJsonSink.readManifest(dir)
+          files.map(f => JsonFilePartition(dir.resolve(f).toString): InputPartition).toArray
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new JsonFileReaderFactory(tableSchema, required)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftJsonWriteBuilder(dir.toString, tableSchema, None)
+}
+
+private case class JsonFilePartition(path: String) extends InputPartition
+
+private class JsonFileReaderFactory(fileSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val JsonFilePartition(path) = partition
+    val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala
+      .iterator.filter(_.nonEmpty)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!lines.hasNext) return false
+        current = JsonLineParser.parse(lines.next(), fileSchema, required)
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Parser for the sink's own JSON-lines output (keys in schema order,
+  * escapes as written by GraftJsonSink.renderRow) — a private format
+  * reader, not a general JSON parser.
+  */
+private[sources] object JsonLineParser {
+
+  def parse(line: String, fileSchema: StructType, required: StructType): InternalRow = {
+    val values = new Array[Any](required.length)
+    val reqIdx = required.fieldNames.zipWithIndex.toMap
+    var i = 0
+    expect(line, i, '{'); i += 1
+    var f = 0
+    while (f < fileSchema.length) {
+      if (f > 0) { expect(line, i, ','); i += 1 }
+      val (key, i2) = parseString(line, i)
+      i = i2
+      expect(line, i, ':'); i += 1
+      val field = fileSchema(f)
+      require(key == field.name, s"expected field ${field.name}, got $key in: $line")
+      if (line.startsWith("null", i)) {
+        i += 4
+        // null: leave slot null if required
+      } else {
+        val out = reqIdx.get(field.name)
+        field.dataType match {
+          case StringType =>
+            val (s, i3) = parseString(line, i); i = i3
+            out.foreach(values(_) = UTF8String.fromString(s))
+          case LongType =>
+            val (s, i3) = parseScalar(line, i); i = i3
+            out.foreach(values(_) = s.toLong)
+          case IntegerType =>
+            val (s, i3) = parseScalar(line, i); i = i3
+            out.foreach(values(_) = s.toInt)
+          case DoubleType =>
+            val (s, i3) = parseScalar(line, i); i = i3
+            out.foreach(values(_) = s.toDouble)
+          case BooleanType =>
+            val (s, i3) = parseScalar(line, i); i = i3
+            out.foreach(values(_) = s.toBoolean)
+          case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+        }
+      }
+      f += 1
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  private def expect(line: String, i: Int, c: Char): Unit =
+    require(i < line.length && line.charAt(i) == c,
+      s"expected '$c' at $i in: $line")
+
+  private def parseScalar(line: String, start: Int): (String, Int) = {
+    var i = start
+    while (i < line.length && line.charAt(i) != ',' && line.charAt(i) != '}') i += 1
+    (line.substring(start, i), i)
+  }
+
+  private def parseString(line: String, start: Int): (String, Int) = {
+    expect(line, start, '"')
+    val sb = new java.lang.StringBuilder()
+    var i = start + 1
+    while (i < line.length && line.charAt(i) != '"') {
+      val c = line.charAt(i)
+      if (c == '\\') {
+        val n = line.charAt(i + 1)
+        n match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' =>
+            sb.append(Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => throw new IllegalArgumentException(s"bad escape \\$other")
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    (sb.toString, i + 1) // past closing quote
+  }
+}

@@ -55,6 +55,16 @@ object GraftJsonSink {
 
   val ManifestName = "_graft_manifest.json"
 
+  /** (total rows, file names) of the committed state; (0, Nil) if none. */
+  def readManifest(dir: Path): (Long, Seq[String]) = {
+    val m = dir.resolve(ManifestName)
+    if (!Files.exists(m)) return (0L, Nil)
+    val text = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    val rows = "\"rows\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
+    val files = "\"(part-[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1)).toSeq
+    (rows, files)
+  }
+
   private[sources] def renderRow(row: InternalRow, schema: StructType): String = {
     val sb = new java.lang.StringBuilder(64)
     sb.append('{')
@@ -134,11 +144,14 @@ private case class GraftJsonCommitMessage(
     tmpPath: String,
     rows: Long) extends WriterCommitMessage
 
-private class GraftJsonBatchWrite(
+private[sources] class GraftJsonBatchWrite(
     path: String,
     schema: StructType,
     truncateFirst: Boolean,
     failPartitionOnce: Option[Int]) extends BatchWrite {
+
+  // unique per write: filenames never collide across commits to one dir
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftJsonWriterFactory(path, schema, failPartitionOnce)
@@ -152,17 +165,23 @@ private class GraftJsonBatchWrite(
         n.startsWith("part-") || n == GraftJsonSink.ManifestName
       }.foreach(Files.deleteIfExists(_))
     }
+    // append semantics: fold the previous committed state into the new
+    // manifest (the manifest swap below is still the single commit point)
+    val (prevRows, prevFiles) =
+      if (truncateFirst) (0L, Seq.empty[String])
+      else GraftJsonSink.readManifest(dir)
     // publish exactly the committed attempts' files
     val published = messages.map { case m: GraftJsonCommitMessage =>
-      val target = dir.resolve(f"part-${m.partitionId}%05d-${m.taskId}.json")
+      val target = dir.resolve(f"part-${m.partitionId}%05d-$writeId-${m.taskId}.json")
       Files.move(Paths.get(m.tmpPath), target, StandardCopyOption.REPLACE_EXISTING)
       (target.getFileName.toString, m.rows)
     }
     // manifest last, via atomic rename: the commit point
     val manifest = new java.lang.StringBuilder()
-      .append("{\"rows\":").append(published.map(_._2).sum)
+      .append("{\"rows\":").append(prevRows + published.map(_._2).sum)
       .append(",\"files\":[")
-      .append(published.map(f => "\"" + f._1 + "\"").sorted.mkString(","))
+      .append((prevFiles ++ published.map(_._1)).map(f => "\"" + f + "\"")
+        .sorted.mkString(","))
       .append("]}\n").toString
     val tmpManifest = dir.resolve(GraftJsonSink.ManifestName + ".tmp")
     Files.write(tmpManifest, manifest.getBytes(StandardCharsets.UTF_8))

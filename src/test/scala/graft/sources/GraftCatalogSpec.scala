@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root",
+      Files.createTempDirectory("graft_catalog").toString)
+    s
+  }
+
+  test("CREATE / INSERT / SELECT / append / overwrite / DROP round trip") {
+    spark.sql("CREATE TABLE graftcat.ns.t (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql("INSERT INTO graftcat.ns.t VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    assert(spark.sql("SELECT * FROM graftcat.ns.t").count() == 2)
+
+    // append keeps prior committed files (manifest merge)
+    spark.sql("INSERT INTO graftcat.ns.t VALUES (3, 'c', 3.5)")
+    val rows = spark.sql("SELECT id, name, score FROM graftcat.ns.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+
+    // overwrite truncates
+    spark.sql("INSERT OVERWRITE graftcat.ns.t VALUES (9, 'z', 9.9)")
+    val after = spark.sql("SELECT id, name FROM graftcat.ns.t").collect()
+    assert(after.length == 1 && after.head.getLong(0) == 9L)
+
+    // aggregation + column pruning through the read path
+    assert(spark.sql("SELECT sum(id) FROM graftcat.ns.t").head().getLong(0) == 9L)
+
+    assert(spark.sql("SHOW TABLES IN graftcat.ns").collect().map(_.getString(1))
+      .contains("t"))
+    spark.sql("DROP TABLE graftcat.ns.t")
+    assert(spark.sql("SHOW TABLES IN graftcat.ns").collect().isEmpty)
+  }
+
+  test("nulls and special characters survive the catalog round trip") {
+    spark.sql("CREATE TABLE graftcat.ns.special (id BIGINT, s STRING)")
+    spark.sql("""INSERT INTO graftcat.ns.special VALUES
+      (1, 'quote"back\\slash'), (2, NULL), (3, 'tab\tand\nnewline')""")
+    val got = spark.sql("SELECT id, s FROM graftcat.ns.special ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got(0)._2.get == "quote\"back\\slash")
+    assert(got(1)._2.isEmpty)
+    assert(got(2)._2.get == "tab\tand\nnewline")
+    spark.sql("DROP TABLE graftcat.ns.special")
+  }
+
+  test("writeTo append API and rename") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graftcat.ns.wt (id BIGINT, s STRING)")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s").writeTo("graftcat.ns.wt").append()
+    assert(spark.table("graftcat.ns.wt").count() == 2)
+    spark.sql("ALTER TABLE graftcat.ns.wt RENAME TO ns.wt2")
+    assert(spark.table("graftcat.ns.wt2").count() == 2)
+    spark.sql("DROP TABLE graftcat.ns.wt2")
+  }
+
+  test("empty table reads as zero rows; unknown table errors") {
+    spark.sql("CREATE TABLE graftcat.ns.empty (id BIGINT)")
+    assert(spark.table("graftcat.ns.empty").count() == 0)
+    spark.sql("DROP TABLE graftcat.ns.empty")
+    intercept[Exception] { spark.table("graftcat.ns.nope").collect() }
+  }
+}
