@@ -162,6 +162,40 @@ object Dedup {
         "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8"),
       bench = true),
 
+    // Near-dup clusters: connected components over the exact-Jaccard
+    // pair graph, every member mapped to its component's minimum doc_id
+    // (the canonical keeper). Iterative min-label propagation — one
+    // shuffle per round, rounds = component diameter (2-3 for near-dup
+    // clusters). The oracle replays the same clustering as a DuckDB
+    // recursive CTE over the identical pair set.
+    GraftQuery(
+      "dd_cluster_canonical",
+      (s, dir) => {
+        val pairs = graft.operators.PrefixFilterJoin.pairs(
+          Tables.table(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism)
+            .select(col("doc_id"), col("text")),
+          num = 4, den = 5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        graft.operators.ConnectedComponents.run(pairs)
+          .select(col("id").as("doc_id"), col("component"))
+      },
+      Some("WITH RECURSIVE t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
+        s"s AS (SELECT doc_id, $shingleSetSql AS sh FROM t), " +
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
+        "len(list_intersect(a.sh, b.sh)) / " +
+        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "comp(node, lbl) AS (" +
+        "SELECT src, src FROM edges " +
+        "UNION " +
+        "SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node) " +
+        "SELECT node AS doc_id, min(lbl) AS component FROM comp GROUP BY node"),
+      bench = false),
+
     // MinHash + LSH near-dup pairs, rescored with exact Jaccard — the
     // graft.operators.NearDupLsh pipeline (shared with ScaleSmoke).
     // Non-SQL-expressible (rows-only check); recall vs brute force is
