@@ -293,6 +293,22 @@ object Coverage2 {
         "CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos, " +
         "split_part(c_name, '#', 2) AS name_num FROM customer")),
 
+    // Struct → JSON serialization (row-level formatting must agree:
+    // integer rendering, key order, string escapes).
+    GraftQuery(
+      "q_to_json",
+      (s, dir) =>
+        Tables.table(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            to_json(struct(
+              col("o_orderkey").as("k"),
+              col("o_orderstatus").as("st"),
+              col("o_orderpriority").as("pri"))).as("payload")),
+      Some("SELECT o_orderkey, CAST(to_json(struct_pack(" +
+        "k := o_orderkey, st := o_orderstatus, pri := o_orderpriority)) AS VARCHAR) " +
+        "AS payload FROM orders")),
+
     // Batch session windows: gap-merged per-user sessions via the native
     // session_window function (streaming-compatible formulation). The
     // oracle reproduces the gap-island algorithm; Spark's window end is

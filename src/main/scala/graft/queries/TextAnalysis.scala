@@ -21,6 +21,45 @@ object TextAnalysis {
 
   def defs: Seq[GraftQuery] = Seq(
 
+    // TF-IDF top terms per document — the corpus-weighted term scoring
+    // step of a text pipeline. Uses the log-free rational IDF variant
+    // tf·(N+1)/(df+1): monotone in df like ln-IDF but pure IEEE
+    // multiply/divide, so scores are bit-identical across engines (ln's
+    // last-ulp differences between libm implementations are the classic
+    // cross-engine trap). Two shuffles (term freq, doc freq) + one
+    // broadcast of the corpus size; ranking ties break on the term.
+    GraftQuery(
+      "txt_tfidf",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), explode(tokens).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(dfreq, "term")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            (col("tf").cast("double") * (col("n") + 1).cast("double") /
+              (col("df") + 1).cast("double")).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+      },
+      Some("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2), " +
+        "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "scored AS (SELECT doc_id, term, " +
+        "CAST(tf AS DOUBLE) * CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS score " +
+        "FROM tf JOIN dfreq USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, term, score, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, term ASC) AS rank FROM scored) WHERE rank <= 3")),
+
     // Token counting: whitespace tokenizer + char lengths.
     GraftQuery(
       "txt_token_stats",
