@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.GraftFunctions
@@ -195,6 +196,56 @@ object Dedup {
         "SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node) " +
         "SELECT node AS doc_id, min(lbl) AS component FROM comp GROUP BY node"),
       bench = false),
+
+    // The full dedup decision: within each near-dup cluster keep the
+    // highest-quality member (distinct-token ratio — pure IEEE division,
+    // engine-stable), ties by lower doc_id. Composes the exact pair join
+    // → connected components → per-cluster arg-max; emits one keeper row
+    // per cluster with the member count. This is the row a 100 TB
+    // pipeline actually writes: everything else in the cluster drops.
+    GraftQuery(
+      "dd_cluster_keep_best",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text"))
+        val pairs = graft.operators.PrefixFilterJoin.pairs(docs, num = 4, den = 5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val clusters = graft.operators.ConnectedComponents.run(pairs)
+          .select(col("id").as("doc_id"), col("component"))
+        val quality = docs.select(
+          col("doc_id"),
+          (size(array_distinct(split(col("text"), " "))).cast("double") /
+            size(split(col("text"), " ")).cast("double")).as("q"))
+        val w = Window.partitionBy(col("component"))
+          .orderBy(col("q").desc, col("doc_id").asc)
+        clusters.join(quality, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("component"))
+          .agg(
+            min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+            count(lit(1)).as("n_members"))
+      },
+      Some("WITH RECURSIVE t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
+        s"s AS (SELECT doc_id, $shingleSetSql AS sh FROM t), " +
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
+        "len(list_intersect(a.sh, b.sh)) / " +
+        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "comp(node, lbl) AS (SELECT src, src FROM edges UNION " +
+        "SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node), " +
+        "clusters AS (SELECT node AS doc_id, min(lbl) AS component FROM comp GROUP BY node), " +
+        "quality AS (SELECT doc_id, " +
+        "CAST(len(list_distinct(tokens)) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) AS q " +
+        "FROM t), " +
+        "ranked AS (SELECT component, doc_id, " +
+        "row_number() OVER (PARTITION BY component ORDER BY q DESC, doc_id ASC) AS rn " +
+        "FROM clusters JOIN quality USING (doc_id)) " +
+        "SELECT component, min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id, " +
+        "count(*) AS n_members FROM ranked GROUP BY component")),
 
     // MinHash + LSH near-dup pairs, rescored with exact Jaccard — the
     // graft.operators.NearDupLsh pipeline (shared with ScaleSmoke).
