@@ -293,6 +293,18 @@ object Coverage2 {
         "CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos, " +
         "split_part(c_name, '#', 2) AS name_num FROM customer")),
 
+    // Stratified sampling: per-class fractions (the rebalancing step a
+    // training-data pipeline runs over language/source labels). Engine
+    // RNG stream is implementation-specific — rows-only driver check;
+    // proportions are asserted statistically in Coverage2Spec.
+    GraftQuery(
+      "q_sample_stratified",
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .stat.sampleBy("l_returnflag",
+            Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.1), 42L)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))),
+
     // Struct → JSON serialization (row-level formatting must agree:
     // integer rendering, key order, string escapes).
     GraftQuery(
