@@ -62,6 +62,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graftcat.ns.wt2")
   }
 
+  test("duplicate CREATE fails; unsupported column type rejected at CREATE") {
+    spark.sql("CREATE TABLE graftcat.ns.dup (id BIGINT)")
+    intercept[Exception] { spark.sql("CREATE TABLE graftcat.ns.dup (id BIGINT)") }
+    spark.sql("DROP TABLE graftcat.ns.dup")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.ns.badtype (id BIGINT, v ARRAY<DOUBLE>)")
+    }
+    assert(e.getMessage.contains("atomic"), e.getMessage)
+  }
+
   test("empty table reads as zero rows; unknown table errors") {
     spark.sql("CREATE TABLE graftcat.ns.empty (id BIGINT)")
     assert(spark.table("graftcat.ns.empty").count() == 0)
