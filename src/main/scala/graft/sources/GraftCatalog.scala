@@ -110,6 +110,36 @@ class GraftCatalog extends TableCatalog {
 
 object GraftCatalog {
   val TableFileName = "_graft_table.json"
+
+  /** Compaction — the OPTIMIZE-style maintenance op for tables grown
+    * many small files through repeated appends: concatenates all
+    * committed data files into one, swaps the manifest atomically, then
+    * removes the superseded files. Readers planned before the swap
+    * still reference the old file list — in this local-FS build they
+    * race with the deletes (single-process target); a production build
+    * keeps superseded files for a grace period and vacuums later, with
+    * the same manifest protocol.
+    *
+    * Returns (files before, files after).
+    */
+  def compact(tableDir: Path): (Int, Int) = {
+    val (rows, files) = GraftJsonSink.readManifest(tableDir)
+    if (files.size <= 1) return (files.size, files.size)
+    val target = tableDir.resolve(
+      s"part-compact-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    val out = Files.newOutputStream(target)
+    try files.foreach { f => out.write(Files.readAllBytes(tableDir.resolve(f))) }
+    finally out.close()
+    val manifest =
+      s"""{"rows":$rows,"files":["${target.getFileName}"]}\n"""
+    val tmp = tableDir.resolve(GraftJsonSink.ManifestName + ".tmp")
+    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, tableDir.resolve(GraftJsonSink.ManifestName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    files.foreach(f => Files.deleteIfExists(tableDir.resolve(f)))
+    (files.size, 1)
+  }
 }
 
 /** A catalog-managed graft-json table: reads list the manifest's

@@ -102,6 +102,44 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Streaming session windows: the same gap-merged session_window
+    * aggregation as the batch ev_session_window query, run as a stream
+    * with a 1h watermark and append output. Append emits a session only
+    * once the watermark passes its end, so on a finite input the result
+    * is exactly the batch sessions whose end precedes
+    * (max event time − watermark) — the tail stays open, which is the
+    * correct unbounded-stream semantics, asserted in
+    * SessionWindowStreamSpec.
+    */
+  def sessionWindowStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val name = s"ev_sess_${System.nanoTime()}"
+    val q = stream
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("event_ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
+
   /** Run the streaming flavor to completion over the finite input and
     * return the materialized result. availableNow + memory sink: the
     * stream consumes every file, then the in-memory table is the answer.

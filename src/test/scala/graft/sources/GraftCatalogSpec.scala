@@ -72,6 +72,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("atomic"), e.getMessage)
   }
 
+  test("compaction merges small files, preserves rows, atomic manifest") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    spark.sql("CREATE TABLE graftcat.ns.cmp (id BIGINT, s STRING)")
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"v$i"), (i * 10L, s"w$i")).toDF("id", "s")
+        .repartition(2).writeTo("graftcat.ns.cmp").append()
+    }
+    val before = spark.table("graftcat.ns.cmp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val root = spark.conf.get("spark.sql.catalog.graftcat.root")
+    val (nBefore, nAfter) = GraftCatalog.compact(Paths.get(root, "ns", "cmp"))
+    assert(nBefore >= 3 && nAfter == 1, s"$nBefore -> $nAfter")
+    val after = spark.table("graftcat.ns.cmp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before)
+    // further appends on the compacted table still work
+    Seq((99L, "z")).toDF("id", "s").writeTo("graftcat.ns.cmp").append()
+    assert(spark.table("graftcat.ns.cmp").count() == before.size + 1)
+    spark.sql("DROP TABLE graftcat.ns.cmp")
+  }
+
   test("empty table reads as zero rows; unknown table errors") {
     spark.sql("CREATE TABLE graftcat.ns.empty (id BIGINT)")
     assert(spark.table("graftcat.ns.empty").count() == 0)
