@@ -53,6 +53,50 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
+  /** DuckDB CTE chain reproducing SimHash.simhash exactly: the FNV-1a
+    * fold + splitmix finalizer run in HUGEINT with mod-2^64 reductions
+    * (Java long arithmetic wraps; HUGEINT doesn't). The two ≥2^63
+    * finalizer multipliers are decomposed hi·2^32+lo so no intermediate
+    * exceeds HUGEINT range; the fold and voting mirror the expression's
+    * loops; docs with <3 tokens get fingerprint 0 like simhash64([]).
+    * Ends with CTE `fpu` = (doc_id, h) with h the unsigned fingerprint.
+    */
+  private val simhashCtes: String = {
+    val M = "18446744073709551616::HUGEINT"
+    def mulmod(hi: Long, lo: Long) =
+      s"(((h * $lo::HUGEINT) % $M + " +
+        s"(((h * $hi::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % $M)"
+    val byteAt = "CAST(('0x' || substr(hx, (i-1)*2+1, 2)) AS INT)"
+    "t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents), " +
+      "shl AS (SELECT doc_id, unnest(CASE WHEN len(tokens) >= 3 THEN " +
+      "list_transform(generate_series(1, len(tokens) - 2), " +
+      "i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) " +
+      "ELSE [] END) AS s FROM t), " +
+      "hx0 AS (SELECT doc_id, hex(encode(s)) AS hx FROM shl), " +
+      "raw AS (SELECT doc_id, list_reduce(" +
+      "list_prepend(11400714819323198485::HUGEINT, " +
+      "list_transform(range(1, length(hx)//2 + 1), " +
+      s"i -> CAST($byteAt AS HUGEINT) + " +
+      s"CASE WHEN $byteAt >= 128 THEN 18446744073709551360::HUGEINT ELSE 0::HUGEINT END)), " +
+      s"(acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT) % $M) AS h FROM hx0), " +
+      "f1 AS (SELECT doc_id, xor(h, h // 1073741824::HUGEINT) AS h FROM raw), " +
+      s"f2 AS (SELECT doc_id, ${mulmod(3210233709L, 484763065L)} AS h FROM f1), " +
+      "f3 AS (SELECT doc_id, xor(h, h // 134217728::HUGEINT) AS h FROM f2), " +
+      s"f4 AS (SELECT doc_id, ${mulmod(2496678331L, 321982955L)} AS h FROM f3), " +
+      "f5 AS (SELECT doc_id, xor(h, h // 2147483648::HUGEINT) AS h FROM f4), " +
+      "votes AS (SELECT doc_id, r.b, " +
+      "SUM(CASE WHEN (h // (1::HUGEINT << r.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v " +
+      "FROM f5 CROSS JOIN range(64) r(b) GROUP BY doc_id, r.b), " +
+      "fp AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b) " +
+      "ELSE 0::HUGEINT END) AS h FROM votes GROUP BY doc_id), " +
+      "fpu AS (SELECT d.doc_id, COALESCE(fp.h, 0::HUGEINT) AS h " +
+      "FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id)"
+  }
+
+  private val hugeToSigned =
+    "CASE WHEN h >= 9223372036854775808::HUGEINT " +
+      "THEN h - 18446744073709551616::HUGEINT ELSE h END"
+
   def defs: Seq[GraftQuery] = Seq(
 
     // Exact dedup — corpus summary: total vs distinct normalized docs.
@@ -259,7 +303,9 @@ object Dedup {
       oracle = None,
       bench = true),
 
-    // SimHash fingerprint per document (native expression; rows-only).
+    // SimHash fingerprint per document (native expression). The oracle
+    // replays the exact bit-for-bit algorithm in DuckDB HUGEINT
+    // arithmetic — see simhashCtes.
     GraftQuery(
       "dd_simhash",
       (s, dir) => {
@@ -267,7 +313,9 @@ object Dedup {
         Tables.table(s, dir, "documents")
           .select(col("doc_id"),
             GraftFunctions.simhash64(shingleList).as("simhash"))
-      }),
+      },
+      Some(s"WITH $simhashCtes " +
+        s"SELECT doc_id, CAST($hugeToSigned AS BIGINT) AS simhash FROM fpu")),
 
     // SimHash near-dup pairs: block on 16-bit bands (a pair within
     // Hamming distance r collides on >= 1 of 4 bands for r <= 3; wider r
@@ -294,5 +342,17 @@ object Dedup {
             bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
           .dropDuplicates("doc_a", "doc_b")
           .filter(col("hamming") <= 8)
-      }))
+      },
+      // same fingerprints (simhashCtes), same 16-bit banding (unsigned
+      // band extraction equals shiftright+mask after the 0xFFFF mask),
+      // same dedup + hamming filter — so the pair set is identical.
+      Some(s"WITH $simhashCtes, " +
+        "bands AS (SELECT doc_id, h, r.j AS band, " +
+        "(h // (1::HUGEINT << (16 * r.j))) % 65536 AS band_val " +
+        "FROM fpu CROSS JOIN range(4) r(j)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "a.h AS ha, b.h AS hb FROM bands a JOIN bands b " +
+        "ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming " +
+        "FROM cand WHERE bit_count(xor(ha, hb)) <= 8")))
 }

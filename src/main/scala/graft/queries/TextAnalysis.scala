@@ -162,9 +162,11 @@ object TextAnalysis {
       Some("SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents")),
 
     // Rolling-hash fingerprint via the native Catalyst expression
-    // (graft.functions.RollingHash, codegen'd). Not SQL-expressible —
-    // driver records a rows-only check; determinism is asserted in
-    // TextAnalysisSpec.
+    // (graft.functions.RollingHash, codegen'd). The oracle replays the
+    // exact recurrence — h = h*31 + signed_utf8_byte seeded with the
+    // same prime — in DuckDB HUGEINT arithmetic with floored mod 2^64
+    // (Java long multiplication wraps; HUGEINT doesn't, so every fold
+    // step reduces), then maps the result back to the signed range.
     GraftQuery(
       "txt_rolling_fingerprint",
       (s, dir) => {
@@ -172,6 +174,17 @@ object TextAnalysis {
         Tables.table(s, dir, "documents")
           .select(col("doc_id"),
             GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
+      },
+      Some {
+        val m = "18446744073709551616::HUGEINT"
+        val byteAt = "CAST(('0x' || substr(hex(encode(text)), (i-1)*2+1, 2)) AS INT)"
+        "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT " +
+          s"THEN h - $m ELSE h END AS BIGINT) AS fingerprint FROM (" +
+          "SELECT doc_id, list_reduce(" +
+          "list_prepend(1125899906842597::HUGEINT, " +
+          "list_transform(range(1, octet_length(encode(text)) + 1), " +
+          s"i -> CAST($byteAt AS HUGEINT) - CASE WHEN $byteAt >= 128 THEN 256 ELSE 0 END)), " +
+          s"(acc, x) -> ((acc * 31 + x) % $m + $m) % $m) AS h FROM documents)"
       }),
 
     // Composed corpus-cleaning pipeline — the end-to-end shape of a
