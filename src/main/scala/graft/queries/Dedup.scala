@@ -97,6 +97,84 @@ object Dedup {
     "CASE WHEN h >= 9223372036854775808::HUGEINT " +
       "THEN h - 18446744073709551616::HUGEINT ELSE h END"
 
+  /** DuckDB replay of the full MinHash-LSH pipeline (NearDupLsh.pairs):
+    * FNV+mix64 token hashes, windowed 3-gram combination, the k=32
+    * a·x+b signature lanes (constants generated from MinHashSig itself,
+    * signed minima), b=8/r=4 banding — candidates join on the raw
+    * 4-lane slices where Spark joins on their Murmur3 hash, identical
+    * unless a 2^-32 hash collision ADDS a candidate that also passes
+    * exact rescoring (verified exact on the fixtures) — and the same
+    * inter/(na+nb−inter) rescoring formula. All 64-bit wrapping
+    * arithmetic runs in HUGEINT with mod-2^64 reductions; ≥2^63
+    * multipliers are decomposed hi·2^32+lo to stay in HUGEINT range.
+    */
+  private def minhashLshOracle(threshold: Double): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val HALF = "9223372036854775808::HUGEINT"
+    val P = "1099511628211::HUGEINT"
+    def mm(h: String, hi: Long, lo: Long) =
+      s"((($h * $lo::HUGEINT) % $M + " +
+        s"((($h * $hi::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % $M)"
+    def mmCols(h: String, hi: String, lo: String) =
+      s"((($h * $lo) % $M + " +
+        s"((($h * $hi) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % $M)"
+    // unsigned 64-bit constants exceed Long range: keep them as BigInt
+    def uns(x: Long): BigInt = BigInt(java.lang.Long.toUnsignedString(x))
+    val c1 = uns(-4658895280553007687L)
+    val c2 = uns(-7723592293110705685L)
+    def mixChain(src: String, out: String) =
+      s"${out}_m0 AS (SELECT * REPLACE(((h + 11400714819323198485::HUGEINT) % $M) AS h) FROM $src), " +
+        s"${out}_m1 AS (SELECT * REPLACE(xor(h, h // 1073741824::HUGEINT) AS h) FROM ${out}_m0), " +
+        s"${out}_m2 AS (SELECT * REPLACE(${mm("h", (c1 >> 32).toLong, (c1 & 0xFFFFFFFFL).toLong)} AS h) FROM ${out}_m1), " +
+        s"${out}_m3 AS (SELECT * REPLACE(xor(h, h // 134217728::HUGEINT) AS h) FROM ${out}_m2), " +
+        s"${out}_m4 AS (SELECT * REPLACE(${mm("h", (c2 >> 32).toLong, (c2 & 0xFFFFFFFFL).toLong)} AS h) FROM ${out}_m3), " +
+        s"$out AS (SELECT * REPLACE(xor(h, h // 2147483648::HUGEINT) AS h) FROM ${out}_m4)"
+    val lanes = (0 until graft.functions.MinHashSig.K).map { i =>
+      val a = uns(graft.functions.MinHashSig.hashA(i))
+      val b = uns(graft.functions.MinHashSig.hashB(i))
+      s"($i, ${(a >> 32)}::HUGEINT, ${(a & 0xFFFFFFFFL)}::HUGEINT, $b::HUGEINT)"
+    }.mkString(", ")
+    val byteAt = "CAST(('0x' || substr(hx, (i-1)*2+1, 2)) AS INT)"
+    val fold3 =
+      s"(xor((xor((xor(14695981039346656037::HUGEINT, a) * $P) % $M, b) * $P) % $M, c) * $P) % $M"
+    val jacc = "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
+      "CAST(sa.n + sb.n - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents), " +
+      "tokr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tokens)), " +
+      "i -> struct_pack(pos := i, tk := tokens[i]))) AS u FROM t WHERE len(tokens) >= 3), " +
+      "tok AS (SELECT doc_id, u.pos AS pos, u.tk AS tk FROM tokr), " +
+      "hx0 AS (SELECT doc_id, pos, hex(encode(tk)) AS hx FROM tok), " +
+      "thraw AS (SELECT doc_id, pos, list_reduce(" +
+      "list_prepend(14695981039346656037::HUGEINT, " +
+      "list_transform(range(1, length(hx)//2 + 1), " +
+      s"i -> CAST($byteAt AS HUGEINT) + " +
+      s"CASE WHEN $byteAt >= 128 THEN 18446744073709551360::HUGEINT ELSE 0::HUGEINT END)), " +
+      s"(acc, x) -> (xor(acc, x) * $P) % $M) AS h FROM hx0), " +
+      mixChain("thraw", "th") + ", " +
+      "tharr AS (SELECT doc_id, list(h ORDER BY pos) AS th FROM th GROUP BY doc_id), " +
+      "ngr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(th) - 2), " +
+      "i -> struct_pack(pos := i, a := th[i], b := th[i+1], c := th[i+2]))) AS u FROM tharr), " +
+      "ngraw AS (SELECT doc_id, u.pos AS pos, u.a AS a, u.b AS b, u.c AS c FROM ngr), " +
+      s"ngf AS (SELECT doc_id, pos, $fold3 AS h FROM ngraw), " +
+      mixChain("ngf", "ng") + ", " +
+      "nh AS (SELECT DISTINCT doc_id, h FROM ng), " +
+      s"lanes(lane, a_hi, a_lo, bb) AS (VALUES $lanes), " +
+      "sigv AS (SELECT doc_id, lane, " +
+      s"MIN(CAST(CASE WHEN v >= $HALF THEN v - $M ELSE v END AS BIGINT)) AS s " +
+      s"FROM (SELECT n.doc_id, l.lane, (${mmCols("n.h", "l.a_hi", "l.a_lo")} + l.bb) % $M AS v " +
+      "FROM nh n CROSS JOIN lanes l) GROUP BY doc_id, lane), " +
+      "slices AS (SELECT doc_id, lane // 4 AS band, list(s ORDER BY lane) AS slice " +
+      "FROM sigv GROUP BY doc_id, lane // 4), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM slices a JOIN slices b ON a.band = b.band AND a.slice = b.slice " +
+      "AND a.doc_id < b.doc_id), " +
+      "sets AS (SELECT doc_id, list(h) AS sh, count(*) AS n FROM nh GROUP BY doc_id) " +
+      s"SELECT c.doc_a, c.doc_b, $jacc AS jaccard " +
+      "FROM cand c JOIN sets sa ON c.doc_a = sa.doc_id " +
+      "JOIN sets sb ON c.doc_b = sb.doc_id " +
+      s"WHERE $jacc >= $threshold"
+  }
+
   def defs: Seq[GraftQuery] = Seq(
 
     // Exact dedup — corpus summary: total vs distinct normalized docs.
@@ -293,14 +371,14 @@ object Dedup {
 
     // MinHash + LSH near-dup pairs, rescored with exact Jaccard — the
     // graft.operators.NearDupLsh pipeline (shared with ScaleSmoke).
-    // Non-SQL-expressible (rows-only check); recall vs brute force is
-    // asserted in DedupSpec.
+    // Oracled via the HUGEINT replay (minhashLshOracle); recall vs brute
+    // force is additionally asserted in DedupSpec.
     GraftQuery(
       "dd_minhash_lsh",
       (s, dir) => graft.operators.NearDupLsh.pairs(
         Tables.table(s, dir, "documents").select(col("doc_id"), col("text")),
         threshold = 0.5d),
-      oracle = None,
+      oracle = Some(minhashLshOracle(0.5d)),
       bench = true),
 
     // SimHash fingerprint per document (native expression). The oracle
