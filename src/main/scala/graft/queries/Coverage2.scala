@@ -293,6 +293,41 @@ object Coverage2 {
         "CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos, " +
         "split_part(c_name, '#', 2) AS name_num FROM customer")),
 
+    // Salted two-phase aggregation under the oracle gate: the
+    // skew-resistant formulation must produce bit-identical results to
+    // the direct groupBy (decomposable aggregates + order-independent
+    // decimal sums), so the oracle is simply the plain aggregation.
+    GraftQuery(
+      "q_salted_agg",
+      (s, dir) =>
+        graft.operators.SaltedAgg.saltedAgg(
+          Tables.table(s, dir, "lineitem"),
+          keys = Seq("l_returnflag"), saltBuckets = 16)(
+          graft.operators.SaltedAgg.Spec(
+            sums = Seq(col("l_extendedprice") -> "total_price"),
+            counts = Seq("n_rows"),
+            maxs = Seq(col("l_quantity") -> "max_qty"),
+            mins = Seq(col("l_quantity") -> "min_qty"))),
+      Some("SELECT l_returnflag, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price, " +
+        "count(*) AS n_rows, max(l_quantity) AS max_qty, min(l_quantity) AS min_qty " +
+        "FROM lineitem GROUP BY l_returnflag")),
+
+    // Text normalization: the canonicalization pass ahead of exact
+    // dedup — trim, lowercase, collapse whitespace runs.
+    GraftQuery(
+      "txt_normalize",
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm_text"),
+            md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("norm_fp")),
+      Some("SELECT doc_id, " +
+        "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text, " +
+        "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS norm_fp " +
+        "FROM documents")),
+
     // Stratified sampling: per-class fractions (the rebalancing step a
     // training-data pipeline runs over language/source labels). Engine
     // RNG stream is implementation-specific — rows-only driver check;
