@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses Bench/Verify stdout for the single JSON
+// metrics line; sbt's default logger prefixes forked-run output with
+// "[info] ", which breaks that parse. Inherit the parent's stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
