@@ -39,6 +39,10 @@ object PrefixFilterJoin {
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
       .cache()
+    // materialize before the final action fans out over four plan branches
+    // (freq, ranked, and both rescoring sides) — an unmaterialized cache is
+    // raced by concurrent branches and recomputed per branch
+    sets.count()
     // global rarest-first order: frequency, ties by hash
     val freq = sets.select(explode(col("sh")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("f"))
@@ -58,10 +62,13 @@ object PrefixFilterJoin {
       .filter(col("doc_a") < col("doc_b") &&
         col("sz_b") * den >= col("sz_a") * num && col("sz_a") * den >= col("sz_b") * num)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
-      // explicit width: the candidate set is bytes-small but compute-heavy;
-      // AQE would coalesce it to ~1 partition and serialize the rescoring
-      .repartition(col("doc_a"), col("doc_b"))
+      // one exchange, not two: an explicit-width repartition on the pair key
+      // followed by dropDuplicates reuses that partitioning for the dedup
+      // aggregate (no second shuffle), and the explicit numPartitions keeps
+      // AQE from coalescing the bytes-small but compute-heavy candidate set
+      // to ~1 partition, which would serialize the rescoring
+      .repartition(s.sparkContext.defaultParallelism, col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
