@@ -30,6 +30,7 @@ object GraftQuery {
       queries.Advanced.defs ++
       queries.Coverage.defs ++
       queries.Coverage2.defs ++
+      queries.Coverage3.defs ++
       queries.TextAnalysis.defs ++
       queries.Dedup.defs ++
       queries.Similarity.defs ++

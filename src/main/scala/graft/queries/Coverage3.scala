@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{GraftQuery, Tables}
+
+/** Third coverage wave: map-typed columns and their function surface,
+  * skew-resistant salted joins, deterministic content-hash sampling,
+  * a scalable global running total (token-budget corpus selection), and
+  * per-label embedding centroids in exact integer-micros arithmetic.
+  */
+object Coverage3 {
+
+  private val dec6 = DecimalType(38, 6)
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // Map-typed column surface: construction from arrays, keys/values,
+    // per-entry transforms and filters, concat, membership. Outputs are
+    // scalars/sorted strings so the comparator sees deterministic values;
+    // the DuckDB oracle computes the same semantics from the token list
+    // (no MAP type needed on the oracle side).
+    GraftQuery(
+      "q_map_funcs",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val ks = array_distinct(slice(toks, 1, 6))
+        val m = map_from_arrays(ks, transform(ks, x => length(x)))
+        Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          size(m).cast(LongType).as("n_keys"),
+          array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
+          aggregate(map_values(m), lit(0), (a, x) => a + x)
+            .cast(LongType).as("total_len"),
+          size(map_filter(m, (_, v) => v > 4)).cast(LongType).as("n_long"),
+          aggregate(map_values(transform_values(m, (_, v) => v * 2)), lit(0),
+            (a, x) => a + x).cast(LongType).as("doubled_len"),
+          map_contains_key(m, "the").as("has_the"),
+          size(map_concat(m, map(lit("§sentinel§"), lit(0))))
+            .cast(LongType).as("n_keys_plus"))
+      },
+      Some("WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')[1:6]) AS ks " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(len(ks) AS BIGINT) AS n_keys, " +
+        "array_to_string(list_sort(ks), ',') AS keys_sorted, " +
+        "CAST(list_sum(list_transform(ks, x -> length(x))) AS BIGINT) AS total_len, " +
+        "CAST(len(list_filter(ks, x -> length(x) > 4)) AS BIGINT) AS n_long, " +
+        "CAST(2 * list_sum(list_transform(ks, x -> length(x))) AS BIGINT) AS doubled_len, " +
+        "list_contains(ks, 'the') AS has_the, " +
+        "CAST(len(ks) + 1 AS BIGINT) AS n_keys_plus FROM t")),
+
+    // Salted skew join under the oracle gate: the salted formulation must
+    // be row-identical to the plain join, so the oracle is simply the
+    // plain join + aggregation.
+    GraftQuery(
+      "q_skew_join_salted",
+      (s, dir) => {
+        val lineitem = Tables.table(s, dir, "lineitem")
+        val part = Tables.table(s, dir, "part")
+          .withColumnRenamed("p_partkey", "l_partkey")
+        graft.operators.SaltedJoin
+          .join(lineitem, part, Seq("l_partkey"), buckets = 8)
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast(dec6)).cast(DoubleType).as("revenue"))
+      },
+      Some("SELECT p_brand, count(*) AS n_items, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand")),
+
+    // Deterministic content-hash sampling: an md5 prefix threshold keeps a
+    // uniform ~10% slice that is stable across engines, runs, partitions,
+    // and cluster sizes — the reproducible-sample primitive a training
+    // pipeline wants (seeded RNG sampling is engine-specific; q_sample
+    // keeps that variant).
+    GraftQuery(
+      "q_sample_hash",
+      (s, dir) => {
+        val key = concat_ws("-",
+          col("l_orderkey").cast(StringType),
+          col("l_linenumber").cast(StringType))
+        Tables.table(s, dir, "lineitem")
+          .withColumn("bucket", substring(md5(key), 1, 2))
+          .filter(col("bucket") < "1a")
+          .select(col("l_orderkey"), col("l_linenumber"), col("bucket"))
+      },
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) AS bucket " +
+        "FROM lineitem " +
+        "WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'")),
+
+    // Token-budget corpus selection: take documents in quality order until
+    // the token budget is spent. The running total uses the distributed
+    // prefix-sum operator (range partition + offset broadcast), not a
+    // single-partition global window — same result, no scale cliff.
+    GraftQuery(
+      "pipe_token_budget",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        graft.operators.PrefixSum
+          .runningTotal(docs,
+            Seq(col("n_chars").desc, col("doc_id").asc),
+            col("n_tok"), "cum_tok")
+          .filter(col("cum_tok") <= 15000)
+          .select(col("doc_id"), col("n_tok"), col("cum_tok"))
+      },
+      Some("WITH t AS (SELECT doc_id, n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "c AS (SELECT doc_id, n_tok, CAST(SUM(n_tok) OVER (" +
+        "ORDER BY n_chars DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok FROM t) " +
+        "SELECT doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= 15000")),
+
+    // Per-label embedding centroid, long form (label, dimension) — the
+    // cluster-summary step of embedding-space analysis. Elements are
+    // quantized to integer micros (floor(x·1e6 + 0.5), identical IEEE ops
+    // in both engines) so the sums are exact integers: order-independent
+    // and bit-identical at any parallelism.
+    GraftQuery(
+      "sim_label_centroid",
+      (s, dir) =>
+        Tables.table(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+          .select(col("label"),
+            (col("pos0") + 1).cast(LongType).as("pos"),
+            floor(col("v").cast(DoubleType) * lit(1e6) + lit(0.5))
+              .cast(LongType).as("vq"))
+          .groupBy(col("label"), col("pos"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("vq")).as("sum_q6")),
+      Some("WITH e AS (SELECT label, " +
+        "generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v " +
+        "FROM embeddings) " +
+        "SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs, " +
+        "CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q6 " +
+        "FROM e GROUP BY label, pos")))
+}
