@@ -31,6 +31,7 @@ object GraftQuery {
       queries.Coverage.defs ++
       queries.Coverage2.defs ++
       queries.Coverage3.defs ++
+      queries.SourceRoundtrip.defs ++
       queries.TextAnalysis.defs ++
       queries.Dedup.defs ++
       queries.Similarity.defs ++

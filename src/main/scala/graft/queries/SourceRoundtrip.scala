@@ -1,0 +1,70 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{GraftQuery, Tables}
+
+/** Text-format source/sink parity: write a table slice out through the
+  * engine's CSV / JSON writers, read it back with an explicit schema, and
+  * aggregate. The oracle computes the same aggregate straight from the
+  * parquet table, so any loss in the write→read roundtrip (quoting,
+  * escaping, timestamp rendering, double formatting, null encoding)
+  * surfaces as a value mismatch at the gate.
+  */
+object SourceRoundtrip {
+
+  private val dec6 = DecimalType(38, 6)
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // CSV: bigint keys, quoted strings, full-precision doubles (shortest
+    // repr round-trips exactly), microsecond timestamps.
+    GraftQuery(
+      "src_csv_roundtrip",
+      (s, dir) => {
+        val proj = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"))
+        val tmp = Files.createTempDirectory("graft_csv_rt").toString
+        proj.write.mode("overwrite")
+          .option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+          .csv(tmp)
+        s.read.schema(proj.schema)
+          .option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+          .csv(tmp)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("total"),
+            min(col("o_orderdate")).as("first_dt"),
+            max(col("o_orderdate")).as("last_dt"),
+            sum(col("o_orderkey")).as("key_sum"))
+      },
+      Some("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
+        "min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders GROUP BY o_orderstatus")),
+
+    // JSONL: free text through JSON string escaping (documents.text holds
+    // whatever the corpus holds), recomputing lengths after the roundtrip.
+    GraftQuery(
+      "src_json_roundtrip",
+      (s, dir) => {
+        val proj = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val tmp = Files.createTempDirectory("graft_json_rt").toString
+        proj.write.mode("overwrite").json(tmp)
+        s.read.schema(proj.schema).json(tmp)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast(LongType)).as("chars_total"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      Some("SELECT lang, count(*) AS n_docs, " +
+        "CAST(SUM(length(text)) AS BIGINT) AS chars_total, " +
+        "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY lang")))
+}
