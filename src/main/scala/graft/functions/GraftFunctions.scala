@@ -31,6 +31,8 @@ object GraftFunctions {
       "image_meta", exprs => ImageMeta(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "audio_meta", exprs => AudioMeta(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "video_meta", exprs => VideoMeta(exprs.head), "scala_udf")
   }
 
   /** 64-bit polynomial rolling hash of a string column. */
@@ -66,4 +68,9 @@ object GraftFunctions {
     * struct<format, sample_rate, channels, bits>, null if unrecognized.
     */
   def audio_meta(c: Column): Column = call_function("audio_meta", c)
+
+  /** Video-container header sniff of a binary column:
+    * struct<format, duration_ms, width, height>, null if unrecognized.
+    */
+  def video_meta(c: Column): Column = call_function("video_meta", c)
 }

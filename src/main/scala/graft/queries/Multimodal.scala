@@ -101,5 +101,58 @@ object Multimodal {
       Some("SELECT doc_id, 'wav' AS format, " +
         "8000 + n_chars % 40000 AS sample_rate, " +
         "doc_id % 2 + 1 AS channels, (doc_id % 3) * 8 + 8 AS bits " +
+        "FROM documents")),
+
+    // Video-container sniffing, oracle-gated by construction: even rows
+    // get a real ISO-BMFF prefix (ftyp + moov/mvhd v0, timescale 600)
+    // whose duration field derives from doc_id; odd rows get a RIFF AVI
+    // header (LIST/hdrl/avih) carrying frame timing and dimensions. The
+    // parser's struct must agree cell-exactly with the values that were
+    // packed in — including the duration_ms integer arithmetic
+    // (duration*1000/timescale for mp4, musPerFrame*frames/1000 for avi).
+    GraftQuery(
+      "mm_video_meta",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+        def le(c: org.apache.spark.sql.Column, n: Int) = concat((0 until n).map(k =>
+          unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255L))), 2, "0"))): _*)
+        val mp4Duration = (col("doc_id") % 100000 + 600).cast("long")
+        val mp4 = concat(
+          unhex(lit("000000106674797069736F6D00000000")), // ftyp isom
+          unhex(lit("000000246D6F6F76")), // moov, size 36
+          unhex(lit("0000001C6D766864")), // mvhd, size 28
+          unhex(lit("000000000000000000000000")), // v0 + flags + ctime + mtime
+          be32(lit(600)), // timescale
+          be32(mp4Duration))
+        val aviFrames = (col("doc_id") % 5000 + 1).cast("long")
+        val aviW = (col("n_chars") % 1920 + 16).cast("long")
+        val aviH = (col("doc_id") % 1080 + 16).cast("long")
+        val avi = concat(
+          lit("RIFF").cast("binary"), le(lit(0L), 4), lit("AVI ").cast("binary"),
+          lit("LIST").cast("binary"), le(lit(0L), 4), lit("hdrl").cast("binary"),
+          lit("avih").cast("binary"), le(lit(40L), 4),
+          le(lit(33333L), 4), // dwMicroSecPerFrame
+          le(lit(0L), 4), le(lit(0L), 4), le(lit(0L), 4), // max bytes/padding/flags
+          le(aviFrames, 4), // dwTotalFrames
+          le(lit(0L), 4), le(lit(1L), 4), le(lit(0L), 4), // initial/streams/bufsize
+          le(aviW, 4), le(aviH, 4))
+        val payload = when(col("doc_id") % 2 === 0, mp4).otherwise(avi)
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.video_meta(payload).as("m"))
+          .select(
+            col("doc_id"),
+            col("m.format").as("format"),
+            col("m.duration_ms").as("duration_ms"),
+            col("m.width").cast("long").as("width"),
+            col("m.height").cast("long").as("height"))
+      },
+      Some("SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 100000 + 600) * 1000 // 600 " +
+        "ELSE 33333 * (doc_id % 5000 + 1) // 1000 END AS BIGINT) AS duration_ms, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars % 1920 + 16 END AS BIGINT) AS width, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE doc_id % 1080 + 16 END AS BIGINT) AS height " +
         "FROM documents")))
 }

@@ -150,6 +150,56 @@ class FunctionsSpec extends AnyFunSuite {
       && flacRow._5 == 16, flacRow)
   }
 
+  test("video_meta parses MP4 mvhd v0/v1, AVI avih, EBML doctype; null otherwise") {
+    GraftFunctions.register(spark)
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def be32(v: Long): Array[Byte] =
+      bytes(((v >> 24) & 0xFF).toInt, ((v >> 16) & 0xFF).toInt,
+        ((v >> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+    def le32(v: Long): Array[Byte] =
+      bytes((v & 0xFF).toInt, ((v >> 8) & 0xFF).toInt,
+        ((v >> 16) & 0xFF).toInt, ((v >> 24) & 0xFF).toInt)
+    val ftyp = be32(16) ++ "ftypisom".getBytes ++ be32(0)
+    // v0 mvhd: timescale 600, duration 7200 ticks -> 12000 ms
+    val mp4v0 = ftyp ++ be32(36) ++ "moov".getBytes ++
+      be32(28) ++ "mvhd".getBytes ++ new Array[Byte](12) ++ be32(600) ++ be32(7200)
+    // v1 mvhd: 64-bit times, timescale 1000, duration 98765 -> 98765 ms
+    val mp4v1 = ftyp ++ be32(48) ++ "moov".getBytes ++
+      be32(40) ++ "mvhd".getBytes ++ bytes(1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32(1000) ++ be32(0) ++ be32(98765)
+    // AVI: 40000 us/frame * 250 frames -> 10000 ms, 1280x720
+    val avi = "RIFF".getBytes ++ le32(0) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(0) ++ "hdrl".getBytes ++
+      "avih".getBytes ++ le32(40) ++
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(250) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(1280) ++ le32(720)
+    val webm = bytes(0x1A, 0x45, 0xDF, 0xA3) ++ new Array[Byte](8) ++
+      bytes(0x42, 0x82, 0x84) ++ "webm".getBytes
+    val mkv = bytes(0x1A, 0x45, 0xDF, 0xA3) ++ new Array[Byte](8) ++
+      bytes(0x42, 0x82, 0x88) ++ "matroska".getBytes
+    val junk = "definitely not a video".getBytes("UTF-8")
+    val got = Seq(("mp4v0", mp4v0), ("mp4v1", mp4v1), ("avi", avi),
+        ("webm", webm), ("mkv", mkv), ("junk", junk))
+      .toDF("kind", "payload")
+      .select(col("kind"), GraftFunctions.video_meta(col("payload")).as("m"))
+      .select(col("kind"), col("m.format"), col("m.duration_ms"),
+        col("m.width"), col("m.height"))
+      .collect().map { r =>
+        (r.getString(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4))
+      }.toSet
+    assert(got == Set(
+      ("mp4v0", Some("mp4"), 12000L, -1, -1),
+      ("mp4v1", Some("mp4"), 98765L, -1, -1),
+      ("avi", Some("avi"), 10000L, 1280, 720),
+      ("webm", Some("webm"), -1L, -1, -1),
+      ("mkv", Some("mkv"), -1L, -1, -1),
+      ("junk", None, -1L, -1, -1)), got)
+  }
+
   test("expressions hold under codegen and interpreted paths equally") {
     GraftFunctions.register(spark)
     val df = Seq.tabulate(64)(i => s"text $i " * (i + 1)).toDF("s")
