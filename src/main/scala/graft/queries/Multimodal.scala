@@ -12,6 +12,40 @@ import graft.multimodal.MediaPipeline
   */
 object Multimodal {
 
+  // DuckDB emulation of the stub decoder's wrapping Java-long hash
+  // h = 1125899906842597; h = h*31 + signedByte — identical to the
+  // rolling_hash oracle. `hu` is the hash as an unsigned HUGEINT in
+  // [0, 2^64).
+  private val M = "18446744073709551616::HUGEINT"
+  private val HALF = "9223372036854775808::HUGEINT"
+  private val byteAt = "CAST(('0x' || substr(hex(encode(text)), (i-1)*2+1, 2)) AS INT)"
+  private val huExpr =
+    "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+      "list_transform(range(1, octet_length(encode(text)) + 1), " +
+      s"i -> CAST($byteAt AS HUGEINT) - CASE WHEN $byteAt >= 128 THEN 256 ELSE 0 END)), " +
+      s"(acc, x) -> ((acc * 31 + x) % $M + $M) % $M)"
+
+  val decodeFeaturesOracle: String =
+    s"WITH base AS (SELECT doc_id, text, $huExpr AS hu FROM documents) " +
+      "SELECT doc_id, 'text/plain' AS media_type, " +
+      "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+      "CAST(hu % 1024 + 1 AS INT) AS width, " +
+      "CAST((hu // 1024) % 1024 + 1 AS INT) AS height, " +
+      "CAST(3 AS INT) AS channels, " +
+      s"CAST(CASE WHEN hu >= $HALF THEN hu - $M ELSE hu END AS BIGINT) AS checksum " +
+      "FROM base"
+
+  val frameSampleOracle: String =
+    s"WITH base AS (SELECT doc_id, $huExpr AS hu FROM documents), " +
+      s"s AS (SELECT doc_id, hu, CASE WHEN hu >= $HALF THEN hu - $M ELSE hu END AS hs FROM base), " +
+      "f AS (SELECT unnest([0, 1, 2, 3]) AS fi) " +
+      "SELECT doc_id, CAST(fi AS INT) AS frame_index, " +
+      "CAST((1000 + ((hs % 60000) + 60000) % 60000) * fi // 4 AS BIGINT) AS frame_ts_ms, " +
+      s"CAST(CASE WHEN ((hs * 31 + fi) % $M + $M) % $M >= $HALF " +
+      s"THEN ((hs * 31 + fi) % $M + $M) % $M - $M " +
+      s"ELSE ((hs * 31 + fi) % $M + $M) % $M END AS BIGINT) AS frame_checksum " +
+      "FROM s CROSS JOIN f"
+
   def defs: Seq[GraftQuery] = Seq(
 
     // Binary-column metadata: payload as opaque bytes + byte length.
@@ -28,17 +62,21 @@ object Multimodal {
         "FROM documents")),
 
     // Full decode pipeline through the typed Dataset + mapPartitions
-    // batch interface (deterministic stub codec). Rows-only check;
-    // semantics asserted in MultimodalSpec.
+    // batch interface. The stub codec is deterministic (a 31-polynomial
+    // byte hash), so even this path is oracle-gated: DuckDB emulates the
+    // wrapping 64-bit arithmetic in HUGEINT mod 2^64 and re-derives every
+    // feature column.
     GraftQuery(
       "mm_decode_features",
-      (s, dir) => MediaPipeline.decodeFeatures(s, dir)),
+      (s, dir) => MediaPipeline.decodeFeatures(s, dir),
+      Some(Multimodal.decodeFeaturesOracle)),
 
-    // Frame sampling: 1→N fan-out per payload, partition-local
-    // (rows-only; shape + determinism asserted in MultimodalSpec).
+    // Frame sampling: 1→N fan-out per payload, partition-local. Same
+    // HUGEINT emulation, crossed with the frame index range.
     GraftQuery(
       "mm_frame_sample",
-      (s, dir) => MediaPipeline.sampleFrames(s, dir, framesPerDoc = 4)),
+      (s, dir) => MediaPipeline.sampleFrames(s, dir, framesPerDoc = 4),
+      Some(Multimodal.frameSampleOracle)),
 
     // Image-header sniffing, oracle-gated by construction: build a real
     // PNG header per row with dimensions derived from fixture columns
