@@ -135,5 +135,91 @@ object Coverage3 {
         "FROM embeddings) " +
         "SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs, " +
         "CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q6 " +
-        "FROM e GROUP BY label, pos")))
+        "FROM e GROUP BY label, pos")),
+
+    // Higher-order array functions: predicates (exists/forall), filter,
+    // zip via flatten, sequence generation folded with aggregate.
+    GraftQuery(
+      "q_array_hof",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          forall(toks, x => length(x) > 2).as("all_long"),
+          exists(toks, x => x === "the").as("any_the"),
+          size(filter(toks, x => length(x) === 3)).cast(LongType).as("n_len3"),
+          array_join(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))), ",")
+            .as("head4_flat"),
+          aggregate(sequence(lit(1L), size(toks).cast(LongType)), lit(0L),
+            (a, x) => a + x).as("seq_sum"))
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) " +
+        "SELECT doc_id, " +
+        "NOT list_bool_or(list_transform(toks, x -> length(x) <= 2)) AS all_long, " +
+        "list_contains(toks, 'the') AS any_the, " +
+        "CAST(len(list_filter(toks, x -> length(x) = 3)) AS BIGINT) AS n_len3, " +
+        "array_to_string(flatten([toks[1:2], toks[3:4]]), ',') AS head4_flat, " +
+        "CAST(len(toks) AS BIGINT) * (len(toks) + 1) // 2 AS seq_sum FROM t")),
+
+    // Event-time RANGE window frame: a sliding one-hour sum keyed on the
+    // microsecond timestamp value (not row counts) — peers at equal
+    // timestamps aggregate identically on both engines.
+    GraftQuery(
+      "q_window_range_frame",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select(
+            col("event_id"), col("user_id"), col("ts_us"),
+            sum(col("value").cast(dec6)).over(w).cast(DoubleType).as("hour_sum"),
+            count(lit(1)).over(w).as("hour_n"))
+      },
+      Some("SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS hour_sum, " +
+        "CAST(COUNT(*) OVER w AS BIGINT) AS hour_n FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)")),
+
+    // Calendar truncation family over timestamps: month/week/quarter
+    // starts (ISO Monday weeks in both engines), month ends, month
+    // arithmetic, day distances.
+    GraftQuery(
+      "q_date_trunc",
+      (s, dir) =>
+        Tables.table(s, dir, "orders").select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+          date_trunc("week", col("o_orderdate")).cast(DateType).as("week_start"),
+          date_trunc("quarter", col("o_orderdate")).cast(DateType).as("quarter_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          add_months(col("o_orderdate").cast(DateType), 3).as("plus_3mo"),
+          datediff(lit("2026-01-01").cast(DateType), col("o_orderdate").cast(DateType))
+            .cast(LongType).as("days_to_2026")),
+      Some("SELECT o_orderkey, " +
+        "date_trunc('month', o_orderdate) AS month_start, " +
+        "date_trunc('week', o_orderdate) AS week_start, " +
+        "date_trunc('quarter', o_orderdate) AS quarter_start, " +
+        "last_day(o_orderdate) AS month_end, " +
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo, " +
+        "date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS days_to_2026 " +
+        "FROM orders")),
+
+    // Exact median (interpolating, the even-count average is one IEEE op
+    // on identical inputs in both engines) per group.
+    GraftQuery(
+      "q_median",
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            median(col("l_quantity")).as("med_qty"),
+            median(col("l_extendedprice")).as("med_price"),
+            count(lit(1)).as("n")),
+      Some("SELECT l_returnflag, median(l_quantity) AS med_qty, " +
+        "median(l_extendedprice) AS med_price, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag")))
 }
