@@ -69,6 +69,28 @@ class GraftCatalog extends TableCatalog {
     new GraftCatalogTable(ident.toString, dirFor(ident), schema)
   }
 
+  /** Time travel: `SELECT ... FROM t VERSION AS OF n` reads the immutable
+    * manifest snapshot the n-th commit published. Appends and compactions
+    * extend history; INSERT OVERWRITE resets it (the format's contract —
+    * overwrite deletes data files, so prior snapshots would dangle).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val f = schemaFile(ident)
+    if (!Files.exists(f)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft table versions are commit numbers, got '$version'")
+    }
+    val dir = dirFor(ident)
+    require(GraftJsonSink.listSnapshots(dir).contains(v),
+      s"table $ident has no version $v " +
+        s"(history: ${GraftJsonSink.listSnapshots(dir).mkString(", ")})")
+    val schema = DataType.fromJson(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    new GraftCatalogTable(s"$ident@v$v", dir, schema, Some(v))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -138,6 +160,11 @@ object GraftCatalog {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     files.foreach(f => Files.deleteIfExists(tableDir.resolve(f)))
+    // superseded files are gone, so prior snapshots would dangle: compaction
+    // vacuums history and restarts it at the compacted state
+    GraftJsonSink.listSnapshots(tableDir).foreach(v =>
+      Files.deleteIfExists(tableDir.resolve(s"${GraftJsonSink.SnapshotPrefix}$v.json")))
+    GraftJsonSink.snapshotManifest(tableDir)
     (files.size, 1)
   }
 }
@@ -148,7 +175,8 @@ object GraftCatalog {
   * prior files; INSERT OVERWRITE truncates).
   */
 private[sources] class GraftCatalogTable(
-    tableName: String, dir: Path, tableSchema: StructType)
+    tableName: String, dir: Path, tableSchema: StructType,
+    version: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
@@ -165,7 +193,10 @@ private[sources] class GraftCatalogTable(
         override def readSchema(): StructType = required
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] = {
-          val (_, files) = GraftJsonSink.readManifest(dir)
+          val (_, files) = version match {
+            case Some(v) => GraftJsonSink.readManifestVersion(dir, v)
+            case None => GraftJsonSink.readManifest(dir)
+          }
           files.map(f => JsonFilePartition(dir.resolve(f).toString): InputPartition).toArray
         }
         override def createReaderFactory(): PartitionReaderFactory =
@@ -173,8 +204,10 @@ private[sources] class GraftCatalogTable(
       }
     }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty, s"cannot write to a historical version of $tableName")
     new GraftJsonWriteBuilder(dir.toString, tableSchema, None)
+  }
 }
 
 private case class JsonFilePartition(path: String) extends InputPartition

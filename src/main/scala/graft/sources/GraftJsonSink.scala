@@ -54,10 +54,46 @@ class GraftJsonSink extends TableProvider with DataSourceRegister {
 object GraftJsonSink {
 
   val ManifestName = "_graft_manifest.json"
+  val SnapshotPrefix = "_graft_manifest.v"
 
   /** (total rows, file names) of the committed state; (0, Nil) if none. */
-  def readManifest(dir: Path): (Long, Seq[String]) = {
-    val m = dir.resolve(ManifestName)
+  def readManifest(dir: Path): (Long, Seq[String]) =
+    parseManifest(dir.resolve(ManifestName))
+
+  /** The committed state as of snapshot `version`. */
+  def readManifestVersion(dir: Path, version: Long): (Long, Seq[String]) = {
+    val m = dir.resolve(s"$SnapshotPrefix$version.json")
+    require(Files.exists(m),
+      s"no snapshot version $version in $dir (have: ${listSnapshots(dir).mkString(",")})")
+    parseManifest(m)
+  }
+
+  /** Snapshot versions present, ascending. */
+  def listSnapshots(dir: Path): Seq[Long] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith(SnapshotPrefix) && n.endsWith(".json"))
+      .map(n => n.substring(SnapshotPrefix.length, n.length - 5).toLong)
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** Record the freshly committed manifest as the next immutable snapshot
+    * version (history for VERSION AS OF reads). Called after the manifest
+    * swap — the swap remains the single commit point; a crash between
+    * swap and snapshot loses only the history entry, never data.
+    */
+  private[sources] def snapshotManifest(dir: Path): Long = {
+    val next = listSnapshots(dir).lastOption.getOrElse(0L) + 1
+    Files.copy(dir.resolve(ManifestName),
+      dir.resolve(s"$SnapshotPrefix$next.json"),
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  private def parseManifest(m: Path): (Long, Seq[String]) = {
     if (!Files.exists(m)) return (0L, Nil)
     val text = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
     val rows = "\"rows\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
@@ -160,9 +196,12 @@ private[sources] class GraftJsonBatchWrite(
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     if (truncateFirst) {
+      // overwrite resets history: data files, manifest, and snapshots go
+      // (the format's contract — unlike append, which extends history)
       listFiles(dir).filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("part-") || n == GraftJsonSink.ManifestName
+        n.startsWith("part-") || n == GraftJsonSink.ManifestName ||
+          n.startsWith(GraftJsonSink.SnapshotPrefix)
       }.foreach(Files.deleteIfExists(_))
     }
     // append semantics: fold the previous committed state into the new
@@ -187,6 +226,7 @@ private[sources] class GraftJsonBatchWrite(
     Files.write(tmpManifest, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmpManifest, dir.resolve(GraftJsonSink.ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    GraftJsonSink.snapshotManifest(dir) // history entry for VERSION AS OF
     cleanTmp(dir) // sweep orphans from failed/speculative attempts
   }
 

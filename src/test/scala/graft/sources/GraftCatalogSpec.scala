@@ -94,6 +94,53 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graftcat.ns.cmp")
   }
 
+  test("VERSION AS OF reads each commit's snapshot; overwrite resets history") {
+    spark.sql("CREATE TABLE graftcat.ns.tt (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graftcat.ns.tt VALUES (1, 'a')")
+    spark.sql("INSERT INTO graftcat.ns.tt VALUES (2, 'b')")
+    spark.sql("INSERT INTO graftcat.ns.tt VALUES (3, 'c')")
+
+    def idsAt(v: Int): Set[Long] =
+      spark.sql(s"SELECT id FROM graftcat.ns.tt VERSION AS OF $v")
+        .collect().map(_.getLong(0)).toSet
+    assert(idsAt(1) == Set(1L))
+    assert(idsAt(2) == Set(1L, 2L))
+    assert(idsAt(3) == Set(1L, 2L, 3L))
+    // head of the table == latest version
+    assert(spark.table("graftcat.ns.tt").count() == 3)
+
+    // unknown version is a clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graftcat.ns.tt VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("no version"), e.getMessage)
+
+    // overwrite resets history: version numbering restarts at 1
+    spark.sql("INSERT OVERWRITE graftcat.ns.tt VALUES (9, 'z')")
+    assert(idsAt(1) == Set(9L))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftcat.ns.tt VERSION AS OF 2").collect()
+    }
+    spark.sql("DROP TABLE graftcat.ns.tt")
+  }
+
+  test("compaction vacuums history and restarts it at the compacted state") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    spark.sql("CREATE TABLE graftcat.ns.cv (id BIGINT)")
+    Seq(1L).toDF("id").writeTo("graftcat.ns.cv").append()
+    Seq(2L).toDF("id").writeTo("graftcat.ns.cv").append()
+    val root = spark.conf.get("spark.sql.catalog.graftcat.root")
+    GraftCatalog.compact(Paths.get(root, "ns", "cv"))
+    // one snapshot remains — the compacted state, holding all rows
+    assert(spark.sql("SELECT id FROM graftcat.ns.cv VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftcat.ns.cv VERSION AS OF 2").collect()
+    }
+    spark.sql("DROP TABLE graftcat.ns.cv")
+  }
+
   test("empty table reads as zero rows; unknown table errors") {
     spark.sql("CREATE TABLE graftcat.ns.empty (id BIGINT)")
     assert(spark.table("graftcat.ns.empty").count() == 0)
