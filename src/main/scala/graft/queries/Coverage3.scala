@@ -221,5 +221,64 @@ object Coverage3 {
             count(lit(1)).as("n")),
       Some("SELECT l_returnflag, median(l_quantity) AS med_qty, " +
         "median(l_extendedprice) AS med_price, count(*) AS n " +
-        "FROM lineitem GROUP BY l_returnflag")))
+        "FROM lineitem GROUP BY l_returnflag")),
+
+    // Least-squares regression per group from decimal power sums: the
+    // sums are order-independent (exact decimal), the closing double
+    // arithmetic has identical expression shape on both engines, and the
+    // result is truncated through DECIMAL(38,6) to absorb the last ulp
+    // (same recipe as q_stats_moments).
+    GraftQuery(
+      "q_regression",
+      (s, dir) => {
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        val n = count(lit(1)).cast(DoubleType)
+        def decSum(c: org.apache.spark.sql.Column) =
+          sum(c.cast(dec6)).cast(DoubleType)
+        val sx = decSum(x); val sy = decSum(y)
+        val sxx = decSum(x * x); val syy = decSum(y * y); val sxy = decSum(x * y)
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        val intercept = (sy - slope * sx) / n
+        val r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_linestatus"))
+          .agg(
+            slope.cast(dec6).cast(DoubleType).as("slope"),
+            intercept.cast(dec6).cast(DoubleType).as("intercept"),
+            r2.cast(dec6).cast(DoubleType).as("r2"),
+            count(lit(1)).as("n"))
+      },
+      Some {
+        def ds(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+        val n = "CAST(count(*) AS DOUBLE)"
+        val sx = ds("l_quantity"); val sy = ds("l_extendedprice")
+        val sxx = ds("l_quantity * l_quantity")
+        val syy = ds("l_extendedprice * l_extendedprice")
+        val sxy = ds("l_quantity * l_extendedprice")
+        val slope = s"(($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx))"
+        val intercept = s"(($sy - $slope * $sx) / $n)"
+        val r2 = s"((($n * $sxy - $sx * $sy) * ($n * $sxy - $sx * $sy)) / " +
+          s"(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)))"
+        "SELECT l_linestatus, " +
+          s"CAST(CAST($slope AS DECIMAL(38,6)) AS DOUBLE) AS slope, " +
+          s"CAST(CAST($intercept AS DECIMAL(38,6)) AS DOUBLE) AS intercept, " +
+          s"CAST(CAST($r2 AS DECIMAL(38,6)) AS DOUBLE) AS r2, " +
+          "count(*) AS n FROM lineitem GROUP BY l_linestatus"
+      }),
+
+    // HLL sketch build + merge — the 100 TB distinct-count pattern:
+    // per-group sketches in one pass, a sketch UNION (not a re-scan)
+    // rolls them up globally. Estimates are sketch-implementation-specific
+    // → rows-only driver check; Coverage3Spec bounds the error vs exact.
+    GraftQuery(
+      "q_hll_merge",
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+          .agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"),
+            count(lit(1)).as("n_sketches"))))
 }
