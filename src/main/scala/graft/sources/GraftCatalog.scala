@@ -91,6 +91,25 @@ class GraftCatalog extends TableCatalog {
     new GraftCatalogTable(s"$ident@v$v", dir, schema, Some(v))
   }
 
+  /** `TIMESTAMP AS OF t`: the latest snapshot committed at or before `t`
+    * (Spark passes microseconds since epoch; snapshot commit times are
+    * their file mtimes).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val f = schemaFile(ident)
+    if (!Files.exists(f)) throw new NoSuchTableException(ident)
+    val dir = dirFor(ident)
+    val tsMillis = timestamp / 1000L
+    val chosen = GraftJsonSink.listSnapshots(dir).filter { v =>
+      Files.getLastModifiedTime(
+        dir.resolve(s"${GraftJsonSink.SnapshotPrefix}$v.json")).toMillis <= tsMillis
+    }.lastOption.getOrElse(throw new IllegalArgumentException(
+      s"table $ident has no snapshot at or before timestamp $timestamp"))
+    val schema = DataType.fromJson(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    new GraftCatalogTable(s"$ident@v$chosen", dir, schema, Some(chosen))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

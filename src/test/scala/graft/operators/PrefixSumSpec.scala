@@ -37,6 +37,25 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-sum plan avoids the single-partition exchange the window needs") {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+
+    val naive = docs.withColumn("cum", sum(col("n_tok")).over(
+      Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    naive.collect()
+    assert(naive.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "positive control: the global window must funnel to one partition")
+
+    val scaled = PrefixSum.runningTotal(docs, Seq(col("doc_id").asc),
+      col("n_tok"), "cum", partitions = 8)
+    scaled.collect()
+    assert(!scaled.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "prefix sum must never gather to a single partition")
+    spark.catalog.clearCache()
+  }
+
   test("running total over a skewed synthetic sequence") {
     import spark.implicits._
     // values 1..n in shuffled insert order with a constant order column

@@ -124,6 +124,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graftcat.ns.tt")
   }
 
+  test("TIMESTAMP AS OF picks the latest snapshot at or before the time") {
+    spark.sql("CREATE TABLE graftcat.ns.ts (id BIGINT)")
+    spark.sql("INSERT INTO graftcat.ns.ts VALUES (1)")
+    Thread.sleep(150)
+    val betweenCommits = java.time.Instant.now()
+    Thread.sleep(150)
+    spark.sql("INSERT INTO graftcat.ns.ts VALUES (2)")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+    val lit = fmt.format(betweenCommits)
+    val ids = spark.sql(s"SELECT id FROM graftcat.ns.ts TIMESTAMP AS OF '$lit'")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L), s"at $lit expected only the first commit, got $ids")
+    // before any commit: clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graftcat.ns.ts TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+    spark.sql("DROP TABLE graftcat.ns.ts")
+  }
+
   test("compaction vacuums history and restarts it at the compacted state") {
     import spark.implicits._
     import java.nio.file.Paths
