@@ -90,6 +90,29 @@ object Coverage3 {
         "FROM lineitem " +
         "WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'")),
 
+    // Deterministic stratified sampling: per-class md5 thresholds (5% /
+    // 20% / 10%) — the reproducible rebalancing step, exact-checkable
+    // unlike the seeded-RNG q_sample_stratified it complements.
+    GraftQuery(
+      "q_sample_stratified_hash",
+      (s, dir) => {
+        val key = concat_ws("-",
+          col("l_orderkey").cast(StringType),
+          col("l_linenumber").cast(StringType))
+        val threshold = when(col("l_returnflag") === "A", lit("0d"))
+          .when(col("l_returnflag") === "N", lit("33"))
+          .otherwise(lit("1a"))
+        Tables.table(s, dir, "lineitem")
+          .withColumn("bucket", substring(md5(key), 1, 2))
+          .filter(col("bucket") < threshold)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      },
+      Some("WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag, " +
+        "substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) AS bucket, " +
+        "CASE WHEN l_returnflag = 'A' THEN '0d' WHEN l_returnflag = 'N' THEN '33' " +
+        "ELSE '1a' END AS threshold FROM lineitem) " +
+        "SELECT l_orderkey, l_linenumber, l_returnflag FROM t WHERE bucket < threshold")),
+
     // Token-budget corpus selection: take documents in quality order until
     // the token budget is spent. The running total uses the distributed
     // prefix-sum operator (range partition + offset broadcast), not a

@@ -163,6 +163,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graftcat.ns.cv")
   }
 
+  test("streaming ingestion: each microbatch commit is a time-travelable snapshot") {
+    import org.apache.spark.sql.DataFrame
+    // stage the stream input as 3 files so the file source yields 3 batches
+    val staged = Files.createTempDirectory("graft_ing_src").toString
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .repartition(3).write.mode("overwrite").parquet(staged)
+    val expected = spark.read.parquet(staged).count()
+
+    spark.sql("CREATE TABLE graftcat.ns.ing (event_id BIGINT, user_id BIGINT, event_type STRING)")
+    val ckpt = Files.createTempDirectory("graft_ing_ckpt").toString
+    val q = spark.readStream
+      .schema(spark.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.writeTo("graftcat.ns.ing").append()
+      }
+      .start()
+    q.awaitTermination()
+
+    assert(spark.table("graftcat.ns.ing").count() == expected)
+    val root = spark.conf.get("spark.sql.catalog.graftcat.root")
+    val tableDir = java.nio.file.Paths.get(root, "ns", "ing")
+    val versions = GraftJsonSink.listSnapshots(tableDir)
+    assert(versions.size == 3, s"one snapshot per microbatch, got $versions")
+    // history is monotone: per-version counts grow to the final total
+    val counts = versions.map(v =>
+      spark.sql(s"SELECT count(*) FROM graftcat.ns.ing VERSION AS OF $v")
+        .head().getLong(0))
+    assert(counts == counts.sorted && counts.last == expected, counts.mkString(","))
+    spark.sql("DROP TABLE graftcat.ns.ing")
+  }
+
   test("empty table reads as zero rows; unknown table errors") {
     spark.sql("CREATE TABLE graftcat.ns.empty (id BIGINT)")
     assert(spark.table("graftcat.ns.empty").count() == 0)
