@@ -52,13 +52,15 @@ object Bench {
     val headline = GraftQuery.all.filter(_.bench)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // two timed runs per query, report the min: the first run of a plan
+    // three timed runs per query, report the min: the first run of a plan
     // pays Janino codegen-compilation + JIT for its generated classes
     // (seconds for the widest expression trees), which amortizes to zero
-    // on real data volumes. Caches are cleared between runs, so each
-    // timed run includes any query-internal cache build.
+    // on real data volumes, and this host sees intermittent external
+    // contention — extra runs find a quiet window. Caches are cleared
+    // between runs, so each timed run includes any query-internal cache
+    // build.
     headline.foreach { q =>
-      val t = (1 to 2).map { _ =>
+      val t = (1 to 3).map { _ =>
         val dt = time {
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
@@ -69,10 +71,10 @@ object Bench {
     }
 
     // the reference's own workload, end to end (extract → … → sink);
-    // min of two runs like every other entry — the first run pays Janino
+    // min of three runs like every other entry — the first run pays Janino
     // compilation for the 28-column projection chain, a fixed cost that
     // amortizes to zero at any real data volume
-    results("etl_reference_workload") = (1 to 2).map { _ =>
+    results("etl_reference_workload") = (1 to 3).map { _ =>
       time {
         val out = Files.createTempDirectory("graft_bench_etl").toString
         val cfg = etl.ConfigLoader.load("/root/repo/config",
