@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64, aggregate}
 import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.functions.call_function
 
@@ -33,6 +34,21 @@ object GraftFunctions {
       "audio_meta", exprs => AudioMeta(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "video_meta", exprs => VideoMeta(exprs.head), "scala_udf")
+    // Spark's internal runtime-filter bloom expressions, surfaced as
+    // session functions (the analyzer wraps the bare AggregateFunction
+    // in an AggregateExpression on resolution). Values are hashed with
+    // XxHash64 on both the build and probe side, matching
+    // InjectRuntimeFilter's contract.
+    registry.createOrReplaceTempFunction(
+      "bloom_filter_agg",
+      exprs => new aggregate.BloomFilterAggregate(
+        new XxHash64(Seq(exprs.head)), exprs(1), exprs(2)),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => BloomFilterMightContain(
+        exprs.head, new XxHash64(Seq(exprs(1)))),
+      "scala_udf")
   }
 
   /** 64-bit polynomial rolling hash of a string column. */
@@ -73,4 +89,16 @@ object GraftFunctions {
     * struct<format, duration_ms, width, height>, null if unrecognized.
     */
   def video_meta(c: Column): Column = call_function("video_meta", c)
+
+  /** Aggregate `c` into a serialized bloom filter (binary). */
+  def bloom_filter_agg(c: Column, expectedItems: Long, numBits: Long): Column =
+    call_function("bloom_filter_agg", c,
+      org.apache.spark.sql.functions.lit(expectedItems),
+      org.apache.spark.sql.functions.lit(numBits))
+
+  /** True if the bloom filter (a binary literal) might contain `c`;
+    * false means definitely absent.
+    */
+  def bloom_might_contain(bloom: Column, c: Column): Column =
+    call_function("bloom_might_contain", bloom, c)
 }

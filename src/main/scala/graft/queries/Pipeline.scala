@@ -1,0 +1,204 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{GraftQuery, Tables}
+import graft.operators.PrefixSum
+
+/** Training-data pipeline operators, wave 4: repetition-based quality
+  * filtering (Gopher-style), intra-document dedup, sequence packing for
+  * context windows, deterministic source mixing, and an ORC roundtrip.
+  *
+  * Everything except the two tiny per-doc re-aggregations is narrow
+  * per-row array work on codegen'd builtins; the aggregations are
+  * doc_id-keyed (high-cardinality, uniform) hash aggregates with
+  * map-side partials — the shapes that scale linearly to 100 TB.
+  */
+object Pipeline {
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // Repetition/quality stats per document — the Gopher-rules family:
+    // distinct-word fraction, duplicate-bigram fraction, mean word
+    // length, most-frequent-word fraction, and the resulting keep flag.
+    // Fractions are single IEEE divides of exact integer counts, so
+    // values are bit-identical across engines. The top-word count is the
+    // only shuffled piece: (doc_id, word) hash agg with map-side combine
+    // then a per-doc max — both keyed on high-cardinality uniform keys.
+    GraftQuery(
+      "txt_gopher_quality",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val w = split(col("text"), " ")
+        val base = docs
+          .select(col("doc_id"), w.as("w"))
+          .filter(size(col("w")) >= 2)
+          .withColumn("n", size(col("w")).cast(LongType))
+          .withColumn("nd", size(array_distinct(col("w"))).cast(LongType))
+          .withColumn("lensum",
+            expr("aggregate(w, 0L, (acc, x) -> acc + length(x))"))
+          .withColumn("bg", expr(
+            "transform(sequence(0, size(w) - 2), " +
+              "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+          .withColumn("nbg", size(col("bg")).cast(LongType))
+          .withColumn("nbgd", size(array_distinct(col("bg"))).cast(LongType))
+        val top = docs
+          .select(col("doc_id"), explode(w).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("topc"))
+        base.join(top, "doc_id")
+          .select(
+            col("doc_id"),
+            col("n").as("n_words"),
+            (col("nd").cast(DoubleType) / col("n")).as("distinct_frac"),
+            (lit(1.0) - col("nbgd").cast(DoubleType) / col("nbg"))
+              .as("dup_bigram_frac"),
+            (col("lensum").cast(DoubleType) / col("n")).as("mean_word_len"),
+            (col("topc").cast(DoubleType) / col("n")).as("top_word_frac"),
+            (col("nd").cast(DoubleType) / col("n") >= 0.3 &&
+              col("topc").cast(DoubleType) / col("n") <= 0.2).as("keep"))
+      },
+      Some("WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n, " +
+        "CAST(len(list_distinct(w)) AS BIGINT) AS nd, " +
+        "CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS lensum, " +
+        "list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1]) AS bg " +
+        "FROM d WHERE len(w) >= 2), " +
+        "tw AS (SELECT doc_id, max(c) AS topc FROM " +
+        "(SELECT doc_id, word, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "GROUP BY doc_id, word) GROUP BY doc_id) " +
+        "SELECT b.doc_id, b.n AS n_words, " +
+        "CAST(nd AS DOUBLE) / n AS distinct_frac, " +
+        "1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) AS dup_bigram_frac, " +
+        "CAST(lensum AS DOUBLE) / n AS mean_word_len, " +
+        "CAST(topc AS DOUBLE) / n AS top_word_frac, " +
+        "(CAST(nd AS DOUBLE) / n >= 0.3 AND CAST(topc AS DOUBLE) / n <= 0.2) AS keep " +
+        "FROM base b JOIN tw USING (doc_id)")),
+
+    // Intra-document dedup: drop repeated tokens keeping the first
+    // occurrence (the line/paragraph-dedup step of a corpus pipeline at
+    // token granularity). Pure narrow array work on the Spark side —
+    // array_distinct preserves first-occurrence order — zero shuffles.
+    GraftQuery(
+      "dd_intradoc_dedup",
+      (s, dir) => {
+        val w = split(col("text"), " ")
+        Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          array_join(array_distinct(w), " ").as("dedup_text"),
+          (size(w) - size(array_distinct(w))).cast(LongType).as("n_removed"))
+      },
+      Some("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS ord FROM documents), " +
+        "f AS (SELECT doc_id, word, min(ord) AS fp FROM t GROUP BY doc_id, word), " +
+        "n AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents) " +
+        "SELECT f.doc_id, string_agg(f.word, ' ' ORDER BY f.fp) AS dedup_text, " +
+        "CAST(any_value(n.n) - count(*) AS BIGINT) AS n_removed " +
+        "FROM f JOIN n ON f.doc_id = n.doc_id GROUP BY f.doc_id")),
+
+    // Sequence packing: concatenate the corpus in doc_id order and chop
+    // it into fixed 256-token context windows — each document learns its
+    // start offset, covering window range, and whether it straddles a
+    // boundary. The global running total uses the distributed prefix-sum
+    // operator (range partition + broadcast offsets), NOT a global
+    // window, so no single partition ever holds the corpus.
+    GraftQuery(
+      "pipe_seq_packing",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        PrefixSum.runningTotal(docs, Seq(col("doc_id")), col("n_tok"), "cum_tok")
+          .select(
+            col("doc_id"), col("n_tok"),
+            (col("cum_tok") - col("n_tok")).as("start_tok"),
+            expr("(cum_tok - n_tok) div 256").as("first_win"),
+            expr("(cum_tok - 1) div 256").as("last_win"))
+          .withColumn("n_windows", col("last_win") - col("first_win") + 1)
+      },
+      Some("WITH c AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+        "CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok " +
+        "FROM documents) " +
+        "SELECT doc_id, n_tok, cum_tok - n_tok AS start_tok, " +
+        "(cum_tok - n_tok) // 256 AS first_win, (cum_tok - 1) // 256 AS last_win, " +
+        "(cum_tok - 1) // 256 - (cum_tok - n_tok) // 256 + 1 AS n_windows FROM c")),
+
+    // Deterministic source mixing: each source family gets a sampling
+    // rate (5/10/20/40% by source number mod 4) and rows are kept by an
+    // md5-threshold draw — reproducible across engines, runs, and
+    // partitionings, unlike seeded RNG. This is the "mix web : code :
+    // books at fixed ratios" step of a training-data pipeline.
+    GraftQuery(
+      "pipe_mix_sources",
+      (s, dir) => {
+        val srcNum = substring(col("source"), 4, 10).cast(IntegerType)
+        val thr = when(srcNum % 4 === 0, "0c")
+          .when(srcNum % 4 === 1, "19")
+          .when(srcNum % 4 === 2, "33")
+          .otherwise("66")
+        Tables.table(s, dir, "documents")
+          .withColumn("bucket", substring(md5(col("doc_id").cast(StringType)), 1, 2))
+          .filter(col("bucket") < thr)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("key_sum"))
+      },
+      Some("WITH k AS (SELECT source, doc_id, " +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket, " +
+        "CAST(substr(source, 4) AS INT) % 4 AS g FROM documents) " +
+        "SELECT source, count(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS key_sum " +
+        "FROM k WHERE bucket < (CASE g WHEN 0 THEN '0c' WHEN 1 THEN '19' " +
+        "WHEN 2 THEN '33' ELSE '66' END) GROUP BY source")),
+
+    // Blocklist decontamination: remove every document whose text
+    // fingerprint appears in a blocklist (here: docs with doc_id % 7 = 0
+    // standing in for eval-set fingerprints), via the bloom-prefiltered
+    // exact anti-join — row-identical to a plain anti-join, but at scale
+    // only bloom-positive candidates ever shuffle.
+    GraftQuery(
+      "dd_bloom_blocklist",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val fp = md5(col("text"))
+        val blocklist = docs.filter(col("doc_id") % 7 === 0).select(fp.as("bfp"))
+        graft.operators.BloomAntiJoin
+          .antiJoin(docs.withColumn("fp", fp), col("fp"), blocklist, col("bfp"),
+            expectedItems = 1000L, numBits = 65536L)
+          .select(col("doc_id"), col("source"))
+      },
+      Some("SELECT doc_id, source FROM documents WHERE md5(text) NOT IN " +
+        "(SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)")),
+
+    // ORC roundtrip — the third columnar/text format besides CSV/JSONL:
+    // write a table slice through the ORC writer, read it back, and
+    // aggregate; the oracle computes the same aggregate straight from
+    // parquet, so any loss in the ORC write→read path surfaces as a
+    // value mismatch.
+    GraftQuery(
+      "src_orc_roundtrip",
+      (s, dir) => {
+        val dec6 = DecimalType(38, 6)
+        val proj = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        val tmp = Files.createTempDirectory("graft_orc_rt").toString
+        proj.write.mode("overwrite").orc(tmp)
+        s.read.schema(proj.schema).orc(tmp)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("total"),
+            min(col("o_orderdate")).as("first_dt"),
+            max(col("o_orderdate")).as("last_dt"),
+            sum(col("o_orderkey")).as("key_sum"))
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
+        "min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders GROUP BY o_orderpriority"))
+  )
+}
