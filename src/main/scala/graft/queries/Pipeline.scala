@@ -173,6 +173,35 @@ object Pipeline {
       Some("SELECT doc_id, source FROM documents WHERE md5(text) NOT IN " +
         "(SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)")),
 
+    // Large-to-large point-in-interval join via bin equi-join: order
+    // dates against per-lineitem availability windows ([shipdate,
+    // shipdate + quantity%30 days]). A naive BETWEEN join of two big
+    // sides planned as nested-loop/cartesian is the O(n·m) cliff;
+    // BinnedRangeJoin makes it a shuffled equi-join on 16-day bins.
+    // The oracle is the naive join — results must be row-identical.
+    GraftQuery(
+      "q_range_join_binned",
+      (s, dir) => {
+        val day = 86400000000L
+        val ivs = Tables.table(s, dir, "lineitem")
+          .filter(col("l_suppkey") % 50 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            unix_micros(col("l_shipdate").cast("timestamp")).as("s_us"),
+            (unix_micros(col("l_shipdate").cast("timestamp")) +
+              (col("l_quantity").cast(LongType) % 30) * day).as("e_us"))
+        val pts = Tables.table(s, dir, "orders")
+          .filter(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("p_us"))
+        graft.operators.BinnedRangeJoin
+          .pointInInterval(pts, col("p_us"), ivs, col("s_us"), col("e_us"),
+            binWidth = 16 * day)
+          .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"))
+      },
+      Some("SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey " +
+        "FROM lineitem l JOIN orders o ON o.o_orderdate >= l.l_shipdate " +
+        "AND o.o_orderdate <= l.l_shipdate + to_days(CAST(floor(l_quantity) AS INT) % 30) " +
+        "WHERE l.l_suppkey % 50 = 0 AND o.o_orderkey % 20 = 0")),
+
     // ORC roundtrip — the third columnar/text format besides CSV/JSONL:
     // write a table slice through the ORC writer, read it back, and
     // aggregate; the oracle computes the same aggregate straight from
