@@ -40,6 +40,8 @@ object GraftFunctions {
     // XxHash64 on both the build and probe side, matching
     // InjectRuntimeFilter's contract.
     registry.createOrReplaceTempFunction(
+      "sum128", exprs => Sum128(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
       "bloom_filter_agg",
       exprs => new aggregate.BloomFilterAggregate(
         new XxHash64(Seq(exprs.head)), exprs(1), exprs(2)),
@@ -89,6 +91,11 @@ object GraftFunctions {
     * struct<format, duration_ms, width, height>, null if unrecognized.
     */
   def video_meta(c: Column): Column = call_function("video_meta", c)
+
+  /** Exact 126-bit sum of a long column (DECIMAL(38,0) result); per-row
+    * work stays in codegen'd long arithmetic — see [[Sum128]].
+    */
+  def sum128(c: Column): Column = call_function("sum128", c)
 
   /** Aggregate `c` into a serialized bloom filter (binary). */
   def bloom_filter_agg(c: Column, expectedItems: Long, numBits: Long): Column =

@@ -73,6 +73,45 @@ object Relational {
         "GROUP BY l_returnflag, l_linestatus"),
       bench = true),
 
+    // q1 on the unbounded-range fast sum: identical semantics and oracle
+    // to q1_pricing_summary, but the micros totals accumulate in the
+    // two-long Sum128 aggregate instead of a single BIGINT — the 100 TB
+    // configuration, where Σ micros genuinely exceeds 2^63 and the plain
+    // long sum would ANSI-overflow. Per-row cost stays long arithmetic.
+    GraftQuery(
+      "q1_sum128",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        def m(c: Column): Column =
+          graft.functions.GraftFunctions
+            .sum128(floor(c * lit(1e6d) + lit(0.5d)).cast(LongType))
+            .cast(DoubleType) / lit(1e6d)
+        Tables.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            m(col("l_quantity")).as("sum_qty"),
+            m(col("l_extendedprice")).as("sum_base_price"),
+            m(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("sum_disc_price"),
+            m(col("l_extendedprice") * (lit(1.0d) - col("l_discount")) * (lit(1.0d) + col("l_tax")))
+              .as("sum_charge"),
+            (m(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (m(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+            (m(col("l_discount")) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("SELECT l_returnflag, l_linestatus, " +
+        s"${decSumSql("l_quantity")} AS sum_qty, " +
+        s"${decSumSql("l_extendedprice")} AS sum_base_price, " +
+        s"${decSumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price, " +
+        s"${decSumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge, " +
+        s"${decSumSql("l_quantity")} / count(*) AS avg_qty, " +
+        s"${decSumSql("l_extendedprice")} / count(*) AS avg_price, " +
+        s"${decSumSql("l_discount")} / count(*) AS avg_disc, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus")),
+
     // TPC-H Q3-style: 3-way join, aggregate, deterministic top-10.
     GraftQuery(
       "q3_topk_revenue",
