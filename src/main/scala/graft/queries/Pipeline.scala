@@ -202,6 +202,88 @@ object Pipeline {
         "AND o.o_orderdate <= l.l_shipdate + to_days(CAST(floor(l_quantity) AS INT) % 30) " +
         "WHERE l.l_suppkey % 50 = 0 AND o.o_orderkey % 20 = 0")),
 
+    // Z-order curve values: the Morton interleave that drives
+    // multi-dimensional data layout (operators.ZOrder.layout). Pure bit
+    // arithmetic, oracle-checked bit-for-bit against the same magic-
+    // number spread written in DuckDB SQL.
+    GraftQuery(
+      "q_zorder_curve",
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            graft.operators.ZOrder
+              .zValue16(col("l_partkey") % 1024, col("l_suppkey") % 1024)
+              .as("z")),
+      Some("WITH a AS (SELECT l_orderkey, l_linenumber, " +
+        "(l_partkey % 1024) AS x0, (l_suppkey % 1024) AS y0 FROM lineitem), " +
+        "b AS (SELECT l_orderkey, l_linenumber, " +
+        "((x0 | (x0 << 8)) & 16711935) AS x1, ((y0 | (y0 << 8)) & 16711935) AS y1 FROM a), " +
+        "c AS (SELECT l_orderkey, l_linenumber, " +
+        "((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM b), " +
+        "d AS (SELECT l_orderkey, l_linenumber, " +
+        "((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM c), " +
+        "e AS (SELECT l_orderkey, l_linenumber, " +
+        "((x3 | (x3 << 1)) & 1431655765) AS x4, ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM d) " +
+        "SELECT l_orderkey, l_linenumber, (x4 | (y4 << 1)) AS z FROM e")),
+
+    // SCD type-2 history build: each event opens a validity interval on
+    // its user's timeline, closed by the next event (lead over the
+    // user's exact-nanos event order); open intervals are current. The
+    // window partitions by user_id — high-cardinality, shuffle-parallel.
+    GraftQuery(
+      "q_scd2_history",
+      (s, dir) => {
+        // micros resolution: DuckDB reads the NANOS parquet timestamps
+        // truncated to micros, so the shared granularity is µs; event_id
+        // breaks (sub-µs) ties identically in both engines
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("valid_from_us").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("valid_from_us"))
+          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+          .withColumn("is_current", col("valid_to_us").isNull)
+      },
+      Some("SELECT user_id, event_id, epoch_us(ts) AS valid_from_us, " +
+        "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to_us, " +
+        "(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL) AS is_current " +
+        "FROM events")),
+
+    // CDC apply (SCD type-1): a deterministic change feed of updates and
+    // deletes merged into the base — untouched rows pass through the
+    // anti-join, updates replace, deletes vanish. The realistic shape of
+    // an incremental 100 TB refresh: the join is keyed on the primary
+    // key and the change feed is tiny relative to the base (at scale,
+    // the BloomAntiJoin pre-filter applies verbatim).
+    GraftQuery(
+      "pipe_cdc_apply",
+      (s, dir) => {
+        val base = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val changes = base
+          .filter(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 17 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 17 === 0, "D").otherwise("U").as("op"),
+            (col("o_totalprice") + 1000.0d).as("new_price"))
+        val untouched = base
+          .join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .select(col("o_orderkey"), col("o_totalprice").as("price_final"),
+            lit("base").as("src"))
+        val updated = changes.filter(col("op") === "U")
+          .select(col("o_orderkey"), col("new_price").as("price_final"),
+            lit("updated").as("src"))
+        untouched.unionByName(updated)
+      },
+      Some("WITH changes AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op, " +
+        "o_totalprice + 1000 AS new_price FROM orders " +
+        "WHERE o_orderkey % 10 = 0 OR o_orderkey % 17 = 0) " +
+        "SELECT o_orderkey, o_totalprice AS price_final, 'base' AS src FROM orders " +
+        "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes) " +
+        "UNION ALL SELECT o_orderkey, new_price AS price_final, 'updated' AS src " +
+        "FROM changes WHERE op = 'U'")),
+
     // ORC roundtrip — the third columnar/text format besides CSV/JSONL:
     // write a table slice through the ORC writer, read it back, and
     // aggregate; the oracle computes the same aggregate straight from
