@@ -284,6 +284,19 @@ object Pipeline {
         "UNION ALL SELECT o_orderkey, new_price AS price_final, 'updated' AS src " +
         "FROM changes WHERE op = 'U'")),
 
+    // Ordered string aggregation (listagg WITHIN GROUP): per-nation
+    // customer roster, deterministic order — the report/export shape.
+    GraftQuery(
+      "q_listagg",
+      (s, dir) =>
+        Tables.table(s, dir, "customer")
+          .filter(col("c_custkey") % 25 === 0)
+          .groupBy(col("c_nationkey"))
+          .agg(expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)")
+            .as("names"), count(lit(1)).as("n")),
+      Some("SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names, " +
+        "count(*) AS n FROM customer WHERE c_custkey % 25 = 0 GROUP BY c_nationkey")),
+
     // ORC roundtrip — the third columnar/text format besides CSV/JSONL:
     // write a table slice through the ORC writer, read it back, and
     // aggregate; the oracle computes the same aggregate straight from
