@@ -171,7 +171,8 @@ object Pipeline {
           .select(col("doc_id"), col("source"))
       },
       Some("SELECT doc_id, source FROM documents WHERE md5(text) NOT IN " +
-        "(SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)")),
+        "(SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)"),
+      bench = true),
 
     // Large-to-large point-in-interval join via bin equi-join: order
     // dates against per-lineitem availability windows ([shipdate,
@@ -200,7 +201,8 @@ object Pipeline {
       Some("SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey " +
         "FROM lineitem l JOIN orders o ON o.o_orderdate >= l.l_shipdate " +
         "AND o.o_orderdate <= l.l_shipdate + to_days(CAST(floor(l_quantity) AS INT) % 30) " +
-        "WHERE l.l_suppkey % 50 = 0 AND o.o_orderkey % 20 = 0")),
+        "WHERE l.l_suppkey % 50 = 0 AND o.o_orderkey % 20 = 0"),
+      bench = true),
 
     // Z-order curve values: the Morton interleave that drives
     // multi-dimensional data layout (operators.ZOrder.layout). Pure bit
