@@ -102,6 +102,55 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Stream-static enrichment: each micro-batch of the event stream
+    * joins a static dimension (customer segment) before aggregating —
+    * the canonical "enrich the firehose against reference data" shape.
+    * The static side is re-resolved per micro-batch and explicitly
+    * broadcast, so the streaming side never shuffles for the join; at
+    * 100 TB/day the stream stays partition-local and only the dimension
+    * moves. Aggregation runs in complete mode here (finite input);
+    * production would window + watermark as in hourlyAgg.
+    */
+  def enrichedAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val name = s"ev_enrich_${System.nanoTime()}"
+    val q = stream
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(coalesce(col("segment"), lit("UNKNOWN")).as("segment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType).as("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
+
+  /** Batch twin of [[enrichedAgg]] for exact comparison. */
+  def enrichedAggBatch(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables.table(spark, dir, "events")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    events
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(coalesce(col("segment"), lit("UNKNOWN")).as("segment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType).as("total_value"))
+  }
+
   /** Streaming session windows: the same gap-merged session_window
     * aggregation as the batch ev_session_window query, run as a stream
     * with a 1h watermark and append output. Append emits a session only
