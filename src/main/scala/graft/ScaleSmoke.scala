@@ -39,6 +39,23 @@ object ScaleSmoke {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // shuffle bytes written while `body` runs — the metric that scales
+    // with cluster cost (local wall-clock hides network motion entirely)
+    def shuffleBytes(body: => Long): (Double, Long, Long) = {
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        val bytes = new java.util.concurrent.atomic.AtomicLong
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val (t, n) = time(body)
+        Thread.sleep(500) // let the async listener bus drain
+        (t, n, listener.bytes.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
     val (tDedup, nPairs) = time {
       operators.NearDupLsh.pairs(docs.select(col("doc_id"), col("text")), 0.5d).count()
     }
@@ -68,11 +85,55 @@ object ScaleSmoke {
     val (tLshDup, nLshDup) = time {
       operators.NearDupLsh.pairs(dupDocs.select(col("doc_id"), col("text")), 0.8d).count()
     }
+    // blocklist decontamination at corpus scale: bloom-prefiltered exact
+    // anti-join vs the plain anti-join (identical result, cheaper motion).
+    // The blocklist is sized past the broadcast threshold (the regime the
+    // operator exists for): small blocklists broadcast and need no bloom;
+    // huge corpora with a merely-large blocklist shuffle everything in
+    // the plain plan but only bloom-positive candidates in this one.
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val blocklist = fp.filter(col("doc_id") % 20 === 0)
+      .select(col("fp").as("bfp")).cache()
+    val nBlock = blocklist.count()
+    // force the shuffle plan for the plain baseline: at real blocklist
+    // sizes (beyond broadcast range) the anti-join shuffles the ENTIRE
+    // corpus; the bloom path shuffles only candidates
+    val plain = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (tPlainAnti, nPlainAnti, bPlainAnti) = shuffleBytes {
+      fp.join(blocklist, col("fp") === col("bfp"), "left_anti").count()
+    }
+    val (tBloom, nBloom, bBloom) = shuffleBytes {
+      operators.BloomAntiJoin.antiJoin(fp, col("fp"), blocklist, col("bfp"),
+        expectedItems = math.max(1024L, nBlock),
+        numBits = math.max(1L << 16, 8L * nBlock)).count()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", plain)
+    require(nBloom == nPlainAnti, s"bloom path diverged: $nBloom vs $nPlainAnti")
+    // binned range join at scale: nDocs points vs nDocs/10 intervals —
+    // the naive plan is a cartesian (O(n·m) comparisons, infeasible at
+    // this size); binning keeps it a shuffled equi-join
+    val dom = nDocs * 10
+    val pts = spark.range(nDocs)
+      .select(col("id").as("pid"), pmod(hash(col("id")).cast("long") * 2654435761L, lit(dom)).as("p"))
+    val ivs = spark.range(nDocs / 10)
+      .select(col("id").as("iid"),
+        pmod(hash(col("id") + 7).cast("long") * 2654435761L, lit(dom)).as("s"))
+      .withColumn("e", col("s") + pmod(col("iid"), lit(2000L)))
+    val (tBinned, nBinned) = time {
+      operators.BinnedRangeJoin
+        .pointInInterval(pts, col("p"), ivs, col("s"), col("e"), binWidth = 1000L)
+        .count()
+    }
     println(
       s"""{"n_docs":$nDocs,"minhash_lsh_sec":$tDedup,"neardup_pairs":$nPairs,""" +
         s""""exact_dedup_sec":$tExact,"distinct_docs":$nGroups,"token_count_sec":$tTok,""" +
         s""""ppjoin_sec":$tPp,"ppjoin_pairs":$nPp,""" +
-        s""""lsh_planted_sec":$tLshDup,"lsh_planted_pairs":$nLshDup}""")
+        s""""lsh_planted_sec":$tLshDup,"lsh_planted_pairs":$nLshDup,""" +
+        s""""bloom_anti_sec":$tBloom,"bloom_anti_shuffle_mb":${bBloom / 1048576},""" +
+        s""""plain_anti_sec":$tPlainAnti,"plain_anti_shuffle_mb":${bPlainAnti / 1048576},""" +
+        s""""anti_survivors":$nBloom,""" +
+        s""""binned_range_sec":$tBinned,"binned_range_pairs":$nBinned}""")
     spark.stop()
   }
 }
