@@ -178,7 +178,18 @@ object GraftCatalog {
     Files.move(tmp, tableDir.resolve(GraftJsonSink.ManifestName),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    files.foreach(f => Files.deleteIfExists(tableDir.resolve(f)))
+    // drop every superseded data file — both the manifest's own list and
+    // any copy-on-write orphans older MERGE commits left behind for
+    // VERSION AS OF reads (their snapshots are vacuumed just below)
+    val keep = target.getFileName.toString
+    val all = Files.list(tableDir)
+    try all.iterator().asScala.toList
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n != keep
+      }
+      .foreach(Files.deleteIfExists(_))
+    finally all.close()
     // superseded files are gone, so prior snapshots would dangle: compaction
     // vacuums history and restarts it at the compacted state
     GraftJsonSink.listSnapshots(tableDir).foreach(v =>

@@ -155,13 +155,15 @@ private class GraftJsonSinkTable(writeSchema: StructType)
     new GraftJsonWriteBuilder(
       info.options.get("path"),
       info.schema(),
-      Option(info.options.get("failPartitionOnce")).map(_.toInt))
+      Option(info.options.get("failPartitionOnce")).map(_.toInt),
+      replaceMode = Option(info.options.get("replace")).exists(_.toBoolean))
 }
 
-private class GraftJsonWriteBuilder(
+private[sources] class GraftJsonWriteBuilder(
     path: String,
     schema: StructType,
-    failPartitionOnce: Option[Int]) extends WriteBuilder with SupportsTruncate {
+    failPartitionOnce: Option[Int],
+    replaceMode: Boolean = false) extends WriteBuilder with SupportsTruncate {
 
   require(path != null && path.nonEmpty, "graft-json requires a path")
   private var truncateFirst = false
@@ -170,7 +172,7 @@ private class GraftJsonWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftJsonBatchWrite(path, schema, truncateFirst, failPartitionOnce)
+      new GraftJsonBatchWrite(path, schema, truncateFirst, replaceMode, failPartitionOnce)
   }
 }
 
@@ -184,6 +186,7 @@ private[sources] class GraftJsonBatchWrite(
     path: String,
     schema: StructType,
     truncateFirst: Boolean,
+    replaceMode: Boolean,
     failPartitionOnce: Option[Int]) extends BatchWrite {
 
   // unique per write: filenames never collide across commits to one dir
@@ -195,7 +198,7 @@ private[sources] class GraftJsonBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    if (truncateFirst) {
+    if (truncateFirst && !replaceMode) {
       // overwrite resets history: data files, manifest, and snapshots go
       // (the format's contract — unlike append, which extends history)
       listFiles(dir).filter { p =>
@@ -204,6 +207,10 @@ private[sources] class GraftJsonBatchWrite(
           n.startsWith(GraftJsonSink.SnapshotPrefix)
       }.foreach(Files.deleteIfExists(_))
     }
+    // replaceMode ("copy-on-write" truncate, the MERGE commit): the new
+    // manifest lists only this write's files, but superseded data files
+    // and prior snapshots stay on disk, so VERSION AS OF keeps serving
+    // pre-merge states until compact() vacuums them.
     // append semantics: fold the previous committed state into the new
     // manifest (the manifest swap below is still the single commit point)
     val (prevRows, prevFiles) =
