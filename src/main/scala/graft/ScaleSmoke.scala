@@ -51,7 +51,9 @@ object ScaleSmoke {
       spark.sparkContext.addSparkListener(listener)
       try {
         val (t, n) = time(body)
-        Thread.sleep(500) // let the async listener bus drain
+        // deterministic barrier: wait for every queued stage-completed
+        // event, not a fixed sleep that undercounts under load
+        org.apache.spark.sql.graft.GraftPlans.drainListenerBus(spark)
         (t, n, listener.bytes.get())
       } finally spark.sparkContext.removeSparkListener(listener)
     }

@@ -28,9 +28,12 @@ import org.apache.spark.sql.types._
   *
   * Contract: inputs must satisfy |x| < 2^62 (any per-row metric in
   * micros qualifies: 2^62 µ ≈ 4.6e12 in value units). Violations are
-  * loud, never silent — ANSI mode turns the would-be long overflow in
-  * `lo + x` into an error. NULLs contribute 0 (all-NULL groups yield 0,
-  * not NULL — intended for non-null metric columns).
+  * loud, never silent, in BOTH ANSI and default sessions: each update
+  * routes through an explicit range check that raises an error on
+  * |x| >= 2^62 (two long compares per row — stays in codegen), rather
+  * than relying on ANSI mode to catch the downstream `lo + x`
+  * overflow. NULLs contribute 0 (all-NULL groups yield 0, not NULL —
+  * intended for non-null metric columns).
   */
 case class Sum128(child: Expression)
   extends DeclarativeAggregate with UnaryLike[Expression] {
@@ -58,8 +61,24 @@ case class Sum128(child: Expression)
     Seq(Add(h, c), Subtract(t, ShiftLeft(c, Literal(62))))
   }
 
+  /** `child` with the |x| < 2^62 contract enforced: out-of-range rows
+    * raise USER_RAISED_EXCEPTION regardless of ANSI mode, instead of
+    * silently wrapping the long add in a non-ANSI session.
+    */
+  private lazy val rangeCheckedChild: Expression = {
+    val lim = 1L << 62
+    val outOfRange = Or(
+      GreaterThanOrEqual(child, Literal(lim)),
+      LessThanOrEqual(child, Literal(-lim)))
+    val raise = Cast(
+      RaiseError(Literal(
+        s"sum128 input out of range: |x| must be < 2^62 (= $lim)")),
+      LongType)
+    If(outOfRange, raise, child)
+  }
+
   override lazy val updateExpressions: Seq[Expression] =
-    fold(hi, lo, If(IsNull(child), Literal(0L), child))
+    fold(hi, lo, If(IsNull(child), Literal(0L), rangeCheckedChild))
 
   override lazy val mergeExpressions: Seq[Expression] =
     fold(Add(hi.left, hi.right), lo.left, lo.right)

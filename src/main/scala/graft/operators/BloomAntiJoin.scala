@@ -37,7 +37,17 @@ object BloomAntiJoin {
   /** All `corpus` rows whose `key` does not appear in `blocklist.bKey`.
     * `expectedItems`/`numBits` size the filter (defaults: 1M items in
     * 8M bits ≈ 3% FPR at capacity; at 100 TB pass the real blocklist
-    * cardinality).
+    * cardinality). `numBits` is clamped to the session's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 64M
+    * bits = 8 MB): BloomFilterAggregate itself applies the same
+    * `Math.min`, so an over-ask would otherwise be SILENTLY truncated —
+    * clamping here makes the effective size explicit. The cap exists
+    * because the serialized filter is embedded in the plan as a
+    * literal, so an unbounded filter would bloat every task's plan.
+    * Past the cap the filter stays valid but its FPR degrades toward
+    * `1 - exp(-k·items/maxBits)` — that costs exact-join work, never
+    * correctness; raise the conf before calling if a billion-key
+    * blocklist needs a tighter pre-filter.
     */
   def antiJoin(
       corpus: DataFrame,
@@ -48,8 +58,11 @@ object BloomAntiJoin {
       numBits: Long = 8388608L): DataFrame = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
+    val maxNumBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val cappedBits = math.min(numBits, maxNumBits)
     val bloomRow = blocklist
-      .agg(GraftFunctions.bloom_filter_agg(bKey, expectedItems, numBits).as("bf"))
+      .agg(GraftFunctions.bloom_filter_agg(bKey, expectedItems, cappedBits).as("bf"))
       .head()
     // empty blocklist → aggregate yields null → nothing is blocked
     if (bloomRow.isNullAt(0)) return corpus

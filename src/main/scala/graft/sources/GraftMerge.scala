@@ -29,7 +29,13 @@ object GraftMerge {
 
   /** Apply `changes` to catalog table `catalog.ns...name`. Returns the
     * merged row count. `changes` must carry `keyCols` plus the base
-    * table's full column set for non-delete rows, plus `opCol`.
+    * table's full column set for non-delete rows, plus `opCol`, and
+    * must have AT MOST ONE row per key: two change rows on the same key
+    * (e.g. a D plus a U) have no defined merge order, so — mirroring
+    * standard MERGE INTO's multiple-source-rows-matched error — the
+    * feed is validated up front and duplicates fail loudly before any
+    * write happens. Collapse multi-event feeds to last-event-per-key
+    * (e.g. a window over a change sequence number) before merging.
     */
   def into(
       spark: SparkSession,
@@ -41,6 +47,12 @@ object GraftMerge {
     require(parts.length >= 2, s"expected catalog.[ns.]table, got $tableFqn")
     val root = spark.conf.get(s"spark.sql.catalog.${parts.head}.root")
     val dir = parts.tail.foldLeft(Paths.get(root))(_.resolve(_))
+    val dupKeys = changes.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1)
+      .select(keyCols.map(col): _*).head(3)
+    require(dupKeys.isEmpty,
+      s"MERGE change feed has multiple rows per key on (${keyCols.mkString(", ")}); " +
+        s"e.g. ${dupKeys.mkString(", ")} — collapse to one change per key first")
     val base = spark.table(tableFqn)
     val survivors = base.join(
       changes.select(keyCols.map(col): _*), keyCols, "left_anti")

@@ -133,9 +133,14 @@ object EventStream {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    val out = spark.table(name).cache()
-    out.count()
-    out
+    // hand back a self-contained local relation and drop the memory
+    // sink's temp view — caching the sink table and leaving the view
+    // registered would leak per call into the shared session
+    val sink = spark.table(name)
+    val outSchema = sink.schema
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** Batch twin of [[enrichedAgg]] for exact comparison. */

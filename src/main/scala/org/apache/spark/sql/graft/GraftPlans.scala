@@ -32,6 +32,18 @@ object GraftPlans {
       spark.experimental.extraOptimizations = cur :+ TopKRewriteRule
   }
 
+  /** Block until the SparkContext's async listener bus has delivered
+    * every queued event (bounded by `timeoutMillis`). Measurement code
+    * that reads SparkListener-accumulated metrics (e.g. ScaleSmoke's
+    * shuffle-byte counters) needs this barrier — a fixed sleep
+    * undercounts whenever stage-completed events arrive late under
+    * load. `SparkContext.listenerBus` is `private[spark]`, hence this
+    * lives in the shim package; it is the same barrier Spark's own
+    * listener tests use.
+    */
+  def drainListenerBus(spark: SparkSession, timeoutMillis: Long = 30000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis)
+
   /** First k rows per key group under `order` (pass a total order for
     * deterministic results). Plans to the two-phase heap operator —
     * see graft.plans.TopKPerKey.

@@ -43,6 +43,25 @@ class Sum128Spec extends AnyFunSuite {
     assert(sum128Of(df, "v") == expected)
   }
 
+  test("out-of-range input fails loudly even with ANSI off; boundary value passes") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    val prior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      // largest legal magnitude sums fine
+      val edge = Seq((1L << 62) - 1, -((1L << 62) - 1), 5L).toDF("v")
+      assert(sum128Of(edge, "v") == BigDecimal(5))
+      // 2^62 itself must raise, not wrap
+      val bad = Seq(1L, 1L << 62).toDF("v")
+      val e = intercept[Throwable] { sum128Of(bad, "v") }
+      val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+      assert(messages.contains("sum128 input out of range"), messages)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prior)
+  }
+
   test("group-by path: per-group totals match decimal sums") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_returnflag"),

@@ -44,6 +44,23 @@ class GraftMergeSpec extends AnyFunSuite {
     assert(v1 == Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
   }
 
+  test("duplicate keys in the change feed fail loudly before any write") {
+    val sp = spark
+    import sp.implicits._
+    spark.sql("CREATE TABLE graftmerge.ns.m3 (id BIGINT, v LONG)")
+    spark.sql("INSERT INTO graftmerge.ns.m3 VALUES (1, 10), (2, 20)")
+    // a D plus a U on the same key has no defined merge order
+    val conflicting = Seq((2L, 0L, "D"), (2L, 21L, "U")).toDF("id", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      GraftMerge.into(spark, "graftmerge.ns.m3", conflicting, Seq("id"))
+    }
+    assert(e.getMessage.contains("multiple rows per key"), e.getMessage)
+    // nothing was committed: table state and history are untouched
+    val rows = spark.sql("SELECT id, v FROM graftmerge.ns.m3 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("successive merges chain snapshots; compact vacuums orphans and history") {
     val sp = spark
     import sp.implicits._

@@ -23,6 +23,13 @@ class EnrichStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("enrichedAgg leaves no memory-sink temp view or cached table behind") {
+    EventStream.enrichedAgg(spark, dir).count()
+    val leaked = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("ev_enrich_"))
+    assert(leaked.isEmpty, leaked.mkString(","))
+  }
+
   test("the enrichment join is broadcast in the batch twin's plan") {
     val p = EventStream.enrichedAggBatch(spark, dir)
       .queryExecution.executedPlan.toString
