@@ -6,10 +6,11 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.BindReferences.bindReferences
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, GenerateOrdering, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, UnaryExecNode}
 
 /** Logical per-key top-k: the first `k` rows of each key group under
   * `order` (give a total order for determinism). Unlike the
@@ -44,10 +45,49 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  /** The final phase is a stateless-per-row streaming transform over
+    * sorted input (two mutable scalars of state), so it fuses into the
+    * whole-stage span like FilterExec — no codegen boundary between the
+    * sort above the exchange and whatever consumes the top-k rows. The
+    * partial phase buffers per-key heaps (a blocking shape, like
+    * SortExec's consume side) and stays interpreted; it ends the scan
+    * span, which is the price of heap pruning before the shuffle.
+    */
+  override def supportCodegen: Boolean = !partial
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    // group-change detection via an UnsafeRow key projection — the same
+    // pattern HashAggregateExec uses for grouping keys, correct for any
+    // key type (strings/decimals/structs) without per-type compare code
+    val prevKey = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.UnsafeRow", "topkPrevKey")
+    val emitted = ctx.addMutableState("int", "topkEmitted")
+    ctx.currentVars = input
+    val keyEval = GenerateUnsafeProjection.createCode(
+      ctx, bindReferences(keys, child.output))
+    s"""
+       |${keyEval.code}
+       |if ($prevKey == null || !${keyEval.value}.equals($prevKey)) {
+       |  $prevKey = ${keyEval.value}.copy();
+       |  $emitted = 0;
+       |}
+       |if ($emitted < $k) {
+       |  $emitted += 1;
+       |  ${consume(ctx, input)}
+       |}
+     """.stripMargin
+  }
 
   private def groupOrdering: Seq[SortOrder] =
     keys.map(SortOrder(_, Ascending)) ++ order

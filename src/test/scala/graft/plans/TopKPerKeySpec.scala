@@ -43,6 +43,37 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(plan.contains("Exchange"), plan)
   }
 
+  test("final phase fuses into a whole-stage codegen span; partial stays outside") {
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val df = GraftPlans.topKPerKey(orders,
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 2)
+    df.collect()
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def finalInSpan(p: SparkPlan, inSpan: Boolean): Seq[Boolean] = p match {
+      case a: AdaptiveSparkPlanExec => finalInSpan(a.executedPlan, inSpan)
+      case q: QueryStageExec => finalInSpan(q.plan, inSpan)
+      case w: WholeStageCodegenExec => w.children.flatMap(finalInSpan(_, true))
+      case t: TopKPerKeyExec if !t.partial =>
+        inSpan +: t.children.flatMap(finalInSpan(_, false))
+      case other => other.children.flatMap(finalInSpan(_, inSpan))
+    }
+    val spans = finalInSpan(df.queryExecution.executedPlan, inSpan = false)
+    assert(spans.nonEmpty && spans.forall(identity),
+      s"final TopKPerKeyExec not codegen-fused:\n${df.queryExecution.executedPlan}")
+    // and the fused plan still matches the window formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expected = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
+
   test("k larger than any group degrades to identity") {
     val orders = Tables.table(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"))
