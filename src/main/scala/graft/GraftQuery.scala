@@ -31,6 +31,7 @@ object GraftQuery {
       queries.Coverage.defs ++
       queries.Coverage2.defs ++
       queries.Coverage3.defs ++
+      queries.Coverage4.defs ++
       queries.SourceRoundtrip.defs ++
       queries.Pipeline.defs ++
       queries.TextAnalysis.defs ++

@@ -68,6 +68,43 @@ class ScalePatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // fact laid out hive-style by return flag (3 partition dirs), dim
+    // filtered to 2 flags — the 100 TB date-partitioned-fact pattern:
+    // the selective dim filter must reach the fact SCAN as a runtime
+    // partition filter, not run as a post-scan join filter
+    val root = Files.createTempDirectory("graft_dpp")
+    Tables.table(spark, dir, "lineitem")
+      .write.partitionBy("l_returnflag").mode("overwrite")
+      .parquet(root.resolve("li").toString)
+    val fact = spark.read.parquet(root.resolve("li").toString)
+    val sp = spark
+    import sp.implicits._
+    // the dim must be a real source with a SELECTIVE filter above its
+    // scan — a literal LocalRelation gets constant-folded and the
+    // PartitionPruning rule sees no filter to derive pruning from
+    Seq(("A", "returned"), ("R", "refused"), ("N", "kept"))
+      .toDF("flag", "disposition")
+      .write.mode("overwrite").parquet(root.resolve("dim").toString)
+    val dim = spark.read.parquet(root.resolve("dim").toString)
+      .filter(col("disposition") =!= "kept")
+    val joined = fact
+      .join(dim, col("l_returnflag") === col("flag"))
+      .groupBy(col("disposition")).agg(count(lit(1)).as("n"))
+    val rows = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    // pruning subquery present in the fact scan's partition filters
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    // and the result equals the statically-filtered twin
+    val expected = Tables.table(spark, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .groupBy(when(col("l_returnflag") === "A", "returned").otherwise("refused").as("disposition"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == expected)
+  }
+
   test("small dimension joins broadcast by default at these sizes") {
     val li = Tables.table(spark, dir, "lineitem")
     val supp = Tables.table(spark, dir, "supplier")
