@@ -325,6 +325,35 @@ object Pipeline {
       Some("SELECT o_orderpriority, count(*) AS n, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
         "min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt, " +
-        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders GROUP BY o_orderpriority"))
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders GROUP BY o_orderpriority")),
+
+    // Incremental aggregate maintenance: a stored per-key partial state
+    // (counts + DECIMAL sums over the history) merged with a fresh
+    // delta's partials by summing the partials — never re-scanning the
+    // history. The oracle computes the same aggregate directly over
+    // everything, so the hash match IS the proof that state-merge ==
+    // full recompute. Partials stay DECIMAL through the merge (decimal
+    // addition is associative; casting to double before merging would
+    // reintroduce order dependence) — the materialized-view refresh
+    // pattern: at 100 TB only the delta is scanned per refresh.
+    GraftQuery(
+      "pipe_incremental_agg",
+      (s, dir) => {
+        val dec6 = DecimalType(38, 6)
+        val orders = Tables.table(s, dir, "orders")
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(dec6)).as("total_dec"))
+        val state = partial(orders.filter(col("o_orderdate") < lit("1997-01-01")))
+        val delta = partial(orders.filter(col("o_orderdate") >= lit("1997-01-01")))
+        state.unionByName(delta)
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("cnt")).as("n_orders"),
+            sum(col("total_dec")).cast(DoubleType).as("total"))
+      },
+      Some("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY o_orderpriority"))
   )
 }

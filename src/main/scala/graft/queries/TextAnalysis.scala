@@ -246,5 +246,44 @@ object TextAnalysis {
         "SELECT doc_id, CAST(greatest(len(tokens) - 2, 0) AS BIGINT) AS n_shingles, " +
         "CAST(len(list_distinct(list_transform(generate_series(1, greatest(len(tokens) - 2, 0)), " +
         "i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS BIGINT) " +
-        "AS n_distinct_shingles FROM t")))
+        "AS n_distinct_shingles FROM t")),
+
+    // PII redaction: emails and phone-shaped numbers replaced by typed
+    // tokens, with per-doc redaction counts — the scrubbing pass every
+    // training corpus needs before release. Deterministic PII is planted
+    // from doc_id so the redaction provably fires; patterns are chosen
+    // to mean the same thing in Java regex (Spark, codegen'd
+    // regexp_replace — narrow per-row work, no shuffle) and RE2
+    // (DuckDB). At 100 TB this stays embarrassingly parallel.
+    GraftQuery(
+      "txt_pii_redact",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "555-[0-9]{4}"
+        val planted = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(
+              substring(col("text"), 1, 40),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or call 555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+              lit(".")).as("text"))
+        planted.select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]").as("clean_text"),
+          regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"))
+      },
+      Some("WITH planted AS (SELECT doc_id, " +
+        "substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' " +
+        "AS text FROM documents) " +
+        "SELECT doc_id, " +
+        "regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', " +
+        "'[EMAIL]', 'g'), '555-[0-9]{4}', '[PHONE]', 'g') AS clean_text, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS n_phones " +
+        "FROM planted")))
 }
