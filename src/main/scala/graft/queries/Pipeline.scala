@@ -354,6 +354,29 @@ object Pipeline {
       },
       Some("SELECT o_orderpriority, count(*) AS n_orders, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total " +
-        "FROM orders GROUP BY o_orderpriority"))
+        "FROM orders GROUP BY o_orderpriority")),
+
+    // Deterministic train/val/test assignment: each doc lands in
+    // exactly one split by md5 bucket (~98/1/1), reproducible across
+    // engines, runs, partitionings, AND corpus growth — a doc's split
+    // never changes when new docs arrive, which seeded-RNG splits
+    // cannot promise. Narrow per-row work, no shuffle; the namespaced
+    // key ("split:" prefix) keeps this hash independent of every other
+    // md5-derived decision in the pipeline.
+    GraftQuery(
+      "pipe_train_split",
+      (s, dir) => {
+        val b = substring(
+          md5(concat(lit("split:"), col("doc_id").cast(StringType))), 1, 2)
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), b.as("bucket"),
+            when(b < "fa", "train").when(b < "fd", "val")
+              .otherwise("test").as("split"))
+      },
+      Some("WITH b AS (SELECT doc_id, " +
+        "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket " +
+        "FROM documents) " +
+        "SELECT doc_id, bucket, CASE WHEN bucket < 'fa' THEN 'train' " +
+        "WHEN bucket < 'fd' THEN 'val' ELSE 'test' END AS split FROM b"))
   )
 }

@@ -105,6 +105,25 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(rows == expected)
   }
 
+  test("output file sizing: maxRecordsPerFile bounds every written file") {
+    // the small-file/giant-file control for a 100 TB sink: writers roll
+    // to a new file at the cap instead of emitting one file per task
+    // whatever its size
+    val out = Files.createTempDirectory("graft_sizing").resolve("li").toString
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val total = li.count()
+    li.coalesce(2).write
+      .option("maxRecordsPerFile", 500)
+      .mode("overwrite").parquet(out)
+    val perFile = spark.read.parquet(out)
+      .select(col("_metadata.file_path").as("f"))
+      .groupBy("f").count().collect().map(_.getLong(1))
+    assert(perFile.sum == total)
+    assert(perFile.max <= 500, s"a file exceeds the cap: ${perFile.max}")
+    assert(perFile.length >= (total / 500).toInt, perFile.length)
+  }
+
   test("small dimension joins broadcast by default at these sizes") {
     val li = Tables.table(spark, dir, "lineitem")
     val supp = Tables.table(spark, dir, "supplier")
