@@ -378,5 +378,42 @@ object Pipeline {
         "FROM documents) " +
         "SELECT doc_id, bucket, CASE WHEN bucket < 'fa' THEN 'train' " +
         "WHEN bucket < 'fd' THEN 'val' ELSE 'test' END AS split FROM b"))
+  ,
+
+    // Single-pass data-quality report: every expectation (null counts,
+    // range violations, primary-key uniqueness) evaluated as a
+    // conditional aggregate in ONE scan, with pass/fail verdicts
+    // derived from the counts. The reference pipeline re-scans its
+    // input once per count() for the same deltas (SURVEY §4); at
+    // 100 TB validation must be one aggregate job, not N actions.
+    GraftQuery(
+      "pipe_dq_report",
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+        li.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+            sum(when(col("l_discount") < 0.0d || col("l_discount") > 1.0d, 1L)
+              .otherwise(0L)).as("bad_discount"),
+            sum(when(col("l_extendedprice") <= 0.0d, 1L).otherwise(0L)).as("nonpos_price"),
+            count_distinct(concat_ws("-",
+              col("l_orderkey").cast(StringType),
+              col("l_linenumber").cast(StringType))).as("n_pk"))
+          .select(
+            col("n_rows"), col("null_qty"), col("bad_discount"),
+            col("nonpos_price"), col("n_pk"),
+            (col("null_qty") === 0L).as("nulls_ok"),
+            (col("bad_discount") === 0L).as("range_ok"),
+            (col("n_pk") === col("n_rows")).as("pk_unique_ok"))
+      },
+      Some("WITH a AS (SELECT count(*) AS n_rows, " +
+        "CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty, " +
+        "CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount, " +
+        "CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price, " +
+        "count(DISTINCT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS n_pk " +
+        "FROM lineitem) " +
+        "SELECT n_rows, null_qty, bad_discount, nonpos_price, n_pk, " +
+        "null_qty = 0 AS nulls_ok, bad_discount = 0 AS range_ok, " +
+        "n_pk = n_rows AS pk_unique_ok FROM a"))
   )
 }
