@@ -66,20 +66,22 @@ object Coverage4 {
       Some("SELECT r_name, n_name, r_name || '/' || n_name AS grid_cell " +
         "FROM region CROSS JOIN nation")),
 
-    // Array-typed aggregate output: the distinct set per group as a
-    // sorted ARRAY column (collect_set is unordered by contract —
-    // sort_array canonicalizes for comparison, which is also the only
-    // deterministic way to consume it).
+    // Distinct-set aggregate output: collect_set is unordered by
+    // contract, so sort_array canonicalizes and array_join flattens to
+    // a scalar string — the comparison harness can't sort/hash array
+    // cells (pandas lexsort rejects ndarray values), and the joined
+    // form is the deterministic way to consume the set anyway.
     GraftQuery(
       "q_collect_set",
       (s, dir) =>
         Tables.table(s, dir, "orders")
           .groupBy(col("o_orderpriority"))
           .agg(
-            sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+            array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+              .as("statuses"),
             count_distinct(col("o_orderstatus")).as("n_statuses")),
       Some("SELECT o_orderpriority, " +
-        "list_sort(list(DISTINCT o_orderstatus)) AS statuses, " +
+        "array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses, " +
         "count(DISTINCT o_orderstatus) AS n_statuses " +
         "FROM orders GROUP BY o_orderpriority")))
 }

@@ -47,20 +47,27 @@ object GraftMerge {
     require(parts.length >= 2, s"expected catalog.[ns.]table, got $tableFqn")
     val root = spark.conf.get(s"spark.sql.catalog.${parts.head}.root")
     val dir = parts.tail.foldLeft(Paths.get(root))(_.resolve(_))
-    val dupKeys = changes.groupBy(keyCols.map(col): _*)
-      .count().filter(col("count") > 1)
-      .select(keyCols.map(col): _*).head(3)
-    require(dupKeys.isEmpty,
-      s"MERGE change feed has multiple rows per key on (${keyCols.mkString(", ")}); " +
-        s"e.g. ${dupKeys.mkString(", ")} — collapse to one change per key first")
-    val base = spark.table(tableFqn)
-    val survivors = base.join(
-      changes.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val upserts = changes.filter(col(opCol) =!= "D")
-      .select(base.columns.map(col).toIndexedSeq: _*)
-    val merged = survivors.unionByName(upserts)
-    merged.write.format("graft-json")
-      .option("replace", "true").mode("overwrite").save(dir.toString)
+    // Pin the feed to ONE evaluation for the whole merge: the dup-key
+    // validation, the anti-join, and the upsert branch each trigger a
+    // job over `changes`, and a non-deterministic feed could otherwise
+    // validate one set of rows and merge another.
+    val pinned = changes.cache()
+    try {
+      val dupKeys = pinned.groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1)
+        .select(keyCols.map(col): _*).head(3)
+      require(dupKeys.isEmpty,
+        s"MERGE change feed has multiple rows per key on (${keyCols.mkString(", ")}); " +
+          s"e.g. ${dupKeys.mkString(", ")} — collapse to one change per key first")
+      val base = spark.table(tableFqn)
+      val survivors = base.join(
+        pinned.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val upserts = pinned.filter(col(opCol) =!= "D")
+        .select(base.columns.map(col).toIndexedSeq: _*)
+      val merged = survivors.unionByName(upserts)
+      merged.write.format("graft-json")
+        .option("replace", "true").mode("overwrite").save(dir.toString)
+    } finally pinned.unpersist(blocking = false)
     spark.table(tableFqn).count()
   }
 }

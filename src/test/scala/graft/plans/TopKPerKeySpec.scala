@@ -50,12 +50,16 @@ class TopKPerKeySpec extends AnyFunSuite {
       keys = Seq(col("o_custkey")),
       order = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 2)
     df.collect()
-    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def finalInSpan(p: SparkPlan, inSpan: Boolean): Seq[Boolean] = p match {
       case a: AdaptiveSparkPlanExec => finalInSpan(a.executedPlan, inSpan)
       case q: QueryStageExec => finalInSpan(q.plan, inSpan)
       case w: WholeStageCodegenExec => w.children.flatMap(finalInSpan(_, true))
+      // an InputAdapter marks the codegen-span boundary: anything below
+      // it runs interpreted, so a final TopKPerKeyExec under one is NOT
+      // fused even though a WholeStageCodegenExec sits above
+      case i: InputAdapter => i.children.flatMap(finalInSpan(_, false))
       case t: TopKPerKeyExec if !t.partial =>
         inSpan +: t.children.flatMap(finalInSpan(_, false))
       case other => other.children.flatMap(finalInSpan(_, inSpan))
