@@ -432,5 +432,43 @@ object Dedup {
         "a.h AS ha, b.h AS hb FROM bands a JOIN bands b " +
         "ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id) " +
         "SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming " +
-        "FROM cand WHERE bit_count(xor(ha, hb)) <= 8")))
+        "FROM cand WHERE bit_count(xor(ha, hb)) <= 8")),
+
+    // Exact-substring dedup (the repeated-passage pass of an LLM corpus
+    // pipeline, à la "Deduplicating Training Data Makes Language Models
+    // Better"): every 8-token sliding window, grouped across the corpus,
+    // keeping spans that recur in >= 2 documents. All narrow per-row
+    // array work until ONE shuffle on the span key; at 100 TB the span
+    // text is replaced by its 128-bit hash (txt_rolling_fingerprint is
+    // the per-window rolling-hash primitive) so the shuffle carries 16
+    // bytes per window, and a count-min / bloom pre-pass drops the
+    // singleton windows — the overwhelming majority — before they ever
+    // shuffle (dd_bloom_blocklist is that operator).
+    GraftQuery(
+      "dd_span_dupes",
+      (s, dir) => {
+        val k = 8
+        val toks = split(col("text"), " ")
+        // guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], not
+        // empty, so short docs must map to an explicit empty array
+        val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+          .otherwise(array().cast("array<int>"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(transform(starts, i => array_join(slice(toks, i, lit(k)), " ")))
+              .as("span"))
+          .groupBy(col("span"))
+          .agg(
+            count(lit(1)).as("n_occurrences"),
+            count_distinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") >= 2)
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "w AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span " +
+        "FROM t, unnest(range(1, len(toks) - 7 + 1)) AS g(i)) " +
+        "SELECT span, count(*) AS n_occurrences, " +
+        "count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc " +
+        "FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2")))
 }

@@ -285,5 +285,31 @@ object TextAnalysis {
         "'[EMAIL]', 'g'), '555-[0-9]{4}', '[PHONE]', 'g') AS clean_text, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
         "CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS n_phones " +
-        "FROM planted")))
+        "FROM planted")),
+
+    // Inverted index build: term -> document frequency + ordered posting
+    // list (the retrieval-side twin of txt_tfidf). Per-doc distinct
+    // terms are narrow array work; the ONE shuffle is on the term key,
+    // and map-side combine shrinks it (partial collect_lists merge).
+    // At 100 TB the posting list per hot term outgrows a single row —
+    // the scale path range-partitions by (term, doc_id bucket) so each
+    // partial list stays bounded, then concatenates buckets in order;
+    // df itself never needs the list (count of the exploded pairs).
+    GraftQuery(
+      "txt_inverted_index",
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("term"))
+          .groupBy(col("term"))
+          .agg(
+            count(lit(1)).as("df"),
+            array_join(
+              transform(sort_array(collect_list(col("doc_id"))),
+                _.cast("string")), ",").as("postings")),
+      Some("WITH pairs AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents) " +
+        "SELECT term, count(*) AS df, " +
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings " +
+        "FROM pairs GROUP BY term")))
 }
