@@ -54,13 +54,28 @@ object PrefixFilterJoin {
       .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
       .select(col("doc_id"), col("sz"),
         slice(transform(col("fh"), x => x.getField("h")), lit(1), prefixLen).as("prefix"))
-    val pref = ranked.select(col("doc_id"), col("sz"), explode(col("prefix")).as("h"))
+    val pref = ranked.select(col("doc_id"), col("sz"),
+      posexplode(col("prefix")).as(Seq("p", "h")))
+    // positional filter (PPJoin's second pruning rule): a prefix shingle
+    // matching at 1-based positions (i, j) of the docs' globally-sorted
+    // shingle lists caps the possible overlap at min(|A|-i, |B|-j) + 1 —
+    // everything shared sits at or after the match on both sides. A true
+    // pair (jaccard >= t, i.e. overlap >= ceil(t/(1+t)·(|A|+|B|))) passes
+    // the cap at its FIRST common shingle, which the prefix theorem
+    // guarantees is a prefix-prefix match, so keeping pairs where ANY
+    // co-occurrence passes is exact. Integer rational arithmetic again:
+    // with t = num/den, o_req = ceil(num·(szA+szB) / (num+den)).
+    val oReq = expr(
+      s"($num * (sz_a + sz_b) + ${num + den - 1}) div ${num + den}")
+    val uBound =
+      least(col("sz_a") - (col("p_a") + 1), col("sz_b") - (col("p_b") + 1)) + 1
     val candidates = pref
-      .select(col("h"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-      .join(pref.select(col("h"), col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("h"))
+      .select(col("h"), col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("p").as("p_a"))
+      .join(pref.select(col("h"), col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("p").as("p_b")), Seq("h"))
       // doc order + length-ratio filter: jaccard >= t needs t|A| <= |B| <= |A|/t
       .filter(col("doc_a") < col("doc_b") &&
-        col("sz_b") * den >= col("sz_a") * num && col("sz_a") * den >= col("sz_b") * num)
+        col("sz_b") * den >= col("sz_a") * num && col("sz_a") * den >= col("sz_b") * num &&
+        uBound >= oReq)
       .select(col("doc_a"), col("doc_b"))
       // one exchange, not two: an explicit-width repartition on the pair key
       // followed by dropDuplicates reuses that partitioning for the dedup
