@@ -32,6 +32,7 @@ object GraftQuery {
       queries.Coverage2.defs ++
       queries.Coverage3.defs ++
       queries.Coverage4.defs ++
+      queries.Coverage5.defs ++
       queries.SourceRoundtrip.defs ++
       queries.Pipeline.defs ++
       queries.TextAnalysis.defs ++
