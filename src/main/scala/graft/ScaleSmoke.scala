@@ -115,6 +115,33 @@ object ScaleSmoke {
     // binned range join at scale: nDocs points vs nDocs/10 intervals —
     // the naive plan is a cartesian (O(n·m) comparisons, infeasible at
     // this size); binning keeps it a shuffled equi-join
+    // exact-substring span dedup at corpus scale: the gate query
+    // (dd_span_dupes) shuffles the span TEXT because the oracle output
+    // includes it; the scale path keys the shuffle on the span's 64-bit
+    // hash instead — identical duplicate-span count (collision-free at
+    // these cardinalities; use the 128-bit md5 at 100 TB where ~1e12
+    // windows make 64-bit birthday collisions plausible) for a fraction
+    // of the bytes in motion.
+    val spanToks = split(col("text"), " ")
+    val spanStarts = when(size(spanToks) >= 8,
+      sequence(lit(1), size(spanToks) - 7))
+      .otherwise(array().cast("array<int>"))
+    val spans = dupDocs.select(col("doc_id"),
+      explode(transform(spanStarts,
+        i => array_join(slice(spanToks, i, lit(8)), " "))).as("span"))
+    val (tSpanText, nSpanText, bSpanText) = shuffleBytes {
+      spans.groupBy(col("span"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2).count()
+    }
+    val (tSpanHash, nSpanHash, bSpanHash) = shuffleBytes {
+      spans.select(col("doc_id"), xxhash64(col("span")).as("h"))
+        .groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2).count()
+    }
+    require(nSpanHash == nSpanText,
+      s"hashed span dedup diverged: $nSpanHash vs $nSpanText")
     val dom = nDocs * 10
     val pts = spark.range(nDocs)
       .select(col("id").as("pid"), pmod(hash(col("id")).cast("long") * 2654435761L, lit(dom)).as("p"))
@@ -135,6 +162,9 @@ object ScaleSmoke {
         s""""bloom_anti_sec":$tBloom,"bloom_anti_shuffle_mb":${bBloom / 1048576},""" +
         s""""plain_anti_sec":$tPlainAnti,"plain_anti_shuffle_mb":${bPlainAnti / 1048576},""" +
         s""""anti_survivors":$nBloom,""" +
+        s""""span_text_sec":$tSpanText,"span_text_shuffle_mb":${bSpanText / 1048576},""" +
+        s""""span_hash_sec":$tSpanHash,"span_hash_shuffle_mb":${bSpanHash / 1048576},""" +
+        s""""dup_spans":$nSpanHash,""" +
         s""""binned_range_sec":$tBinned,"binned_range_pairs":$nBinned}""")
     spark.stop()
   }
