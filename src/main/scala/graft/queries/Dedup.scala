@@ -457,10 +457,17 @@ object Dedup {
           .select(col("doc_id"),
             explode(transform(starts, i => array_join(slice(toks, i, lit(k)), " ")))
               .as("span"))
+          // two-level aggregate instead of count_distinct: the first
+          // groupBy collapses within-doc repeats map-side BEFORE the
+          // shuffle and the second is a plain hash agg — no
+          // distinct-aggregate expand, and the span-keyed shuffle
+          // carries one row per (span, doc) instead of one per window
+          .groupBy(col("span"), col("doc_id"))
+          .agg(count(lit(1)).as("occ"))
           .groupBy(col("span"))
           .agg(
-            count(lit(1)).as("n_occurrences"),
-            count_distinct(col("doc_id")).as("n_docs"),
+            sum(col("occ")).as("n_occurrences"),
+            count(lit(1)).as("n_docs"),
             min(col("doc_id")).as("first_doc"))
           .filter(col("n_docs") >= 2)
       },
@@ -470,5 +477,6 @@ object Dedup {
         "FROM t, unnest(range(1, len(toks) - 7 + 1)) AS g(i)) " +
         "SELECT span, count(*) AS n_occurrences, " +
         "count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc " +
-        "FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2")))
+        "FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2"),
+      bench = true))
 }
