@@ -478,5 +478,45 @@ object Dedup {
         "SELECT span, count(*) AS n_occurrences, " +
         "count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc " +
         "FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2"),
-      bench = true))
+      bench = true),
+
+    // Test-set decontamination (the GPT-3-style n-gram overlap pass):
+    // flag corpus documents sharing >= 2 distinct token spans with any
+    // held-out benchmark document (doc_id % 50 == 0 stands in for the
+    // eval suite). The benchmark side is tiny by construction, so it
+    // BROADCASTS — the corpus never shuffles, each task probes a local
+    // hash map of benchmark spans; only matched (corpus_doc, bench_doc)
+    // pairs reach the one aggregation shuffle. Production uses 8-13-gram
+    // spans and a bloom pre-filter (dd_bloom_blocklist) when the
+    // benchmark suite outgrows broadcast; 3-grams here exercise the
+    // dataflow against the tiny synthetic vocabulary.
+    GraftQuery(
+      "dd_contamination",
+      (s, dir) => {
+        val k = 3
+        val toks = split(col("text"), " ")
+        val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+          .otherwise(array().cast("array<int>"))
+        val spans = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(transform(starts, i => array_join(slice(toks, i, lit(k)), " ")))
+              .as("span"))
+          .dropDuplicates("doc_id", "span")
+        val bench = spans.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_doc"), col("span"))
+        val corpus = spans.filter(col("doc_id") % 50 =!= 0)
+        corpus.join(broadcast(bench), Seq("span"))
+          .groupBy(col("doc_id"), col("bench_doc"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "w AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS span " +
+        "FROM t, unnest(range(1, len(toks) - 2 + 1)) AS g(i)), " +
+        "bench AS (SELECT doc_id AS bench_doc, span FROM w WHERE doc_id % 50 = 0), " +
+        "corpus AS (SELECT doc_id, span FROM w WHERE doc_id % 50 <> 0) " +
+        "SELECT c.doc_id, b.bench_doc, count(*) AS n_shared " +
+        "FROM corpus c JOIN bench b USING (span) " +
+        "GROUP BY c.doc_id, b.bench_doc HAVING count(*) >= 2")))
 }
