@@ -108,5 +108,65 @@ object Events {
         "CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END) " +
         "OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq, " +
-        "ts_us - coalesce(prev_ts, ts_us) AS gap_us FROM g")))
+        "ts_us - coalesce(prev_ts, ts_us) AS gap_us FROM g")),
+
+    // Ordered funnel: view -> click -> purchase with strictly increasing
+    // timestamps per user (earliest qualifying event at each stage). Three
+    // narrow per-stage aggregates chained by key joins — each stage's
+    // input is only the users that survived the previous one, so the work
+    // SHRINKS down the funnel; no window over the full event history.
+    // Micros resolution (ts_us) for cross-engine ordering parity.
+    GraftQuery(
+      "ev_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .join(views, Seq("user_id"))
+          .filter(col("ts_us") > col("t_view"))
+          .groupBy(col("user_id"), col("t_view"))
+          .agg(min(col("ts_us")).as("t_click"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .join(clicks, Seq("user_id"))
+          .filter(col("ts_us") > col("t_click"))
+          .groupBy(col("user_id"), col("t_view"), col("t_click"))
+          .agg(min(col("ts_us")).as("t_purchase"))
+        views
+          .join(clicks.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+          .join(purchases.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+      },
+      Some("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+        "v AS (SELECT user_id, min(ts_us) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, v.t_view, min(e.ts_us) AS t_click FROM e JOIN v USING (user_id) " +
+        "WHERE e.event_type = 'click' AND e.ts_us > v.t_view GROUP BY e.user_id, v.t_view), " +
+        "p AS (SELECT e.user_id, c.t_view, c.t_click, min(e.ts_us) AS t_purchase " +
+        "FROM e JOIN c USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click GROUP BY e.user_id, c.t_view, c.t_click) " +
+        "SELECT v.user_id, v.t_view, c.t_click, p.t_purchase FROM v " +
+        "LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id")),
+
+    // Retention cohorts: users grouped by first-activity day, counted as
+    // retained at each day offset they return on. Two shuffles total —
+    // the per-user first-day aggregate, then the (cohort, offset)
+    // count-distinct — both map-side combinable; integer day buckets
+    // from nanos stay exact in both engines.
+    GraftQuery(
+      "ev_retention",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("day", expr("ts_ns div 86400000000000"))
+        val firstDay = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        ev.select(col("user_id"), col("day"))
+          .join(firstDay, Seq("user_id"))
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+      },
+      Some("WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events), " +
+        "f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id) " +
+        "SELECT f.cohort_day, e.day - f.cohort_day AS day_offset, " +
+        "count(DISTINCT e.user_id) AS n_users " +
+        "FROM e JOIN f USING (user_id) GROUP BY 1, 2")))
 }
