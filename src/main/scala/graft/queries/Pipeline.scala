@@ -414,6 +414,30 @@ object Pipeline {
         "FROM lineitem) " +
         "SELECT n_rows, null_qty, bad_discount, nonpos_price, n_pk, " +
         "null_qty = 0 AS nulls_ok, bad_discount = 0 AS range_ok, " +
-        "n_pk = n_rows AS pk_unique_ok FROM a"))
+        "n_pk = n_rows AS pk_unique_ok FROM a")),
+
+    // Exact-quota deterministic sampling: EXACTLY 10 docs per source,
+    // chosen by md5 rank — reproducible across engines/runs/
+    // partitionings like pipe_mix_sources, but with a guaranteed sample
+    // SIZE (rate-based sampling only hits quotas in expectation).
+    // Runs on the native TopKPerKey plan: per-partition bounded heaps,
+    // shuffle carries at most k rows per (partition, source), no
+    // full-history sort — the window row_number formulation the oracle
+    // uses would sort every stratum at 100 TB.
+    GraftQuery(
+      "pipe_quota_sample",
+      (s, dir) => {
+        val ranked = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(concat(col("doc_id").cast("string"), lit(":quota"))).as("rk"))
+        org.apache.spark.sql.graft.GraftPlans
+          .topKPerKey(ranked, keys = Seq(col("source")),
+            order = Seq(col("rk").asc, col("doc_id").asc), k = 10)
+          .select(col("source"), col("doc_id"))
+      },
+      Some("SELECT source, doc_id FROM (" +
+        "SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota') ASC, doc_id ASC) AS rn " +
+        "FROM documents) WHERE rn <= 10"))
   )
 }
