@@ -113,5 +113,29 @@ object Coverage5 {
         "UNION ALL " +
         "SELECT o_orderkey, 'STAT' AS k, lower(o_orderstatus) AS v FROM base WHERE o_orderkey % 10 <> 0 " +
         "UNION ALL " +
-        "SELECT o_orderkey, 'SRC' AS k, 'orders' AS v FROM base WHERE o_orderkey % 10 <> 0")))
+        "SELECT o_orderkey, 'SRC' AS k, 'orders' AS v FROM base WHERE o_orderkey % 10 <> 0")),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+    // MATCH each other instead of vanishing — the join you need when a
+    // nullable dimension key is a real category ("unknown") rather than
+    // an absence. Plans as a normal hash join on the null-safe key.
+    GraftQuery(
+      "q_nullsafe_join",
+      (s, dir) => {
+        val k = expr("nullif(o_orderstatus, 'O')")
+        val counts = Tables.table(s, dir, "orders")
+          .groupBy(k.as("k")).agg(count(lit(1)).as("n_orders"))
+        val totals = Tables.table(s, dir, "orders")
+          .groupBy(k.as("k2"))
+          .agg(sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("total"))
+        counts.join(totals, col("k") <=> col("k2"))
+          .select(col("k").as("status_key"), col("n_orders"), col("total"))
+      },
+      Some("WITH c AS (SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS n_orders " +
+        "FROM orders GROUP BY 1), " +
+        "t AS (SELECT nullif(o_orderstatus, 'O') AS k2, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT c.k AS status_key, c.n_orders, t.total " +
+        "FROM c JOIN t ON c.k IS NOT DISTINCT FROM t.k2")))
 }
