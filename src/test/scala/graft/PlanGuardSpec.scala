@@ -70,4 +70,27 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), p) // the whole-stage-codegen span marker
     assert(!p.contains("Exchange"), "per-row text stats must not shuffle")
   }
+
+  test("dd_contamination: benchmark spans broadcast; the corpus never shuffles for the join") {
+    val p = plan("dd_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dd_span_dupes: no distinct-aggregate Expand — plain two-level hash aggregation") {
+    val p = plan("dd_span_dupes")
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("pipe_quota_sample: runs on the native top-k plan, not a window sort") {
+    val p = plan("pipe_quota_sample")
+    assert("TopKPerKey \\[".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("ev_funnel: stage joins are hash joins, never cartesian") {
+    val p = plan("ev_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
