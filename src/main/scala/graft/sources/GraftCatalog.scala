@@ -163,7 +163,9 @@ object GraftCatalog {
     *
     * Returns (files before, files after).
     */
-  def compact(tableDir: Path): (Int, Int) = {
+  def compact(tableDir: Path): (Int, Int) = compact(tableDir, None)
+
+  def compact(tableDir: Path, schema: Option[StructType]): (Int, Int) = {
     val (rows, files) = GraftJsonSink.readManifest(tableDir)
     if (files.size <= 1) return (files.size, files.size)
     val target = tableDir.resolve(
@@ -195,6 +197,20 @@ object GraftCatalog {
     GraftJsonSink.listSnapshots(tableDir).foreach(v =>
       Files.deleteIfExists(tableDir.resolve(s"${GraftJsonSink.SnapshotPrefix}$v.json")))
     GraftJsonSink.snapshotManifest(tableDir)
+    // the compacted file is exactly the concatenation of its inputs, so
+    // its stats are the fold of theirs — skipping survives compaction
+    // when every input had stats; otherwise the sidecar resets (advisory)
+    schema match {
+      case Some(sch) =>
+        val prev = GraftStats.read(tableDir, sch)
+        val inputs = files.flatMap(prev.get)
+        val folded =
+          if (inputs.size == files.size) Map(keep -> inputs.reduce(GraftStats.merge))
+          else Map.empty[String, GraftStats.FileStats]
+        GraftStats.write(tableDir, folded, sch)
+      case None =>
+        Files.deleteIfExists(tableDir.resolve(GraftStats.StatsName))
+    }
     (files.size, 1)
   }
 }
@@ -216,9 +232,21 @@ private[sources] class GraftCatalogTable(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var required: StructType = tableSchema
+      private var skippingFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+      // Stats-based skipping only: we remember the filters we can evaluate
+      // against file min/max ranges but return EVERY filter as a residual,
+      // so Spark re-applies them post-scan — skipping can only drop files
+      // that provably hold no matching row, never change results.
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+        skippingFilters = GraftStats.understood(filters)
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = skippingFilters
       override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = required
         override def toBatch: Batch = this
@@ -227,8 +255,19 @@ private[sources] class GraftCatalogTable(
             case Some(v) => GraftJsonSink.readManifestVersion(dir, v)
             case None => GraftJsonSink.readManifest(dir)
           }
-          files.map(f => JsonFilePartition(dir.resolve(f).toString): InputPartition).toArray
+          val kept =
+            if (skippingFilters.isEmpty) files
+            else {
+              val stats = GraftStats.read(dir, tableSchema)
+              files.filter { f =>
+                stats.get(f).forall(fs =>
+                  skippingFilters.forall(GraftStats.mayMatch(_, fs, tableSchema)))
+              }
+            }
+          kept.map(f => JsonFilePartition(dir.resolve(f).toString): InputPartition).toArray
         }
+        override def description(): String =
+          s"graft-json $tableName, skipping filters: [${skippingFilters.mkString(", ")}]"
         override def createReaderFactory(): PartitionReaderFactory =
           new JsonFileReaderFactory(tableSchema, required)
       }

@@ -180,7 +180,8 @@ private case class GraftJsonCommitMessage(
     partitionId: Int,
     taskId: Long,
     tmpPath: String,
-    rows: Long) extends WriterCommitMessage
+    rows: Long,
+    stats: GraftStats.FileStats) extends WriterCommitMessage
 
 private[sources] class GraftJsonBatchWrite(
     path: String,
@@ -199,11 +200,13 @@ private[sources] class GraftJsonBatchWrite(
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     if (truncateFirst && !replaceMode) {
-      // overwrite resets history: data files, manifest, and snapshots go
-      // (the format's contract — unlike append, which extends history)
+      // overwrite resets history: data files, manifest, snapshots, and the
+      // stats sidecar go (the format's contract — unlike append, which
+      // extends history)
       listFiles(dir).filter { p =>
         val n = p.getFileName.toString
         n.startsWith("part-") || n == GraftJsonSink.ManifestName ||
+          n == GraftStats.StatsName ||
           n.startsWith(GraftJsonSink.SnapshotPrefix)
       }.foreach(Files.deleteIfExists(_))
     }
@@ -220,7 +223,7 @@ private[sources] class GraftJsonBatchWrite(
     val published = messages.map { case m: GraftJsonCommitMessage =>
       val target = dir.resolve(f"part-${m.partitionId}%05d-$writeId-${m.taskId}.json")
       Files.move(Paths.get(m.tmpPath), target, StandardCopyOption.REPLACE_EXISTING)
-      (target.getFileName.toString, m.rows)
+      (target.getFileName.toString, m.rows, m.stats)
     }
     // manifest last, via atomic rename: the commit point
     val manifest = new java.lang.StringBuilder()
@@ -234,6 +237,15 @@ private[sources] class GraftJsonBatchWrite(
     Files.move(tmpManifest, dir.resolve(GraftJsonSink.ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     GraftJsonSink.snapshotManifest(dir) // history entry for VERSION AS OF
+    // stats sidecar AFTER the commit point: advisory skipping metadata —
+    // prior entries are kept (filenames are write-unique; replace-mode
+    // leaves superseded files on disk for VERSION AS OF reads, and their
+    // stats must keep serving those historical scans)
+    val prevStats =
+      if (truncateFirst && !replaceMode) Map.empty[String, GraftStats.FileStats]
+      else GraftStats.read(dir, schema)
+    GraftStats.write(dir,
+      prevStats ++ published.map(p => p._1 -> p._3), schema)
     cleanTmp(dir) // sweep orphans from failed/speculative attempts
   }
 
@@ -277,18 +289,22 @@ private class GraftJsonDataWriter(
 
   private val out = Files.newBufferedWriter(tmpFile, StandardCharsets.UTF_8)
   private var rows = 0L
+  // min/max/null-count per column, folded in while rendering — the same
+  // single pass over the data the write already makes
+  private val stats = new GraftStats.Collector(schema)
 
   override def write(row: InternalRow): Unit = {
     if (failNow) throw new RuntimeException(
       s"graft-json injected failure (first attempt of this partition)")
     out.write(GraftJsonSink.renderRow(row, schema))
     out.write("\n")
+    stats.observe(row)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftJsonCommitMessage(partitionId, taskId, tmpFile.toString, rows)
+    GraftJsonCommitMessage(partitionId, taskId, tmpFile.toString, rows, stats.result())
   }
 
   override def abort(): Unit = {
