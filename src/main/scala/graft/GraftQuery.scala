@@ -33,6 +33,7 @@ object GraftQuery {
       queries.Coverage3.defs ++
       queries.Coverage4.defs ++
       queries.Coverage5.defs ++
+      queries.Coverage6.defs ++
       queries.SourceRoundtrip.defs ++
       queries.Pipeline.defs ++
       queries.TextAnalysis.defs ++

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{GraftQuery, Tables}
+
+/** Coverage wave 7: IGNORE NULLS window navigation (the forward-fill /
+  * gap-filling idiom), struct-valued arrays with field-ordered sorting,
+  * and URL canonicalization — the web-corpus normalization pass that
+  * precedes any URL-keyed dedup.
+  */
+object Coverage6 {
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // Forward fill: carry the last non-null observation forward within
+    // each user's event timeline. `last(col, ignoreNulls)` over a
+    // running frame is the canonical Spark spelling; lead/lag with
+    // IGNORE NULLS navigate to the nearest non-null neighbor instead of
+    // the positional one. Sparse sensor readings, price ticks, and
+    // session attributes all fill this way.
+    GraftQuery(
+      "q_window_ignore_nulls",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // every 5th event "loses" its reading — deterministic gaps
+        val v = when(col("event_id") % 5 =!= 0, col("value"))
+        Tables.table(s, dir, "events")
+          .filter(col("user_id") <= 200)
+          .select(col("event_id"), col("user_id"), col("ts"), v.as("v"))
+          .select(
+            col("event_id"), col("user_id"), col("v"),
+            last(col("v"), ignoreNulls = true).over(running).as("v_filled"),
+            lag(col("v"), 1, null, ignoreNulls = true).over(byUser).as("prev_obs"),
+            lead(col("v"), 1, null, ignoreNulls = true).over(byUser).as("next_obs"))
+      },
+      Some("SELECT event_id, user_id, " +
+        "CASE WHEN event_id % 5 <> 0 THEN value END AS v, " +
+        "last_value(CASE WHEN event_id % 5 <> 0 THEN value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled, " +
+        "lag(CASE WHEN event_id % 5 <> 0 THEN value END, 1 IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_obs, " +
+        "lead(CASE WHEN event_id % 5 <> 0 THEN value END, 1 IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_obs " +
+        "FROM events WHERE user_id <= 200")),
+
+    // Struct-valued array processing: collect each order's lines as
+    // structs, sort by the struct's field order (quantity, then line
+    // number — struct comparison IS lexicographic field comparison in
+    // both engines), and read fields out of the extreme elements. The
+    // output is flattened to scalars because struct cells don't hash in
+    // the comparison harness.
+    GraftQuery(
+      "q_struct_sort",
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 2000)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(
+            struct(col("l_quantity"), col("l_linenumber")))).as("lines"))
+          .select(
+            col("l_orderkey"),
+            size(col("lines")).as("n_lines"),
+            element_at(col("lines"), 1).getField("l_linenumber").as("min_qty_line"),
+            element_at(col("lines"), -1).getField("l_linenumber").as("max_qty_line"),
+            element_at(col("lines"), 1).getField("l_quantity").as("min_qty"),
+            element_at(col("lines"), -1).getField("l_quantity").as("max_qty")),
+      Some("WITH f AS (SELECT l_orderkey, l_quantity, l_linenumber, " +
+        "row_number() OVER (PARTITION BY l_orderkey " +
+        "ORDER BY l_quantity, l_linenumber) AS rn_asc, " +
+        "row_number() OVER (PARTITION BY l_orderkey " +
+        "ORDER BY l_quantity DESC, l_linenumber DESC) AS rn_desc " +
+        "FROM lineitem WHERE l_orderkey <= 2000) " +
+        "SELECT l_orderkey, count(*) AS n_lines, " +
+        "max(CASE WHEN rn_asc = 1 THEN l_linenumber END) AS min_qty_line, " +
+        "max(CASE WHEN rn_desc = 1 THEN l_linenumber END) AS max_qty_line, " +
+        "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty " +
+        "FROM f GROUP BY l_orderkey")),
+
+    // URL canonicalization: scheme/host case-folding, default-port
+    // stripping, fragment removal, tracking-parameter (utm_*) removal,
+    // query-parameter sorting, and trailing-slash normalization — the
+    // pass that makes URL-keyed dedup see one key per resource. URLs are
+    // synthesized deterministically from doc_id so both engines
+    // normalize the identical messy inputs.
+    GraftQuery(
+      "txt_url_normalize",
+      (s, dir) => {
+        val d = col("doc_id")
+        val scheme = when(d % 2 === 0, "HTTP").otherwise("https")
+        val port = when(d % 3 === 0, ":80")
+          .when(d % 3 === 1, ":443").otherwise(":8080")
+        val q = when(d % 4 === 0, "?utm_source=feed&b=2&a=1")
+          .when(d % 4 === 1, "?b=2&utm_campaign=x&a=1&utm_medium=y")
+          .when(d % 4 === 2, "?a=1&b=2").otherwise("")
+        val trail = when(d % 5 === 0, "/").otherwise("")
+        val frag = when(d % 6 === 0, "#Section-2").otherwise("")
+        val raw = concat(scheme, lit("://WWW."), upper(col("source")),
+          lit(".Example.org"), port, lit("/Docs/"), d, trail, q, frag)
+
+        val noFrag = regexp_replace(raw, "#.*$", "")
+        val schemeN = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+        val hostPort = regexp_extract(noFrag, "^[A-Za-z]+://([^/?]+)", 1)
+        val host = lower(regexp_replace(hostPort, ":[0-9]+$", ""))
+        val portN = regexp_extract(hostPort, ":([0-9]+)$", 1)
+        val keepPort = when(
+          portN === "" ||
+            (schemeN === "http" && portN === "80") ||
+            (schemeN === "https" && portN === "443"), lit(""))
+          .otherwise(concat(lit(":"), portN))
+        val path0 = regexp_extract(noFrag, "^[A-Za-z]+://[^/?]+([^?]*)", 1)
+        val path = when(path0 === "", lit("/"))
+          .otherwise(regexp_replace(path0, "/+$", ""))
+        val pathN = when(path === "", lit("/")).otherwise(path)
+        val query0 = regexp_extract(noFrag, "\\?(.*)$", 1)
+        val params = filter(split(query0, "&"),
+          p => p =!= "" && !p.startsWith("utm_"))
+        val queryN = when(size(params) > 0,
+          concat(lit("?"), array_join(array_sort(params), "&"))).otherwise(lit(""))
+
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw_url"),
+            concat(schemeN, lit("://"), host, keepPort, pathN, queryN)
+              .as("canonical_url"))
+      },
+      Some("WITH u AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://WWW.' || " +
+        "upper(source) || '.Example.org' || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN ':80' WHEN doc_id % 3 = 1 THEN ':443' ELSE ':8080' END) || " +
+        "'/Docs/' || doc_id || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1' " +
+        " WHEN doc_id % 4 = 1 THEN '?b=2&utm_campaign=x&a=1&utm_medium=y' " +
+        " WHEN doc_id % 4 = 2 THEN '?a=1&b=2' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS raw_url " +
+        "FROM documents), " +
+        "parts AS (SELECT doc_id, raw_url, " +
+        "regexp_replace(raw_url, '#.*$', '') AS nofrag FROM u), " +
+        "p2 AS (SELECT doc_id, raw_url, nofrag, " +
+        "lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme, " +
+        "regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1) AS hostport, " +
+        "regexp_extract(nofrag, '^[A-Za-z]+://[^/?]+([^?]*)', 1) AS path0, " +
+        "regexp_extract(nofrag, '\\?(.*)$', 1) AS query0 FROM parts), " +
+        "p3 AS (SELECT doc_id, raw_url, scheme, " +
+        "lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host, " +
+        "regexp_extract(hostport, ':([0-9]+)$', 1) AS port, " +
+        "CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '/+$', '') END AS path1, " +
+        "list_sort(list_filter(string_split(query0, '&'), " +
+        "p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS params FROM p2) " +
+        "SELECT doc_id, raw_url, " +
+        "scheme || '://' || host || " +
+        "(CASE WHEN port = '' OR (scheme = 'http' AND port = '80') " +
+        "OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END) || " +
+        "(CASE WHEN path1 = '' THEN '/' ELSE path1 END) || " +
+        "(CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) " +
+        "AS canonical_url FROM p3")),
+
+    // PageRank over a deterministic synthetic link graph (3 out-links
+    // per document), 5 iterations of graft.operators.PageRank — exact
+    // integer-micros arithmetic makes an ITERATIVE fixpoint
+    // hash-comparable across engines, something floating-point PageRank
+    // can never be (its per-node sum order is partition-dependent). The
+    // oracle unrolls the same 5 iterations as chained CTEs.
+    GraftQuery(
+      "graph_pagerank",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val n = docs.agg(count(lit(1)).as("n"))
+        val edges = docs.crossJoin(broadcast(n))
+          .select(col("doc_id").as("src"),
+            explode(array(Seq(1, 2, 3).map(j =>
+              (col("doc_id") * 31 + j * 7) % col("n")): _*)).as("dst"))
+        graft.operators.PageRank.run(edges, iterations = 5)
+      },
+      Some {
+        val iter = (k: Int) =>
+          s"r${k + 1} AS (SELECT nd.node, CAST(150000 AS BIGINT) + " +
+            s"(850 * COALESCE(c.s, 0)) // 1000 AS rank FROM nodes nd " +
+            s"LEFT JOIN (SELECT e.dst, SUM(r$k.rank // e.outdeg) AS s " +
+            s"FROM e JOIN r$k ON e.src = r$k.node GROUP BY e.dst) c " +
+            s"ON nd.node = c.dst)"
+        "WITH nn AS (SELECT count(*) AS n FROM documents), " +
+          "edges AS (SELECT doc_id AS src, (doc_id*31 + j*7) % nn.n AS dst " +
+          "FROM documents, nn, unnest([1, 2, 3]) AS u(j)), " +
+          "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src), " +
+          "e AS (SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)), " +
+          "nodes AS (SELECT DISTINCT node FROM " +
+          "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)), " +
+          "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes), " +
+          (0 until 5).map(iter).mkString(", ") +
+          " SELECT node, CAST(rank AS BIGINT) AS rank FROM r5"
+      }))
+}
