@@ -64,4 +64,47 @@ object BinnedRangeJoin {
           col("__pv") >= col("__s") && col("__pv") <= col("__e"))
       .drop("__pv", "__pbin", "__s", "__e", "__ibin")
   }
+
+  /** All (left, right) pairs whose inclusive intervals overlap
+    * (`lStart <= rEnd && rStart <= lEnd`) — the temporal-join shape
+    * (sessions × outages, ad exposures × visits). Same equi-join
+    * rewrite, with both sides replicated to their covering bins; a pair
+    * that overlaps shares EVERY bin of the overlap region, so the join
+    * additionally pins each pair to one designated bin — the bin of the
+    * later start, `max(lStart, rStart)`, which lies inside both
+    * intervals by definition of overlap. floorDiv is monotone, so that
+    * bin is simply the max of the two precomputed start bins: no dedup,
+    * row-identical to the naive quadratic join. Degenerate (end < start)
+    * intervals match nothing.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lStart: Column,
+      lEnd: Column,
+      right: DataFrame,
+      rStart: Column,
+      rEnd: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val l = left
+      .withColumn("__ls", lStart.cast(LongType))
+      .withColumn("__le", lEnd.cast(LongType))
+      .filter(col("__le") >= col("__ls"))
+      .withColumn("__lsbin", floorDiv("__ls", binWidth))
+      .withColumn("__lbin",
+        explode(sequence(col("__lsbin"), floorDiv("__le", binWidth))))
+    val r = right
+      .withColumn("__rs", rStart.cast(LongType))
+      .withColumn("__re", rEnd.cast(LongType))
+      .filter(col("__re") >= col("__rs"))
+      .withColumn("__rsbin", floorDiv("__rs", binWidth))
+      .withColumn("__rbin",
+        explode(sequence(col("__rsbin"), floorDiv("__re", binWidth))))
+    l.join(r,
+        col("__lbin") === col("__rbin") &&
+          col("__lbin") === greatest(col("__lsbin"), col("__rsbin")) &&
+          col("__ls") <= col("__re") && col("__rs") <= col("__le"))
+      .drop("__ls", "__le", "__lsbin", "__lbin",
+        "__rs", "__re", "__rsbin", "__rbin")
+  }
 }

@@ -204,6 +204,38 @@ object Pipeline {
         "WHERE l.l_suppkey % 50 = 0 AND o.o_orderkey % 20 = 0"),
       bench = true),
 
+    // Interval OVERLAP join (both sides are intervals — the temporal
+    // shape of sessions × incidents): the same binned equi-join rewrite,
+    // with each overlapping pair pinned to the single bin holding the
+    // later of the two starts so no dedup is needed. Oracle is the
+    // naive quadratic join; results must be row-identical.
+    GraftQuery(
+      "q_interval_overlap",
+      (s, dir) => {
+        val day = 86400000000L
+        val ship = Tables.table(s, dir, "lineitem")
+          .filter(col("l_suppkey") % 50 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            unix_micros(col("l_shipdate").cast("timestamp")).as("ls_us"),
+            (unix_micros(col("l_shipdate").cast("timestamp")) +
+              (col("l_quantity").cast(LongType) % 30) * day).as("le_us"))
+        val ord = Tables.table(s, dir, "orders")
+          .filter(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("rs_us"),
+            (unix_micros(col("o_orderdate").cast("timestamp")) +
+              (col("o_orderkey") % 15) * day).as("re_us"))
+        graft.operators.BinnedRangeJoin
+          .intervalOverlap(ship, col("ls_us"), col("le_us"),
+            ord, col("rs_us"), col("re_us"), binWidth = 16 * day)
+          .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"))
+      },
+      Some("SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey " +
+        "FROM lineitem l JOIN orders o " +
+        "ON l.l_shipdate <= o.o_orderdate + to_days(CAST(o.o_orderkey % 15 AS INT)) " +
+        "AND o.o_orderdate <= l.l_shipdate + to_days(CAST(floor(l_quantity) AS INT) % 30) " +
+        "WHERE l.l_suppkey % 50 = 0 AND o.o_orderkey % 20 = 0")),
+
     // Z-order curve values: the Morton interleave that drives
     // multi-dimensional data layout (operators.ZOrder.layout). Pure bit
     // arithmetic, oracle-checked bit-for-bit against the same magic-
