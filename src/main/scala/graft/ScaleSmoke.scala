@@ -154,6 +154,68 @@ object ScaleSmoke {
         .pointInInterval(pts, col("p"), ivs, col("s"), col("e"), binWidth = 1000L)
         .count()
     }
+    // stats-based file skipping: a range-clustered catalog table (the
+    // layout ZOrder.layout / clustered ingest produces) answers a
+    // selective key query by OPENING only the covering files — the
+    // at-scale win is reads never issued, which wall-clock shows even on
+    // local disk. Same query with the sidecar removed scans all files.
+    val skipRoot = java.nio.file.Files.createTempDirectory("graft_skip_smoke")
+    spark.conf.set("spark.sql.catalog.smokecat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.smokecat.root", skipRoot.toString)
+    spark.sql("CREATE TABLE smokecat.s.docs (doc_id BIGINT, fp STRING, n_tokens INT)")
+    docs.select(col("doc_id"), md5(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("int").as("n_tokens"))
+      .repartitionByRange(64, col("doc_id"))
+      .writeTo("smokecat.s.docs").append()
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case b: BatchScanExec => b.inputPartitions.size
+        case o => o.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val lo = nDocs / 2
+    val hi = lo + math.max(1L, nDocs / 64) - 1
+    def skipQuery = spark.table("smokecat.s.docs")
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+      .agg(sum(col("n_tokens")))
+    // page-cache warmup so the comparison isolates work planned, not
+    // which variant happened to fault the files in first. local[32]
+    // wall-clock hides most of the win (64 parallel small reads ≈ 2);
+    // summed task time is the metric that scales with cluster cost, so
+    // measure both.
+    spark.table("smokecat.s.docs").count()
+    def taskMillis(body: => Unit): Long = {
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        val ms = new java.util.concurrent.atomic.AtomicLong
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          ms.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.sql.graft.GraftPlans.drainListenerBus(spark)
+        listener.ms.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val t0Skip = System.nanoTime()
+    val msSkip = taskMillis { skipQuery.head() }
+    val tSkip = (System.nanoTime() - t0Skip) / 1e9
+    val filesKept = plannedFiles(skipQuery)
+    val tableDir = skipRoot.resolve("s").resolve("docs")
+    val sidecar = tableDir.resolve(graft.sources.GraftStats.StatsName)
+    val parked = tableDir.resolve("_parked_stats")
+    java.nio.file.Files.move(sidecar, parked)
+    val t0NoSkip = System.nanoTime()
+    val msNoSkip = taskMillis { skipQuery.head() }
+    val tNoSkip = (System.nanoTime() - t0NoSkip) / 1e9
+    val filesAll = plannedFiles(skipQuery)
+    java.nio.file.Files.move(parked, sidecar)
     println(
       s"""{"n_docs":$nDocs,"minhash_lsh_sec":$tDedup,"neardup_pairs":$nPairs,""" +
         s""""exact_dedup_sec":$tExact,"distinct_docs":$nGroups,"token_count_sec":$tTok,""" +
@@ -165,7 +227,10 @@ object ScaleSmoke {
         s""""span_text_sec":$tSpanText,"span_text_shuffle_mb":${bSpanText / 1048576},""" +
         s""""span_hash_sec":$tSpanHash,"span_hash_shuffle_mb":${bSpanHash / 1048576},""" +
         s""""dup_spans":$nSpanHash,""" +
-        s""""binned_range_sec":$tBinned,"binned_range_pairs":$nBinned}""")
+        s""""binned_range_sec":$tBinned,"binned_range_pairs":$nBinned,""" +
+        s""""skip_files_kept":$filesKept,"skip_files_total":$filesAll,""" +
+        s""""skip_sec":$tSkip,"noskip_sec":$tNoSkip,""" +
+        s""""skip_task_ms":$msSkip,"noskip_task_ms":$msNoSkip}""")
     spark.stop()
   }
 }

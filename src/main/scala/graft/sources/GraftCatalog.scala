@@ -223,13 +223,81 @@ object GraftCatalog {
 private[sources] class GraftCatalogTable(
     tableName: String, dir: Path, tableSchema: StructType,
     version: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    version.isEmpty && filters.forall(FilterEval.evaluable(_, tableSchema))
+
+  /** SQL `DELETE FROM t WHERE p` as a copy-on-write commit: files whose
+    * stats prove no row can match survive untouched (the skip layer
+    * planning the delete), files where every row matches drop from the
+    * manifest, and only files with a genuine mix are rewritten. A row is
+    * deleted exactly when the conjunction evaluates TRUE (UNKNOWN keeps
+    * it — SQL semantics). Superseded files stay on disk so VERSION AS OF
+    * keeps serving pre-delete snapshots until compact() vacuums, the
+    * same contract as MERGE. Rewrites run on the driver like compact();
+    * a cluster build distributes them through the sink and commits the
+    * same manifest swap.
+    */
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(version.isEmpty, s"cannot delete from a historical version of $tableName")
+    val (_, files) = GraftJsonSink.readManifest(dir)
+    val stats = GraftStats.read(dir, tableSchema)
+    val writeId = java.util.UUID.randomUUID().toString.take(8)
+    var newStats = Map.empty[String, GraftStats.FileStats]
+    var keptRows = 0L
+    val keptFiles = Vector.newBuilder[String]
+    files.zipWithIndex.foreach { case (f, idx) =>
+      val fileStats = stats.get(f)
+      val untouchable = fileStats.exists(fs =>
+        !filters.forall(GraftStats.mayMatch(_, fs, tableSchema)))
+      if (untouchable) {
+        keptFiles += f
+        keptRows += fileStats.get.rows
+      } else {
+        val lines = Files.readAllLines(dir.resolve(f), StandardCharsets.UTF_8)
+          .asScala.filter(_.nonEmpty)
+        val collector = new GraftStats.Collector(tableSchema)
+        val kept = lines.filter { line =>
+          val row = JsonLineParser.parse(line, tableSchema, tableSchema)
+          val isDeleted = filters.forall(
+            FilterEval.eval(_, row, tableSchema) == java.lang.Boolean.TRUE)
+          if (!isDeleted) collector.observe(row)
+          !isDeleted
+        }
+        if (kept.size == lines.size) { // no hit after all: keep the file
+          keptFiles += f
+          keptRows += lines.size
+        } else if (kept.nonEmpty) { // mixed: rewrite survivors
+          val nf = f"part-$writeId-rw$idx%05d.json"
+          Files.write(dir.resolve(nf),
+            (kept.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+          keptFiles += nf
+          keptRows += kept.size
+          newStats += nf -> collector.result()
+        } // all rows matched: file drops from the manifest entirely
+      }
+    }
+    val manifest = new java.lang.StringBuilder()
+      .append("{\"rows\":").append(keptRows)
+      .append(",\"files\":[")
+      .append(keptFiles.result().map(f => "\"" + f + "\"").sorted.mkString(","))
+      .append("]}\n").toString
+    val tmp = dir.resolve(GraftJsonSink.ManifestName + ".tmp")
+    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(GraftJsonSink.ManifestName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    GraftJsonSink.snapshotManifest(dir)
+    if (newStats.nonEmpty) GraftStats.write(dir, stats ++ newStats, tableSchema)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns

@@ -124,41 +124,48 @@ object GraftStats {
 
   // ---------------------------------------------------------------- pruning
 
+  /** A literal from a pushed-down [[Filter]] coerced to the engine value
+    * of the named column's type; None when the column is unknown, the
+    * type unsupported, or the literal unconvertible.
+    */
+  private[sources] def typedLiteral(
+      schema: StructType, name: String, v: Any): Option[Any] =
+    schema.fields.find(_.name == name).map(_.dataType).flatMap { dt =>
+      try Some(dt match {
+        case StringType => v match {
+          case s: String => UTF8String.fromString(s)
+          case u: UTF8String => u
+          case other => UTF8String.fromString(other.toString)
+        }
+        case LongType => v match {
+          case l: Long => l; case i: Int => i.toLong
+          case s: Short => s.toLong; case b: Byte => b.toLong
+          case other => other.toString.toLong
+        }
+        case IntegerType => v match {
+          case i: Int => i; case l: Long if l == l.toInt.toLong => l.toInt
+          case s: Short => s.toInt; case b: Byte => b.toInt
+          case other => other.toString.toInt
+        }
+        case DoubleType => v match {
+          case d: Double => d; case f: Float => f.toDouble
+          case l: Long => l.toDouble; case i: Int => i.toDouble
+          case other => other.toString.toDouble
+        }
+        case BooleanType => v match {
+          case b: Boolean => b
+          case other => other.toString.toBoolean
+        }
+        case _ => return None
+      }) catch { case _: Exception => None }
+    }
+
   /** Can any row in a file with these stats satisfy `filter`? Conservative:
     * anything not understood (or any missing stat) returns true.
     */
   def mayMatch(filter: Filter, fs: FileStats, schema: StructType): Boolean = {
     def col(name: String): Option[ColStats] = fs.cols.get(name)
-    def typed(name: String, v: Any): Option[Any] =
-      schema.fields.find(_.name == name).map(_.dataType).flatMap { dt =>
-        try Some(dt match {
-          case StringType => v match {
-            case s: String => UTF8String.fromString(s)
-            case u: UTF8String => u
-            case other => UTF8String.fromString(other.toString)
-          }
-          case LongType => v match {
-            case l: Long => l; case i: Int => i.toLong
-            case s: Short => s.toLong; case b: Byte => b.toLong
-            case other => other.toString.toLong
-          }
-          case IntegerType => v match {
-            case i: Int => i; case l: Long if l == l.toInt.toLong => l.toInt
-            case s: Short => s.toInt; case b: Byte => b.toInt
-            case other => other.toString.toInt
-          }
-          case DoubleType => v match {
-            case d: Double => d; case f: Float => f.toDouble
-            case l: Long => l.toDouble; case i: Int => i.toDouble
-            case other => other.toString.toDouble
-          }
-          case BooleanType => v match {
-            case b: Boolean => b
-            case other => other.toString.toBoolean
-          }
-          case _ => return None
-        }) catch { case _: Exception => None }
-      }
+    def typed(name: String, v: Any): Option[Any] = typedLiteral(schema, name, v)
     def range(name: String, v: Any)(p: (ColStats, Any) => Boolean): Boolean =
       (col(name), typed(name, v)) match {
         case (Some(c), Some(t)) if c.min != null && c.max != null => p(c, t)
