@@ -193,5 +193,60 @@ object Coverage6 {
           "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes), " +
           (0 until 5).map(iter).mkString(", ") +
           " SELECT node, CAST(rank AS BIGINT) AS rank FROM r5"
+      }),
+
+    // arg-extremes: the value of one column AT the extreme of another
+    // (max_by / min_by ≡ arg_max / arg_min) — deterministic because the
+    // ordering key o_orderkey is unique, which is the condition any
+    // cross-engine arg_* comparison needs (tie-breaks are
+    // engine-internal).
+    GraftQuery(
+      "q_arg_minmax",
+      (s, dir) =>
+        Tables.table(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            max_by(col("o_totalprice"), col("o_orderkey")).as("price_of_last"),
+            min_by(col("o_totalprice"), col("o_orderkey")).as("price_of_first"),
+            max_by(col("o_orderstatus"), col("o_orderkey")).as("status_of_last"),
+            max(col("o_orderkey")).as("last_key")),
+      Some("SELECT o_orderpriority, " +
+        "arg_max(o_totalprice, o_orderkey) AS price_of_last, " +
+        "arg_min(o_totalprice, o_orderkey) AS price_of_first, " +
+        "arg_max(o_orderstatus, o_orderkey) AS status_of_last, " +
+        "max(o_orderkey) AS last_key " +
+        "FROM orders GROUP BY o_orderpriority")),
+
+    // Bounded-depth BFS from seed documents over the same synthetic link
+    // graph: exact integer levels via frontier expansion + min-merge
+    // (graft.operators.BfsLevels); the oracle unrolls 4 Bellman-Ford
+    // relaxation rounds — after round k it holds exactly the nodes
+    // within k hops at their true distance, which is what the frontier
+    // algorithm maintains incrementally.
+    GraftQuery(
+      "graph_bfs_levels",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val n = docs.agg(count(lit(1)).as("n"))
+        val edges = docs.crossJoin(broadcast(n))
+          .select(col("doc_id").as("src"),
+            explode(array(Seq(1, 2, 3).map(j =>
+              (col("doc_id") * 31 + j * 7) % col("n")): _*)).as("dst"))
+        val sources = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("node"))
+        graft.operators.BfsLevels.run(edges, sources, maxDepth = 4)
+      },
+      Some {
+        val relax = (k: Int) =>
+          s"d${k + 1} AS (SELECT node, min(level) AS level FROM (" +
+            s"SELECT node, level FROM d$k " +
+            s"UNION ALL SELECT e.dst AS node, d$k.level + 1 AS level " +
+            s"FROM edges e JOIN d$k ON e.src = d$k.node) GROUP BY node)"
+        "WITH nn AS (SELECT count(*) AS n FROM documents), " +
+          "edges AS (SELECT doc_id AS src, (doc_id*31 + j*7) % nn.n AS dst " +
+          "FROM documents, nn, unnest([1, 2, 3]) AS u(j)), " +
+          "d0 AS (SELECT doc_id AS node, 0 AS level FROM documents WHERE doc_id % 100 = 0), " +
+          (0 until 4).map(relax).mkString(", ") +
+          " SELECT node, level FROM d4"
       }))
 }
