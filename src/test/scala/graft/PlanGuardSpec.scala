@@ -93,4 +93,21 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_interval_overlap: binned overlap joins as equi-join, never cartesian") {
+    val p = plan("q_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("graph_pagerank: rank updates are hash joins over the cached edge list") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), "edge list must be cached")
+  }
+
+  test("q_window_ignore_nulls: one shuffle for all four window functions") {
+    val p = plan("q_window_ignore_nulls")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
 }
