@@ -248,5 +248,44 @@ object Coverage6 {
           "d0 AS (SELECT doc_id AS node, 0 AS level FROM documents WHERE doc_id % 100 = 0), " +
           (0 until 4).map(relax).mkString(", ") +
           " SELECT node, level FROM d4"
-      }))
+      }),
+
+    // The TPC-H Q21 shape: one aggregate over BOTH a correlated EXISTS
+    // and a correlated NOT EXISTS against the same fact table —
+    // suppliers who were the ONLY late shipper on a multi-supplier
+    // order. Decorrelation turns these into one semi and one anti join
+    // on the order key with a supplier-inequality residual; "late" is
+    // shipping more than 60 days after the order date.
+    GraftQuery(
+      "q_multi_exists",
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val late = Tables.table(s, dir, "lineitem")
+          .join(Tables.table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        late.as("l1")
+          .join(li.as("l2"),
+            col("l2.l_orderkey") === col("l1.l_orderkey") &&
+              col("l2.l_suppkey") =!= col("l1.l_suppkey"),
+            "left_semi")
+          .join(late.as("l3"),
+            col("l3.l_orderkey") === col("l1.l_orderkey") &&
+              col("l3.l_suppkey") =!= col("l1.l_suppkey"),
+            "left_anti")
+          .groupBy(col("l1.l_suppkey").as("s_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+      },
+      Some("WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY), " +
+        "lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) " +
+        "SELECT l1.l_suppkey AS s_suppkey, count(*) AS numwait FROM late l1 " +
+        "WHERE EXISTS (SELECT 1 FROM lo l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+        "AND l3.l_suppkey <> l1.l_suppkey) " +
+        "GROUP BY l1.l_suppkey")))
 }
