@@ -129,8 +129,40 @@ class GraftCatalog extends TableCatalog {
     new GraftCatalogTable(ident.toString, dirFor(ident), schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog tables are schema-immutable")
+  /** Append-only schema evolution: ADD COLUMN (nullable, atomic type,
+    * top-level, at the end). Files written before the change simply end
+    * early — the reader null-fills trailing columns — so no data file
+    * is ever rewritten and historical snapshots read correctly under
+    * the widened schema. Drops/renames/type-changes would break that
+    * positional contract and are rejected.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val f = schemaFile(ident)
+    if (!Files.exists(f)) throw new NoSuchTableException(ident)
+    var schema = DataType.fromJson(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"graft-json supports only top-level columns, got ${add.fieldNames.mkString(".")}")
+        require(add.isNullable,
+          "added columns must be nullable (existing rows null-fill them)")
+        require(add.position() == null,
+          "added columns always append at the end (positional file contract)")
+        val name = add.fieldNames.head
+        require(!schema.fieldNames.contains(name), s"column $name already exists")
+        require(Set[DataType](StringType, LongType, IntegerType, DoubleType, BooleanType)
+          .contains(add.dataType),
+          s"graft-json supports atomic string/long/int/double/boolean columns, " +
+            s"got ${add.dataType} for $name")
+        schema = schema.add(name, add.dataType, nullable = true,
+          if (add.comment() == null) "" else add.comment())
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog tables support only ADD COLUMN, got $other")
+    }
+    Files.write(f, schema.json.getBytes(StandardCharsets.UTF_8))
+    new GraftCatalogTable(ident.toString, dirFor(ident), schema)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)
@@ -381,7 +413,9 @@ private[sources] object JsonLineParser {
     var i = 0
     expect(line, i, '{'); i += 1
     var f = 0
-    while (f < fileSchema.length) {
+    // a row may END EARLY: files written before an ADD COLUMN lack the
+    // trailing columns, which null-fill (append-only schema evolution)
+    while (f < fileSchema.length && !(i < line.length && line.charAt(i) == '}')) {
       if (f > 0) { expect(line, i, ','); i += 1 }
       val (key, i2) = parseString(line, i)
       i = i2

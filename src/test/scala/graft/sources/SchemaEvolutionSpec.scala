@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Append-only schema evolution: ADD COLUMN widens the table without
+  * touching any data file — rows written before the change null-fill the
+  * new trailing columns at read time, and every layer above (skipping
+  * stats, DELETE, time travel) keeps working across the boundary.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.evocat", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.evocat.root",
+      Files.createTempDirectory("graft_evo").toString)
+    s
+  }
+
+  test("ADD COLUMN null-fills old rows; new writes carry the column") {
+    spark.sql("CREATE TABLE evocat.ns.e (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO evocat.ns.e VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE evocat.ns.e ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO evocat.ns.e VALUES (3, 'c', 9.5)")
+
+    val rows = spark.sql("SELECT id, s, score FROM evocat.ns.e ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(9.5))))
+
+    // filters on the new column see nulls in old rows (three-valued)
+    assert(spark.sql("SELECT count(*) FROM evocat.ns.e WHERE score > 1.0")
+      .head().getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM evocat.ns.e WHERE score IS NULL")
+      .head().getLong(0) == 2)
+    spark.sql("DROP TABLE evocat.ns.e")
+  }
+
+  test("DELETE with a predicate on the evolved column crosses old files safely") {
+    spark.sql("CREATE TABLE evocat.ns.d (id BIGINT)")
+    spark.sql("INSERT INTO evocat.ns.d VALUES (1), (2)")
+    spark.sql("ALTER TABLE evocat.ns.d ADD COLUMN tag STRING")
+    spark.sql("INSERT INTO evocat.ns.d VALUES (3, 'drop'), (4, 'keep')")
+    spark.sql("DELETE FROM evocat.ns.d WHERE tag = 'drop'")
+    // old rows have tag NULL → predicate UNKNOWN → they survive
+    assert(spark.sql("SELECT id FROM evocat.ns.d ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    spark.sql("DROP TABLE evocat.ns.d")
+  }
+
+  test("time travel reads pre-evolution snapshots under the widened schema") {
+    spark.sql("CREATE TABLE evocat.ns.t (id BIGINT)")
+    spark.sql("INSERT INTO evocat.ns.t VALUES (1)")
+    spark.sql("ALTER TABLE evocat.ns.t ADD COLUMN v INT")
+    spark.sql("INSERT INTO evocat.ns.t VALUES (2, 7)")
+    val v1 = spark.sql("SELECT * FROM evocat.ns.t VERSION AS OF 1").collect()
+    assert(v1.length == 1 && v1.head.getLong(0) == 1L && v1.head.isNullAt(1))
+    spark.sql("DROP TABLE evocat.ns.t")
+  }
+
+  test("unsupported evolutions are rejected loudly") {
+    spark.sql("CREATE TABLE evocat.ns.r (id BIGINT, s STRING)")
+    intercept[Exception](spark.sql("ALTER TABLE evocat.ns.r DROP COLUMN s"))
+    intercept[Exception](spark.sql("ALTER TABLE evocat.ns.r RENAME COLUMN s TO t"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE evocat.ns.r ADD COLUMN m MAP<STRING,STRING>"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE evocat.ns.r ADD COLUMN x BIGINT FIRST"))
+    intercept[Exception](spark.sql("ALTER TABLE evocat.ns.r ADD COLUMN id BIGINT"))
+    // the table is still intact and readable
+    spark.sql("INSERT INTO evocat.ns.r VALUES (1, 'ok')")
+    assert(spark.table("evocat.ns.r").count() == 1)
+    spark.sql("DROP TABLE evocat.ns.r")
+  }
+}
