@@ -66,5 +66,40 @@ object SourceRoundtrip {
       },
       Some("SELECT lang, count(*) AS n_docs, " +
         "CAST(SUM(length(text)) AS BIGINT) AS chars_total, " +
-        "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY lang")))
+        "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY lang")),
+
+    // The full catalog lifecycle under the gate: CREATE a graft-json
+    // table, INSERT a range-clustered orders slice, DELETE a key band
+    // (copy-on-write, stats-planned), then aggregate through a
+    // stats-skipped filtered scan. The oracle replays the surviving
+    // predicate straight on the parquet table, so a fault anywhere in
+    // the write → stats → skip → delete → read chain mismatches.
+    GraftQuery(
+      "src_catalog_roundtrip",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_cat_rt").toString
+        val cat = s"rt${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.orders " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+        Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .writeTo(s"$cat.g.orders").append()
+        s.sql(s"DELETE FROM $cat.g.orders " +
+          "WHERE o_orderkey >= 2000 AND o_orderkey < 4000")
+        s.table(s"$cat.g.orders")
+          .filter(col("o_orderkey") < 8000)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("total"),
+            sum(col("o_orderkey")).as("key_sum"))
+      },
+      Some("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders " +
+        "WHERE o_orderkey < 8000 AND NOT (o_orderkey >= 2000 AND o_orderkey < 4000) " +
+        "GROUP BY o_orderstatus")))
 }

@@ -110,4 +110,11 @@ class PlanGuardSpec extends AnyFunSuite {
     val p = plan("q_window_ignore_nulls")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("q_multi_exists: EXISTS and NOT EXISTS decorrelate to semi and anti joins") {
+    val p = plan("q_multi_exists")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
