@@ -216,6 +216,41 @@ object ScaleSmoke {
     val tNoSkip = (System.nanoTime() - t0NoSkip) / 1e9
     val filesAll = plannedFiles(skipQuery)
     java.nio.file.Files.move(parked, sidecar)
+    // bucketed fact-fact join: both sides persisted bucketBy(32) on the
+    // join key. The bucket layout is a stored HashPartitioning, so the
+    // sort-merge join reads co-located buckets and shuffles NOTHING —
+    // vs the plain-parquet plan that re-shuffles both sides every run.
+    // At 100 TB this is the "pay the shuffle once at layout time"
+    // strategy for joins that repeat across a workload.
+    val bktRoot = java.nio.file.Files.createTempDirectory("graft_bkt_smoke")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bktsmoke LOCATION '$bktRoot'")
+    val facts = spark.range(nDocs * 4).select(
+      col("id").as("fk"),
+      pmod(hash(col("id")).cast("long"), lit(nDocs)).as("cust"),
+      (col("id") % 997).cast("double").as("amount"))
+    val dims = spark.range(nDocs).select(
+      col("id").as("cust2"), (col("id") % 11).as("seg"))
+    facts.write.mode("overwrite").parquet(s"$bktRoot/facts_plain")
+    dims.write.mode("overwrite").parquet(s"$bktRoot/dims_plain")
+    facts.repartition(32, col("cust")).write.mode("overwrite")
+      .bucketBy(32, "cust").sortBy("cust").saveAsTable("bktsmoke.facts_b")
+    dims.repartition(32, col("cust2")).write.mode("overwrite")
+      .bucketBy(32, "cust2").sortBy("cust2").saveAsTable("bktsmoke.dims_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (tJoinPlain, nJoinPlain, bJoinPlain) = shuffleBytes {
+      spark.read.parquet(s"$bktRoot/facts_plain")
+        .join(spark.read.parquet(s"$bktRoot/dims_plain"),
+          col("cust") === col("cust2"))
+        .groupBy(col("seg")).agg(sum(col("amount"))).count()
+    }
+    val (tJoinBkt, nJoinBkt, bJoinBkt) = shuffleBytes {
+      spark.table("bktsmoke.facts_b")
+        .join(spark.table("bktsmoke.dims_b"), col("cust") === col("cust2"))
+        .groupBy(col("seg")).agg(sum(col("amount"))).count()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", plain)
+    require(nJoinBkt == nJoinPlain,
+      s"bucketed join diverged: $nJoinBkt vs $nJoinPlain")
     println(
       s"""{"n_docs":$nDocs,"minhash_lsh_sec":$tDedup,"neardup_pairs":$nPairs,""" +
         s""""exact_dedup_sec":$tExact,"distinct_docs":$nGroups,"token_count_sec":$tTok,""" +
@@ -230,7 +265,9 @@ object ScaleSmoke {
         s""""binned_range_sec":$tBinned,"binned_range_pairs":$nBinned,""" +
         s""""skip_files_kept":$filesKept,"skip_files_total":$filesAll,""" +
         s""""skip_sec":$tSkip,"noskip_sec":$tNoSkip,""" +
-        s""""skip_task_ms":$msSkip,"noskip_task_ms":$msNoSkip}""")
+        s""""skip_task_ms":$msSkip,"noskip_task_ms":$msNoSkip,""" +
+        s""""join_plain_sec":$tJoinPlain,"join_plain_shuffle_mb":${bJoinPlain / 1048576},""" +
+        s""""join_bucketed_sec":$tJoinBkt,"join_bucketed_shuffle_mb":${bJoinBkt / 1048576}}""")
     spark.stop()
   }
 }

@@ -101,5 +101,46 @@ object SourceRoundtrip {
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
         "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders " +
         "WHERE o_orderkey < 8000 AND NOT (o_orderkey >= 2000 AND o_orderkey < 4000) " +
-        "GROUP BY o_orderstatus")))
+        "GROUP BY o_orderstatus")),
+
+    // Bucketed tables: both sides written bucketBy(8) on the join key —
+    // Spark's bucket layout IS a persisted HashPartitioning (pmod of the
+    // same Murmur3 hash), so the sort-merge join needs NO Exchange on
+    // either side (PlanGuardSpec asserts). Each write repartitions by the
+    // identical hash first, so every task holds exactly one bucket → one
+    // file per bucket, which also lets the scan satisfy the join's sort
+    // requirement from the sortBy order. At 100 TB this is the fact-fact
+    // join strategy: pay the shuffle once at layout time, never at read.
+    GraftQuery(
+      "src_bucketed_join",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_bkt").toString
+        val db = s"bkt${System.nanoTime()}"
+        s.sql(s"CREATE DATABASE $db LOCATION '$root'")
+        Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(8, col("o_custkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable(s"$db.orders_b")
+        Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .repartition(8, col("c_custkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable(s"$db.customer_b")
+        s.table(s"$db.orders_b").hint("merge")
+          .join(s.table(s"$db.customer_b"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("total"),
+            sum(col("o_orderkey")).as("key_sum"))
+      },
+      Some("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment")))
 }

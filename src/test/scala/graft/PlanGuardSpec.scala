@@ -117,4 +117,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("src_bucketed_join: bucket layout serves the join — no Exchange on either side") {
+    val p = plan("src_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // the only shuffle allowed is the final groupBy(c_mktsegment);
+    // neither join key may repartition at read time
+    assert(!p.contains("Exchange hashpartitioning(o_custkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(c_custkey"), p)
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
 }
