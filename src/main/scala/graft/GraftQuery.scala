@@ -34,6 +34,7 @@ object GraftQuery {
       queries.Coverage4.defs ++
       queries.Coverage5.defs ++
       queries.Coverage6.defs ++
+      queries.Coverage7.defs ++
       queries.SourceRoundtrip.defs ++
       queries.Pipeline.defs ++
       queries.TextAnalysis.defs ++

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{GraftQuery, Tables}
+
+/** Coverage wave: time-series resampling (date-spine gap fill, EWMA as an
+  * exact cross-engine float fold) and order statistics (discrete
+  * percentiles, deterministic mode) — the regularization pass that turns
+  * an irregular event log into a model-ready daily series.
+  */
+object Coverage7 {
+
+  private val dec6 = DecimalType(38, 6)
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // Date-spine gap fill: resample irregular orders to a dense daily
+    // grid per priority — missing days materialize with zero counts, and
+    // the running total forward-fills across the gaps. The spine is
+    // sequence()+explode (a generator, no driver loop); the fill is the
+    // IGNORE-NULLS running window. At scale the spine side is tiny
+    // (keys × days) and broadcast-joins against the aggregated facts.
+    GraftQuery(
+      "q_gap_fill",
+      (s, dir) => {
+        val o = Tables.table(s, dir, "orders")
+        val inWin = o.filter(
+          col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1995-04-01").cast(TimestampType))
+        val daily = inWin
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderdate").cast(DateType).as("day"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("total"))
+        val spine = o.select(col("o_orderpriority").as("prio")).distinct()
+          .select(col("prio"), explode(sequence(
+            lit("1995-01-01").cast(DateType),
+            lit("1995-03-31").cast(DateType),
+            expr("interval 1 day"))).as("day"))
+        val running = Window.partitionBy(col("prio")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("prio", "day"), "left")
+          .select(col("prio"), col("day"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("total"), lit(0.0d)).as("total"),
+            last(col("total"), ignoreNulls = true).over(running).as("total_ffill"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |         count(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT p.prio, CAST(gs.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders) p
+        |  CROSS JOIN generate_series(DATE '1995-01-01', DATE '1995-03-31',
+        |    INTERVAL 1 DAY) AS gs(day))
+        |SELECT s.prio, s.day,
+        |  COALESCE(d.n_orders, 0) AS n_orders,
+        |  COALESCE(d.total, 0.0) AS total,
+        |  last_value(d.total IGNORE NULLS) OVER (PARTITION BY s.prio
+        |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS total_ffill
+        |FROM spine s LEFT JOIN daily d ON s.prio = d.prio AND s.day = d.day
+        |""".stripMargin)),
+
+    // EWMA as an explicit left fold: s_i = 0.9·s_{i-1} + 0.1·x_i over the
+    // day-ordered daily counts. Both engines execute the IDENTICAL
+    // sequence of IEEE-754 operations (acc*0.9 + x*0.1, left to right),
+    // so the result is bit-exact across engines — which a parallel
+    // float sum can never promise. The fold runs per group over a small
+    // collected array; the heavy part (the daily aggregation) stays
+    // distributed.
+    GraftQuery(
+      "q_resample_ewma",
+      (s, dir) => {
+        val daily = Tables.table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1995-04-01").cast(TimestampType))
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderdate").cast(DateType).as("day"))
+          .agg(count(lit(1)).cast(DoubleType).as("n"))
+        daily.groupBy(col("prio"))
+          .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("series"))
+          .select(col("prio"),
+            aggregate(col("series"), lit(0.0d),
+              (acc, e) => acc * lit(0.9d) + e.getField("n") * lit(0.1d))
+              .as("ewma"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |         count(*) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY 1, 2)
+        |SELECT prio,
+        |  list_reduce(list_prepend(0.0, list(CAST(n AS DOUBLE) ORDER BY day)),
+        |              (acc, x) -> acc * 0.9 + x * 0.1) AS ewma
+        |FROM daily GROUP BY prio
+        |""".stripMargin)),
+
+    // Discrete percentiles: percentile_disc returns an actual data value
+    // (selection, not interpolation) — exact and comparison-safe where
+    // interpolated percentiles carry float-formula skew between engines.
+    GraftQuery(
+      "q_percentile_disc",
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p50_price"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p90_price"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("p25_qty")),
+      Some("SELECT l_returnflag, " +
+        "quantile_disc(l_extendedprice, 0.5) AS p50_price, " +
+        "quantile_disc(l_extendedprice, 0.9) AS p90_price, " +
+        "quantile_disc(l_quantity, 0.25) AS p25_qty " +
+        "FROM lineitem GROUP BY l_returnflag")),
+
+    // Deterministic mode: the modal value with ties broken toward the
+    // LARGEST value — spelled as two exact aggregations (count per value,
+    // then arg-max on (count, value)) because both engines' native mode()
+    // leaves tie order unspecified. The first aggregation combines
+    // map-side, so the shuffle carries (group, value) pairs, not rows.
+    GraftQuery(
+      "q_mode_deterministic",
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("cnt"), col("l_quantity"))).as("m"))
+        .select(col("l_returnflag"),
+          col("m.cnt").as("mode_count"),
+          col("m.l_quantity").as("mode_qty")),
+      Some("""WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  max(cnt) AS mode_count,
+        |  max(l_quantity) FILTER (WHERE cnt = mx) AS mode_qty
+        |FROM (SELECT *, max(cnt) OVER (PARTITION BY l_returnflag) AS mx FROM c)
+        |GROUP BY l_returnflag
+        |""".stripMargin)))
+}

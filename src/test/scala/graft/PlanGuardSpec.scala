@@ -118,6 +118,23 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_gap_fill: date filter pushed to scan; spine fill is a broadcast join") {
+    val p = plan("q_gap_fill")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_mode_deterministic: two aggregations with map-side partials, no window and no join") {
+    val p = plan("q_mode_deterministic")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // counts combine map-side; the struct arg-max (SortAggregate — struct
+    // max has no hash impl) also runs partial_max before its shuffle
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_max"), p)
+  }
+
   test("src_bucketed_join: bucket layout serves the join — no Exchange on either side") {
     val p = plan("src_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
