@@ -54,6 +54,10 @@ object PrefixFilterJoin {
       .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
       .select(col("doc_id"), col("sz"),
         slice(transform(col("fh"), x => x.getField("h")), lit(1), prefixLen).as("prefix"))
+      // both sides of the candidate self-join read `ranked`; uncached,
+      // Spark recomputes the freq-join + collect_list subtree per side
+      .cache()
+    ranked.count()
     val pref = ranked.select(col("doc_id"), col("sz"),
       posexplode(col("prefix")).as(Seq("p", "h")))
     // positional filter (PPJoin's second pruning rule): a prefix shingle
