@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance-threshold self-join (entity resolution over names /
+  * near-identical identifiers) via deletion-neighborhood blocking
+  * (the FastSS scheme, Bocek et al. 2007).
+  *
+  * For threshold 1: if edit(a, b) <= 1 then the 1-deletion
+  * neighborhoods D(a) and D(b) intersect — a substitution at position i
+  * makes the two position-i deletions equal, an insert/delete makes one
+  * string a member of the other's neighborhood, and equal strings share
+  * themselves. The converse is NOT true (D("ab") and D("ba") intersect
+  * at distance 2), so candidates rescore with exact levenshtein — the
+  * result is identical to the quadratic all-pairs join.
+  *
+  * Scale shape: the blocking explodes each string into (len+1) variants
+  * — linear data motion, an equi-join on the variant, and candidate
+  * buckets bounded by real near-duplicate groups rather than n². The
+  * all-pairs alternative is a cartesian product; at 1B names it cannot
+  * run, while this is one shuffle of ~20n short strings.
+  */
+object FuzzyJoin {
+
+  /** All variants of column `name` with at most one character deleted
+    * (including the string itself), deduplicated — repeated characters
+    * collapse to one variant.
+    */
+  private def deletionVariants(name: String) = expr(
+    s"array_distinct(concat(array($name), " +
+      s"transform(sequence(1, char_length($name)), i -> " +
+      s"concat(substr($name, 1, i - 1), substr($name, i + 1)))))")
+
+  /** Pairs (id_a < id_b) of `rel` rows whose `strCol` values are within
+    * levenshtein distance 1, with the exact distance.
+    */
+  def selfPairs(rel: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val variants = rel
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"), explode(deletionVariants("s")).as("v"))
+    variants.as("a")
+      .join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+  }
+}

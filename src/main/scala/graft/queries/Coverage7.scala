@@ -148,5 +148,22 @@ object Coverage7 {
         |  max(l_quantity) FILTER (WHERE cnt = mx) AS mode_qty
         |FROM (SELECT *, max(cnt) OVER (PARTITION BY l_returnflag) AS mx FROM c)
         |GROUP BY l_returnflag
-        |""".stripMargin)))
+        |""".stripMargin)),
+
+    // Fuzzy (edit-distance) self-join — entity resolution over names.
+    // Deletion-neighborhood blocking + exact levenshtein rescore equals
+    // the quadratic all-pairs join (the oracle) with linear data motion;
+    // the brute-force plan is a cartesian product that cannot run at
+    // scale. Keys are restricted to keep the oracle's n² tractable.
+    GraftQuery(
+      "q_fuzzy_join",
+      (s, dir) => graft.operators.FuzzyJoin.selfPairs(
+        Tables.table(s, dir, "customer").filter(col("c_custkey") < 500),
+        "c_custkey", "c_name")
+        .select(col("id_a"), col("id_b"), col("dist")),
+      Some("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "levenshtein(a.c_name, b.c_name) AS dist " +
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+        "WHERE a.c_custkey < 500 AND b.c_custkey < 500 " +
+        "AND levenshtein(a.c_name, b.c_name) <= 1")))
 }
