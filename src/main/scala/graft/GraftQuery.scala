@@ -27,6 +27,7 @@ object GraftQuery {
   def all: Seq[GraftQuery] =
     queries.EtlParity.defs ++
       queries.Relational.defs ++
+      queries.TpchShapes.defs ++
       queries.Advanced.defs ++
       queries.Coverage.defs ++
       queries.Coverage2.defs ++

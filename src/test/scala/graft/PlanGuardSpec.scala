@@ -135,6 +135,22 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("partial_max"), p)
   }
 
+  test("q8_market_share: dimension filters broadcast; no cartesian in the 8-way join") {
+    val p = plan("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q10_returned_items: top-20 is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q18_large_orders: the HAVING subquery plans as a semi join") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("src_bucketed_join: bucket layout serves the join — no Exchange on either side") {
     val p = plan("src_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
