@@ -150,6 +150,30 @@ object Coverage7 {
         |GROUP BY l_returnflag
         |""".stripMargin)),
 
+    // Moving median: an exact order statistic over a sliding 7-row frame
+    // — the robust-smoothing counterpart to the EWMA above. l_quantity
+    // is integer-valued, so the interpolated median is k or k+0.5 —
+    // exact in both engines regardless of interpolation arithmetic.
+    GraftQuery(
+      "q_window_median",
+      (s, dir) => {
+        // (l_orderkey, l_linenumber) is NOT unique in this synthetic data;
+        // l_quantity as the last key makes tie order irrelevant — swapping
+        // equal-quantity ties never changes any frame's quantity multiset
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .rowsBetween(-6, Window.currentRow)
+        Tables.table(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 2000)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            percentile(col("l_quantity"), lit(0.5)).over(w).as("moving_median"))
+      },
+      Some("SELECT l_orderkey, l_linenumber, l_returnflag, " +
+        "quantile_cont(l_quantity, 0.5) OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_median " +
+        "FROM lineitem WHERE l_orderkey < 2000")),
+
     // Fuzzy (edit-distance) self-join — entity resolution over names.
     // Deletion-neighborhood blocking + exact levenshtein rescore equals
     // the quadratic all-pairs join (the oracle) with linear data motion;
