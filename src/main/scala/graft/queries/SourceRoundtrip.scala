@@ -69,11 +69,12 @@ object SourceRoundtrip {
         "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY lang")),
 
     // The full catalog lifecycle under the gate: CREATE a graft-json
-    // table, INSERT a range-clustered orders slice, DELETE a key band
-    // (copy-on-write, stats-planned), then aggregate through a
-    // stats-skipped filtered scan. The oracle replays the surviving
-    // predicate straight on the parquet table, so a fault anywhere in
-    // the write → stats → skip → delete → read chain mismatches.
+    // table, INSERT a range-clustered orders slice, DELETE a key band,
+    // UPDATE another band (both copy-on-write, stats-planned), then
+    // aggregate through a stats-skipped filtered scan. The oracle
+    // replays the surviving predicate and the SET arithmetic straight on
+    // the parquet table, so a fault anywhere in the write → stats →
+    // skip → delete → update → read chain mismatches.
     GraftQuery(
       "src_catalog_roundtrip",
       (s, dir) => {
@@ -89,6 +90,9 @@ object SourceRoundtrip {
           .writeTo(s"$cat.g.orders").append()
         s.sql(s"DELETE FROM $cat.g.orders " +
           "WHERE o_orderkey >= 2000 AND o_orderkey < 4000")
+        graft.sources.GraftUpdate.update(s, s"$cat.g.orders",
+          col("o_orderkey") >= 5000 && col("o_orderkey") < 6000,
+          Map("o_totalprice" -> (col("o_totalprice") + 100.0d)))
         s.table(s"$cat.g.orders")
           .filter(col("o_orderkey") < 8000)
           .groupBy(col("o_orderstatus"))
@@ -98,7 +102,8 @@ object SourceRoundtrip {
             sum(col("o_orderkey")).as("key_sum"))
       },
       Some("SELECT o_orderstatus, count(*) AS n, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
+        "CAST(SUM(CAST(CASE WHEN o_orderkey >= 5000 AND o_orderkey < 6000 " +
+        "THEN o_totalprice + 100.0 ELSE o_totalprice END AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
         "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders " +
         "WHERE o_orderkey < 8000 AND NOT (o_orderkey >= 2000 AND o_orderkey < 4000) " +
         "GROUP BY o_orderstatus")),

@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.graft.GraftPlans
+
+/** UPDATE ... SET ... WHERE for graft catalog tables — the copy-on-write
+  * counterpart to SQL DELETE, planned by the same stats layer:
+  *
+  *  - files whose min/max ranges prove the predicate can't match survive
+  *    in the manifest WITHOUT BEING READ;
+  *  - candidate files stream through executors (a distributed scan of
+  *    exactly those files), each row rewritten when the predicate is
+  *    definitely TRUE under three-valued logic (UNKNOWN keeps the
+  *    original — SQL semantics) and kept verbatim otherwise;
+  *  - rewritten rows commit through the sink (fresh per-file stats in
+  *    the same pass) and the manifest swap is the single atomic commit
+  *    point; the pre-update snapshot stays readable via VERSION AS OF
+  *    until compact() vacuums it.
+  *
+  * At 100 TB the touched-file set is what a clustered layout makes
+  * small — combine with ZOrder/range ingest so point updates rewrite a
+  * few files, not the table.
+  */
+object GraftUpdate {
+
+  /** Apply `set` (column → new-value expression, evaluated against the
+    * pre-update row) to every row of `tableFqn` matching `where`.
+    * Returns the table's (unchanged) row count.
+    */
+  def update(
+      spark: SparkSession,
+      tableFqn: String,
+      where: Column,
+      set: Map[String, Column]): Long = {
+    val parts = tableFqn.split('.')
+    require(parts.length >= 2, s"expected catalog.[ns.]table, got $tableFqn")
+    val root = spark.conf.get(s"spark.sql.catalog.${parts.head}.root")
+    val dir = parts.tail.foldLeft(Paths.get(root))(_.resolve(_))
+    val table = spark.table(tableFqn)
+    val schema = table.schema
+    val unknown = set.keySet.diff(schema.fieldNames.toSet)
+    require(unknown.isEmpty, s"SET references unknown columns: $unknown")
+
+    val skipFilters = GraftStats.understood(GraftPlans.translateFilters(table, where))
+    val (_, files) = GraftJsonSink.readManifest(dir)
+    val stats = GraftStats.read(dir, schema)
+    // a file is touched unless its stats PROVE no row matches; files
+    // without stats always count as touched (sound, never lossy)
+    val (touched, untouched) = files.partition { f =>
+      stats.get(f).forall(fs =>
+        skipFilters.forall(GraftStats.mayMatch(_, fs, schema)))
+    }
+    if (touched.nonEmpty) {
+      val updated = spark.read.schema(schema)
+        .json(touched.map(f => dir.resolve(f).toString): _*)
+        .select(schema.fieldNames.toIndexedSeq.map { n =>
+          set.get(n) match {
+            case Some(e) =>
+              when(where, e.cast(schema(n).dataType)).otherwise(col(n)).as(n)
+            case None => col(n)
+          }
+        }: _*)
+      // render through the engine's own sink into a staging dir — the
+      // executors write data files + stats there, then the driver splices
+      // them into the live manifest in one atomic swap
+      val staging = Files.createTempDirectory("graft_update")
+      updated.write.format("graft-json").mode("overwrite").save(staging.toString)
+      val (_, newFiles) = GraftJsonSink.readManifest(staging)
+      val newStats = GraftStats.read(staging, schema)
+      newFiles.foreach(f => Files.move(staging.resolve(f), dir.resolve(f)))
+
+      val allStats = stats ++ newStats
+      def fileRows(f: String): Long = allStats.get(f).map(_.rows).getOrElse {
+        Files.readAllLines(dir.resolve(f), StandardCharsets.UTF_8)
+          .asScala.count(_.nonEmpty).toLong
+      }
+      val allFiles = (untouched ++ newFiles).sorted
+      val keptRows = allFiles.map(fileRows).sum
+      val manifest = new java.lang.StringBuilder()
+        .append("{\"rows\":").append(keptRows)
+        .append(",\"files\":[")
+        .append(allFiles.map(f => "\"" + f + "\"").mkString(","))
+        .append("]}\n").toString
+      val tmp = dir.resolve(GraftJsonSink.ManifestName + ".tmp")
+      Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, dir.resolve(GraftJsonSink.ManifestName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      GraftJsonSink.snapshotManifest(dir)
+      GraftStats.write(dir, allStats, schema)
+    }
+    spark.table(tableFqn).count()
+  }
+}

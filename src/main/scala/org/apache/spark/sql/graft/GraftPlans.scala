@@ -67,4 +67,30 @@ object GraftPlans {
     org.apache.spark.sql.classic.Dataset.ofRows(
       ClassicConversions.castToImpl(spark), plan)
   }
+
+  /** Translate a `Column` predicate over `df` into data-source `Filter`s
+    * (the representation the stats-skipping layer plans with). Conjuncts
+    * that have no Filter form are dropped — callers must treat the
+    * result as a NECESSARY condition (sound for pruning: fewer filters
+    * only keep more files). Resolution borrows the analyzer's own work
+    * on a throwaway `df.filter(cond)` plan, the same trick topKPerKey
+    * uses; translateFilter itself is `private[sql]`, hence the shim.
+    */
+  def translateFilters(df: DataFrame, cond: Column): Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression, PredicateHelper}
+    import org.apache.spark.sql.execution.datasources.DataSourceStrategy
+    object Split extends PredicateHelper {
+      def conjuncts(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
+    }
+    // the OPTIMIZED plan, not the analyzed one: analysis leaves literals
+    // wrapped in unfoldable casts (id >= cast(150 as bigint)) that
+    // translateFilter rejects; constant folding normalizes them
+    val optimized = ClassicConversions.castToImpl(df.filter(cond))
+      .queryExecution.optimizedPlan
+    optimized.collect { case logical.Filter(c, _) => Split.conjuncts(c) }
+      .flatten
+      .flatMap(e =>
+        DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = false))
+      .toArray
+  }
 }
