@@ -20,6 +20,18 @@ object Events {
     */
   private def hourBucket = expr("ts_ns div 3600000000000").as("hour_bucket")
 
+  /** Sliding-window membership replayed in exact integer microseconds:
+    * window starts are the multiples of the 15-min slide in (t − 1h, t].
+    */
+  private val slidingOracle =
+    "WITH e AS (SELECT epoch_ns(ts) // 1000 AS t, event_type, value FROM events), " +
+      "w AS (SELECT (900000000 * k) // 1000000 AS start_s, event_type, value " +
+      "FROM e, UNNEST(generate_series((t - 3600000000) // 900000000 + 1, " +
+      "t // 900000000)) AS u(k)) " +
+      "SELECT start_s, event_type, count(*) AS n_events, " +
+      "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value " +
+      "FROM w GROUP BY 1, 2"
+
   def defs: Seq[GraftQuery] = Seq(
 
     // Tumbling 1h window aggregation (batch flavor).
@@ -47,6 +59,25 @@ object Events {
         "count(*) AS n_events, " +
         "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1, 2")),
+
+    // Sliding (hopping) 1h/15min windows: every event lands in four
+    // overlapping windows. The oracle materializes the same membership
+    // by exact integer arithmetic — k ranges over the window starts in
+    // (t − 1h, t], all in microseconds, so boundary events land in
+    // exactly the windows Spark's window() assigns.
+    GraftQuery(
+      "ev_sliding_agg",
+      (s, dir) => graft.streaming.EventStream.slidingAgg(
+        Tables.table(s, dir, "events")),
+      Some(slidingOracle)),
+
+    // The same sliding aggregation through Structured Streaming — four
+    // concurrent open windows per key in the state store, driven to
+    // completion and compared to the identical oracle.
+    GraftQuery(
+      "ev_sliding_stream",
+      (s, dir) => graft.streaming.EventStream.runSlidingToCompletion(s, dir),
+      Some(slidingOracle)),
 
     // Schema-on-read: parse props into a typed struct (absent fields are
     // typed nulls, not errors) — the from_json flavor of JSON access.

@@ -218,4 +218,42 @@ object EventStream {
     out.count()
     out
   }
+
+  /** Sliding (hopping) windows: 1-hour windows advancing every 15
+    * minutes, so each event lands in FOUR overlapping windows — the
+    * moving-rate shape (errors-per-hour updated every 15 min). Same code
+    * path batch and stream; on a stream the watermark bounds how long
+    * each of the four open windows stays in state.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType).as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("start_s"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** `slidingAgg` driven through Structured Streaming to completion. */
+  def runSlidingToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val name = s"ev_slide_${System.nanoTime()}"
+    val q = slidingAgg(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
 }
