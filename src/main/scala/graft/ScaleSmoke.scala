@@ -251,6 +251,21 @@ object ScaleSmoke {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", plain)
     require(nJoinBkt == nJoinPlain,
       s"bucketed join diverged: $nJoinBkt vs $nJoinPlain")
+    // fuzzy edit-distance join at corpus scale: nDocs random hex names +
+    // 5% planted one-char substitutions. The all-pairs alternative is a
+    // cartesian (n²/2 levenshtein calls — infeasible here); deletion-
+    // neighborhood blocking keeps motion linear and finds every plant.
+    val baseNames = spark.range(nDocs).select(col("id"),
+      md5(concat(lit("name"), col("id"))).as("nm"))
+    val plantedNames = baseNames.filter(col("id") % 20 === 0)
+      .select((col("id") + nDocs).as("id"),
+        concat(lit("x"), expr("substr(nm, 2)")).as("nm"))
+    val names = baseNames.unionByName(plantedNames)
+    val (tFuzzy, nFuzzy) = time {
+      operators.FuzzyJoin.selfPairs(names, "id", "nm").count()
+    }
+    require(nFuzzy >= nDocs / 20,
+      s"fuzzy join must find every planted near-dup: $nFuzzy")
     println(
       s"""{"n_docs":$nDocs,"minhash_lsh_sec":$tDedup,"neardup_pairs":$nPairs,""" +
         s""""exact_dedup_sec":$tExact,"distinct_docs":$nGroups,"token_count_sec":$tTok,""" +
@@ -267,7 +282,8 @@ object ScaleSmoke {
         s""""skip_sec":$tSkip,"noskip_sec":$tNoSkip,""" +
         s""""skip_task_ms":$msSkip,"noskip_task_ms":$msNoSkip,""" +
         s""""join_plain_sec":$tJoinPlain,"join_plain_shuffle_mb":${bJoinPlain / 1048576},""" +
-        s""""join_bucketed_sec":$tJoinBkt,"join_bucketed_shuffle_mb":${bJoinBkt / 1048576}}""")
+        s""""join_bucketed_sec":$tJoinBkt,"join_bucketed_shuffle_mb":${bJoinBkt / 1048576},""" +
+        s""""fuzzy_join_sec":$tFuzzy,"fuzzy_pairs":$nFuzzy}""")
     spark.stop()
   }
 }

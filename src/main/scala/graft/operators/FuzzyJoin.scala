@@ -36,9 +36,14 @@ object FuzzyJoin {
     * levenshtein distance 1, with the exact distance.
     */
   def selfPairs(rel: DataFrame, idCol: String, strCol: String): DataFrame = {
+    // the equi-join keys on the variant's 64-bit hash, not its text —
+    // a fraction of the shuffle bytes; hash collisions only ADD false
+    // candidates, which the exact rescore below removes anyway
     val variants = rel
       .select(col(idCol).as("id"), col(strCol).as("s"))
-      .select(col("id"), col("s"), explode(deletionVariants("s")).as("v"))
+      .select(col("id"), col("s"),
+        explode(deletionVariants("s")).as("vtext"))
+      .select(col("id"), col("s"), xxhash64(col("vtext")).as("v"))
     variants.as("a")
       .join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.id") < col("b.id"))

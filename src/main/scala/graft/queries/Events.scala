@@ -69,7 +69,8 @@ object Events {
       "ev_sliding_agg",
       (s, dir) => graft.streaming.EventStream.slidingAgg(
         Tables.table(s, dir, "events")),
-      Some(slidingOracle)),
+      Some(slidingOracle),
+      bench = true),
 
     // The same sliding aggregation through Structured Streaming — four
     // concurrent open windows per key in the state store, driven to

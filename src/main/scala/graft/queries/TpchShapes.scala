@@ -109,7 +109,8 @@ object TpchShapes {
         "WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY' " +
         "AND o.o_orderdate >= TIMESTAMP '1995-01-01' " +
         "AND o.o_orderdate < TIMESTAMP '1997-01-01'" +
-        ") GROUP BY yr")),
+        ") GROUP BY yr"),
+      bench = true),
 
     // Q10 returned items: top-20 customers by returned revenue in one
     // quarter — group-aggregate then TakeOrdered (no global sort); the
