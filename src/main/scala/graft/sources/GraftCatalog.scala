@@ -157,8 +157,19 @@ class GraftCatalog extends TableCatalog {
             s"got ${add.dataType} for $name")
         schema = schema.add(name, add.dataType, nullable = true,
           if (add.comment() == null) "" else add.comment())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"graft-json supports only top-level columns, got ${del.fieldNames.mkString(".")}")
+        val name = del.fieldNames.head
+        require(schema.fieldNames.contains(name), s"no such column: $name")
+        require(schema.length > 1, "cannot drop a table's last column")
+        // metadata-only: data files keep the dropped key, the reader lexes
+        // and discards it; re-adding the same name later null-fills (old
+        // values do NOT resurrect) because the re-added column appends at
+        // the END while the old key sits at its original position
+        schema = StructType(schema.filterNot(_.name == name))
       case other => throw new UnsupportedOperationException(
-        s"graft catalog tables support only ADD COLUMN, got $other")
+        s"graft catalog tables support only ADD/DROP COLUMN, got $other")
     }
     Files.write(f, schema.json.getBytes(StandardCharsets.UTF_8))
     new GraftCatalogTable(ident.toString, dirFor(ident), schema)
@@ -413,16 +424,27 @@ private[sources] object JsonLineParser {
     var i = 0
     expect(line, i, '{'); i += 1
     var f = 0
+    var entry = 0
     // a row may END EARLY: files written before an ADD COLUMN lack the
-    // trailing columns, which null-fill (append-only schema evolution)
+    // trailing columns, which null-fill (append-only schema evolution).
+    // A row may also carry keys the schema no longer has (files written
+    // before a DROP COLUMN): those values are lexed and discarded. Both
+    // work because schema order is always a subsequence of any file's
+    // key order — adds append, drops preserve relative order.
     while (f < fileSchema.length && !(i < line.length && line.charAt(i) == '}')) {
-      if (f > 0) { expect(line, i, ','); i += 1 }
+      if (entry > 0) { expect(line, i, ','); i += 1 }
+      entry += 1
       val (key, i2) = parseString(line, i)
       i = i2
       expect(line, i, ':'); i += 1
       val field = fileSchema(f)
-      require(key == field.name, s"expected field ${field.name}, got $key in: $line")
-      if (line.startsWith("null", i)) {
+      if (key != field.name) { // dropped column: skip its value
+        if (i < line.length && line.charAt(i) == '"') {
+          val (_, i3) = parseString(line, i); i = i3
+        } else {
+          val (_, i3) = parseScalar(line, i); i = i3
+        }
+      } else if (line.startsWith("null", i)) {
         i += 4
         // null: leave slot null if required
       } else {
@@ -446,7 +468,7 @@ private[sources] object JsonLineParser {
           case dt => throw new IllegalArgumentException(s"unsupported type $dt")
         }
       }
-      f += 1
+      if (key == field.name) f += 1
     }
     InternalRow.fromSeq(values.toIndexedSeq)
   }

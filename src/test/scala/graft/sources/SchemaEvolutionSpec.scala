@@ -61,10 +61,34 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE evocat.ns.t")
   }
 
+  test("DROP COLUMN hides old data without rewriting; re-add does not resurrect") {
+    spark.sql("CREATE TABLE evocat.ns.d (id BIGINT, s STRING, bal DOUBLE)")
+    spark.sql("INSERT INTO evocat.ns.d VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    spark.sql("ALTER TABLE evocat.ns.d DROP COLUMN s")
+    // old files still carry the s key; the reader lexes and discards it
+    val rows = spark.sql("SELECT id, bal FROM evocat.ns.d ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 1.5), (2L, 2.5)))
+    assert(!spark.table("evocat.ns.d").columns.contains("s"))
+    // post-drop writes render only the surviving columns
+    spark.sql("INSERT INTO evocat.ns.d VALUES (3, 3.5)")
+    assert(spark.table("evocat.ns.d").count() == 3)
+    // re-adding the same name appends a FRESH column: old values must
+    // NOT resurrect (the old key sits at its original file position,
+    // the re-added column reads from the end)
+    spark.sql("ALTER TABLE evocat.ns.d ADD COLUMN s STRING")
+    val s3 = spark.sql("SELECT s FROM evocat.ns.d WHERE id = 1").head()
+    assert(s3.isNullAt(0), "dropped values resurrected after re-add")
+    spark.sql("INSERT INTO evocat.ns.d VALUES (4, 4.5, 'fresh')")
+    assert(spark.sql("SELECT s FROM evocat.ns.d WHERE id = 4").head().getString(0) == "fresh")
+    spark.sql("DROP TABLE evocat.ns.d")
+  }
+
   test("unsupported evolutions are rejected loudly") {
     spark.sql("CREATE TABLE evocat.ns.r (id BIGINT, s STRING)")
-    intercept[Exception](spark.sql("ALTER TABLE evocat.ns.r DROP COLUMN s"))
     intercept[Exception](spark.sql("ALTER TABLE evocat.ns.r RENAME COLUMN s TO t"))
+    // dropping every column must fail (second drop hits the last-column guard)
+    intercept[Exception](spark.sql("ALTER TABLE evocat.ns.r DROP COLUMNS (id, s)"))
     intercept[Exception](
       spark.sql("ALTER TABLE evocat.ns.r ADD COLUMN m MAP<STRING,STRING>"))
     intercept[Exception](
