@@ -266,6 +266,46 @@ object ScaleSmoke {
     }
     require(nFuzzy >= nDocs / 20,
       s"fuzzy join must find every planted near-dup: $nFuzzy")
+    // AQE skew join: half the fact rows land on ONE key. Without the
+    // runtime skew split a single task drags the whole join; with it,
+    // AQE slices the hot partition against replicated matching rows —
+    // same result, bounded per-task work. Max task time is the metric
+    // a straggler-bound cluster job bills.
+    def maxTaskMs(body: => Unit): Long = {
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        val ms = new java.util.concurrent.atomic.AtomicLong
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            ms.getAndUpdate(m => math.max(m, te.taskMetrics.executorRunTime))
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.sql.graft.GraftPlans.drainListenerBus(spark)
+        listener.ms.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val skewFacts = spark.range(nDocs * 32).select(
+      when(col("id") % 4 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("payload"))
+    val skewDims = spark.range(nDocs).select(col("id").as("k2"))
+    def skewJoinCount(): Long = skewFacts
+      .join(skewDims, col("k") === col("k2")).count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    var nSkewOff = 0L
+    val msSkewOff = maxTaskMs { nSkewOff = skewJoinCount() }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    var nSkewOn = 0L
+    val msSkewOn = maxTaskMs { nSkewOn = skewJoinCount() }
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", plain)
+    require(nSkewOn == nSkewOff,
+      s"skew join diverged: $nSkewOn vs $nSkewOff")
     println(
       s"""{"n_docs":$nDocs,"minhash_lsh_sec":$tDedup,"neardup_pairs":$nPairs,""" +
         s""""exact_dedup_sec":$tExact,"distinct_docs":$nGroups,"token_count_sec":$tTok,""" +
@@ -283,7 +323,8 @@ object ScaleSmoke {
         s""""skip_task_ms":$msSkip,"noskip_task_ms":$msNoSkip,""" +
         s""""join_plain_sec":$tJoinPlain,"join_plain_shuffle_mb":${bJoinPlain / 1048576},""" +
         s""""join_bucketed_sec":$tJoinBkt,"join_bucketed_shuffle_mb":${bJoinBkt / 1048576},""" +
-        s""""fuzzy_join_sec":$tFuzzy,"fuzzy_pairs":$nFuzzy}""")
+        s""""fuzzy_join_sec":$tFuzzy,"fuzzy_pairs":$nFuzzy,""" +
+        s""""skew_max_task_ms_off":$msSkewOff,"skew_max_task_ms_on":$msSkewOn}""")
     spark.stop()
   }
 }
