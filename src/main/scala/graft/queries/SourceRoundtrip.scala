@@ -147,5 +147,41 @@ object SourceRoundtrip {
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
         "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
-        "GROUP BY c_mktsegment")))
+        "GROUP BY c_mktsegment")),
+
+    // Storage-partitioned join through the catalog: both tables
+    // identity-partitioned on nationkey; with v2 bucketing on, the scans
+    // report KeyGroupedPartitioning and the join runs with NO shuffle on
+    // either side — the lakehouse equivalent of bucketed tables
+    // (PlanGuardSpec asserts the plan shape).
+    GraftQuery(
+      "src_partitioned_join",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_spjq").toString
+        val cat = s"spj${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.cust (c_custkey BIGINT, c_nationkey BIGINT) " +
+          "PARTITIONED BY (c_nationkey)")
+        s.sql(s"CREATE TABLE $cat.g.supp (s_suppkey BIGINT, s_nationkey BIGINT, " +
+          "s_acctbal DOUBLE) PARTITIONED BY (s_nationkey)")
+        Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .writeTo(s"$cat.g.cust").append()
+        Tables.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .writeTo(s"$cat.g.supp").append()
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.table(s"$cat.g.cust")
+          .join(s.table(s"$cat.g.supp"),
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(col("s_acctbal").cast(dec6)).cast(DoubleType).as("bal_sum"))
+      },
+      Some("SELECT c_nationkey, count(*) AS n_pairs, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_sum " +
+        "FROM customer JOIN supplier ON c_nationkey = s_nationkey " +
+        "GROUP BY c_nationkey")))
 }

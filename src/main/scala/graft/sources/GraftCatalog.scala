@@ -61,12 +61,20 @@ class GraftCatalog extends TableCatalog {
     finally s.close()
   }
 
+  private def partitionColOf(ident: Identifier): Option[String] = {
+    val pf = dirFor(ident).resolve(GraftCatalog.PartitionFileName)
+    if (Files.exists(pf))
+      Some(new String(Files.readAllBytes(pf), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val f = schemaFile(ident)
     if (!Files.exists(f)) throw new NoSuchTableException(ident)
     val schema = DataType.fromJson(
       new String(Files.readAllBytes(f), StandardCharsets.UTF_8)).asInstanceOf[StructType]
-    new GraftCatalogTable(ident.toString, dirFor(ident), schema)
+    new GraftCatalogTable(ident.toString, dirFor(ident), schema, None,
+      partitionColOf(ident))
   }
 
   /** Time travel: `SELECT ... FROM t VERSION AS OF n` reads the immutable
@@ -88,7 +96,7 @@ class GraftCatalog extends TableCatalog {
         s"(history: ${GraftJsonSink.listSnapshots(dir).mkString(", ")})")
     val schema = DataType.fromJson(
       new String(Files.readAllBytes(f), StandardCharsets.UTF_8)).asInstanceOf[StructType]
-    new GraftCatalogTable(s"$ident@v$v", dir, schema, Some(v))
+    new GraftCatalogTable(s"$ident@v$v", dir, schema, Some(v), partitionColOf(ident))
   }
 
   /** `TIMESTAMP AS OF t`: the latest snapshot committed at or before `t`
@@ -107,7 +115,7 @@ class GraftCatalog extends TableCatalog {
       s"table $ident has no snapshot at or before timestamp $timestamp"))
     val schema = DataType.fromJson(
       new String(Files.readAllBytes(f), StandardCharsets.UTF_8)).asInstanceOf[StructType]
-    new GraftCatalogTable(s"$ident@v$chosen", dir, schema, Some(chosen))
+    new GraftCatalogTable(s"$ident@v$chosen", dir, schema, Some(chosen), partitionColOf(ident))
   }
 
   override def createTable(
@@ -115,7 +123,23 @@ class GraftCatalog extends TableCatalog {
       schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty, "graft-json tables do not support partitioning")
+    // identity partitioning only: PARTITIONED BY (col). The layout keeps
+    // one partition value per data file, which the scan reports as a
+    // KeyGroupedPartitioning — the storage-partitioned-join contract.
+    val partitionCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) =>
+        val refs = t.references()
+        require(t.name() == "identity" && refs.length == 1 &&
+          refs.head.fieldNames.length == 1,
+          s"graft-json supports only single-column identity partitioning, got $t")
+        val colName = refs.head.fieldNames.head
+        require(schema.fieldNames.contains(colName),
+          s"partition column $colName not in schema")
+        Some(colName)
+      case many => sys.error(
+        s"graft-json supports at most one partition transform, got ${many.mkString(", ")}")
+    }
     val f = schemaFile(ident)
     if (Files.exists(f)) throw new TableAlreadyExistsException(ident)
     schema.foreach { field =>
@@ -126,7 +150,10 @@ class GraftCatalog extends TableCatalog {
     }
     Files.createDirectories(dirFor(ident))
     Files.write(f, schema.json.getBytes(StandardCharsets.UTF_8))
-    new GraftCatalogTable(ident.toString, dirFor(ident), schema)
+    partitionCol.foreach(c => Files.write(
+      dirFor(ident).resolve(GraftCatalog.PartitionFileName),
+      c.getBytes(StandardCharsets.UTF_8)))
+    new GraftCatalogTable(ident.toString, dirFor(ident), schema, None, partitionCol)
   }
 
   /** Append-only schema evolution: ADD COLUMN (nullable, atomic type,
@@ -163,6 +190,8 @@ class GraftCatalog extends TableCatalog {
         val name = del.fieldNames.head
         require(schema.fieldNames.contains(name), s"no such column: $name")
         require(schema.length > 1, "cannot drop a table's last column")
+        require(!partitionColOf(ident).contains(name),
+          s"cannot drop partition column $name")
         // metadata-only: data files keep the dropped key, the reader lexes
         // and discards it; re-adding the same name later null-fills (old
         // values do NOT resurrect) because the re-added column appends at
@@ -194,6 +223,22 @@ class GraftCatalog extends TableCatalog {
 
 object GraftCatalog {
   val TableFileName = "_graft_table.json"
+  val PartitionFileName = "_graft_partition.json"
+
+  /** Typed single-column partition key row from its canonical text. */
+  private[sources] def partitionKeyRow(
+      v: Option[String], dt: DataType): InternalRow =
+    InternalRow(v.map { s =>
+      dt match {
+        case StringType => UTF8String.fromString(s): Any
+        case LongType => s.toLong: Any
+        case IntegerType => s.toInt: Any
+        case DoubleType => s.toDouble: Any
+        case BooleanType => s.toBoolean: Any
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition column type $other")
+      }
+    }.orNull)
 
   /** Compaction — the OPTIMIZE-style maintenance op for tables grown
     * many small files through repeated appends: concatenates all
@@ -254,6 +299,10 @@ object GraftCatalog {
       case None =>
         Files.deleteIfExists(tableDir.resolve(GraftStats.StatsName))
     }
+    // the compacted file concatenates every partition value, so the
+    // grouped (storage-partitioned) layout no longer holds — drop the
+    // sidecar; scans degrade to the flat per-file plan
+    Files.deleteIfExists(tableDir.resolve(GraftParts.PartsName))
     (files.size, 1)
   }
 }
@@ -265,12 +314,16 @@ object GraftCatalog {
   */
 private[sources] class GraftCatalogTable(
     tableName: String, dir: Path, tableSchema: StructType,
-    version: Option[Long] = None)
+    version: Option[Long] = None,
+    partitionCol: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    partitionCol.toArray.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
@@ -297,6 +350,7 @@ private[sources] class GraftCatalogTable(
     var newStats = Map.empty[String, GraftStats.FileStats]
     var keptRows = 0L
     val keptFiles = Vector.newBuilder[String]
+    val rewriteLog = Vector.newBuilder[(String, String)]
     files.zipWithIndex.foreach { case (f, idx) =>
       val fileStats = stats.get(f)
       val untouchable = fileStats.exists(fs =>
@@ -325,6 +379,7 @@ private[sources] class GraftCatalogTable(
           keptFiles += nf
           keptRows += kept.size
           newStats += nf -> collector.result()
+          rewriteLog += f -> nf
         } // all rows matched: file drops from the manifest entirely
       }
     }
@@ -340,6 +395,19 @@ private[sources] class GraftCatalogTable(
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     GraftJsonSink.snapshotManifest(dir)
     if (newStats.nonEmpty) GraftStats.write(dir, stats ++ newStats, tableSchema)
+    // a rewritten file holds exactly the survivors of ONE original file,
+    // so it inherits that file's partition value — the grouped layout
+    // survives row-level deletes
+    val rewrites = rewriteLog.result()
+    if (partitionCol.isDefined && rewrites.nonEmpty) {
+      val parts = GraftParts.read(dir)
+      val inherited = rewrites.collect {
+        case (orig, nf) if parts.contains(orig) => nf -> parts(orig)
+      }
+      if (inherited.size == rewrites.size)
+        GraftParts.write(dir, parts ++ inherited)
+      else Files.deleteIfExists(dir.resolve(GraftParts.PartsName))
+    }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -358,25 +426,67 @@ private[sources] class GraftCatalogTable(
         filters
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = skippingFilters
-      override def build(): Scan = new Scan with Batch {
-        override def readSchema(): StructType = required
-        override def toBatch: Batch = this
-        override def planInputPartitions(): Array[InputPartition] = {
+      override def build(): Scan = new Scan with Batch
+          with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+        private def keptFiles: Seq[String] = {
           val (_, files) = version match {
             case Some(v) => GraftJsonSink.readManifestVersion(dir, v)
             case None => GraftJsonSink.readManifest(dir)
           }
-          val kept =
-            if (skippingFilters.isEmpty) files
-            else {
-              val stats = GraftStats.read(dir, tableSchema)
-              files.filter { f =>
-                stats.get(f).forall(fs =>
-                  skippingFilters.forall(GraftStats.mayMatch(_, fs, tableSchema)))
-              }
+          if (skippingFilters.isEmpty) files
+          else {
+            val stats = GraftStats.read(dir, tableSchema)
+            files.filter { f =>
+              stats.get(f).forall(fs =>
+                skippingFilters.forall(GraftStats.mayMatch(_, fs, tableSchema)))
             }
-          kept.map(f => JsonFilePartition(dir.resolve(f).toString): InputPartition).toArray
+          }
         }
+        // storage-partitioned layout: group the kept files by their
+        // partition value when (a) the table is identity-partitioned,
+        // (b) the session opted into v2 bucketing, and (c) the sidecar
+        // covers EVERY kept file — anything less degrades to the flat
+        // per-file scan (more parallelism, no reported partitioning),
+        // never to a wrong grouping.
+        private def grouping: Option[Seq[(Option[String], Seq[String])]] =
+          partitionCol.flatMap { _ =>
+            val enabled = org.apache.spark.sql.internal.SQLConf.get
+              .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+            if (!enabled) None
+            else {
+              val parts = GraftParts.read(dir)
+              val kept = keptFiles
+              if (!kept.forall(parts.contains)) None
+              else Some(kept.groupBy(parts(_)).toSeq.sortBy(_._1))
+            }
+          }
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          grouping match {
+            case Some(groups) =>
+              val col = partitionCol.get
+              val dt = tableSchema(tableSchema.fieldIndex(col)).dataType
+              groups.map { case (v, fs) =>
+                JsonFilesPartition(fs.map(f => dir.resolve(f).toString), v,
+                  GraftCatalog.partitionKeyRow(v, dt)): InputPartition
+              }.toArray
+            case None =>
+              keptFiles
+                .map(f => JsonFilePartition(dir.resolve(f).toString): InputPartition)
+                .toArray
+          }
+        override def outputPartitioning():
+            org.apache.spark.sql.connector.read.partitioning.Partitioning =
+          grouping match {
+            case Some(groups) =>
+              new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+                Array(org.apache.spark.sql.connector.expressions.Expressions
+                  .identity(partitionCol.get)),
+                groups.size)
+            case None =>
+              new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+          }
         override def description(): String =
           s"graft-json $tableName, skipping filters: [${skippingFilters.mkString(", ")}]"
         override def createReaderFactory(): PartitionReaderFactory =
@@ -386,19 +496,35 @@ private[sources] class GraftCatalogTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty, s"cannot write to a historical version of $tableName")
-    new GraftJsonWriteBuilder(dir.toString, tableSchema, None)
+    new GraftJsonWriteBuilder(dir.toString, tableSchema, None,
+      partitionCol = partitionCol)
   }
 }
 
 private case class JsonFilePartition(path: String) extends InputPartition
 
+/** One storage partition: every data file holding `valueText`, reported
+  * to Spark with its typed partition key so two tables with the same
+  * identity layout join WITHOUT a shuffle (storage-partitioned join).
+  */
+private case class JsonFilesPartition(
+    paths: Seq[String], valueText: Option[String], key: InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 private class JsonFileReaderFactory(fileSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val JsonFilePartition(path) = partition
-    val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala
-      .iterator.filter(_.nonEmpty)
+    val paths = partition match {
+      case JsonFilePartition(p) => Seq(p)
+      case JsonFilesPartition(ps, _, _) => ps
+    }
+    val lines = paths.iterator.flatMap(p =>
+      Files.readAllLines(Paths.get(p), StandardCharsets.UTF_8).asScala.iterator)
+      .filter(_.nonEmpty)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean = {

@@ -163,7 +163,8 @@ private[sources] class GraftJsonWriteBuilder(
     path: String,
     schema: StructType,
     failPartitionOnce: Option[Int],
-    replaceMode: Boolean = false) extends WriteBuilder with SupportsTruncate {
+    replaceMode: Boolean = false,
+    partitionCol: Option[String] = None) extends WriteBuilder with SupportsTruncate {
 
   require(path != null && path.nonEmpty, "graft-json requires a path")
   private var truncateFirst = false
@@ -172,29 +173,40 @@ private[sources] class GraftJsonWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftJsonBatchWrite(path, schema, truncateFirst, replaceMode, failPartitionOnce)
+      new GraftJsonBatchWrite(path, schema, truncateFirst, replaceMode,
+        failPartitionOnce, partitionCol)
   }
 }
+
+/** One committed data file: its task-local tmp path plus everything the
+  * driver needs to publish it (row count, stats, and — for identity-
+  * partitioned tables — the canonical text of the file's single
+  * partition value, or None for a null partition value).
+  */
+private case class GraftJsonFileEntry(
+    tmpPath: String,
+    rows: Long,
+    stats: GraftStats.FileStats,
+    partValue: Option[Option[String]])
 
 private case class GraftJsonCommitMessage(
     partitionId: Int,
     taskId: Long,
-    tmpPath: String,
-    rows: Long,
-    stats: GraftStats.FileStats) extends WriterCommitMessage
+    entries: Seq[GraftJsonFileEntry]) extends WriterCommitMessage
 
 private[sources] class GraftJsonBatchWrite(
     path: String,
     schema: StructType,
     truncateFirst: Boolean,
     replaceMode: Boolean,
-    failPartitionOnce: Option[Int]) extends BatchWrite {
+    failPartitionOnce: Option[Int],
+    partitionCol: Option[String] = None) extends BatchWrite {
 
   // unique per write: filenames never collide across commits to one dir
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftJsonWriterFactory(path, schema, failPartitionOnce)
+    new GraftJsonWriterFactory(path, schema, failPartitionOnce, partitionCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
@@ -206,7 +218,7 @@ private[sources] class GraftJsonBatchWrite(
       listFiles(dir).filter { p =>
         val n = p.getFileName.toString
         n.startsWith("part-") || n == GraftJsonSink.ManifestName ||
-          n == GraftStats.StatsName ||
+          n == GraftStats.StatsName || n == GraftParts.PartsName ||
           n.startsWith(GraftJsonSink.SnapshotPrefix)
       }.foreach(Files.deleteIfExists(_))
     }
@@ -220,10 +232,13 @@ private[sources] class GraftJsonBatchWrite(
       if (truncateFirst) (0L, Seq.empty[String])
       else GraftJsonSink.readManifest(dir)
     // publish exactly the committed attempts' files
-    val published = messages.map { case m: GraftJsonCommitMessage =>
-      val target = dir.resolve(f"part-${m.partitionId}%05d-$writeId-${m.taskId}.json")
-      Files.move(Paths.get(m.tmpPath), target, StandardCopyOption.REPLACE_EXISTING)
-      (target.getFileName.toString, m.rows, m.stats)
+    val published = messages.flatMap { case m: GraftJsonCommitMessage =>
+      m.entries.zipWithIndex.map { case (e, i) =>
+        val target = dir.resolve(
+          f"part-${m.partitionId}%05d-$writeId-${m.taskId}-$i%03d.json")
+        Files.move(Paths.get(e.tmpPath), target, StandardCopyOption.REPLACE_EXISTING)
+        (target.getFileName.toString, e.rows, e.stats, e.partValue)
+      }
     }
     // manifest last, via atomic rename: the commit point
     val manifest = new java.lang.StringBuilder()
@@ -246,6 +261,18 @@ private[sources] class GraftJsonBatchWrite(
       else GraftStats.read(dir, schema)
     GraftStats.write(dir,
       prevStats ++ published.map(p => p._1 -> p._3), schema)
+    // partition-value sidecar (identity-partitioned tables): file → its
+    // single partition value. Written after the commit point like stats;
+    // the scan only reports a grouped layout when EVERY manifest file is
+    // covered, so a torn sidecar degrades to an ungrouped scan, never to
+    // a wrong join
+    if (partitionCol.isDefined) {
+      val prevParts =
+        if (truncateFirst && !replaceMode) Map.empty[String, Option[String]]
+        else GraftParts.read(dir)
+      GraftParts.write(dir,
+        prevParts ++ published.collect { case (f, _, _, Some(v)) => f -> v })
+    }
     cleanTmp(dir) // sweep orphans from failed/speculative attempts
   }
 
@@ -268,16 +295,89 @@ private[sources] class GraftJsonBatchWrite(
 private class GraftJsonWriterFactory(
     path: String,
     schema: StructType,
-    failPartitionOnce: Option[Int]) extends DataWriterFactory {
+    failPartitionOnce: Option[Int],
+    partitionCol: Option[String] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val tmpDir = Paths.get(path, "_tmp")
     Files.createDirectories(tmpDir)
-    val tmpFile = tmpDir.resolve(f"attempt-$partitionId%05d-$taskId.json")
-    new GraftJsonDataWriter(tmpFile, schema, partitionId, taskId,
-      failNow = failPartitionOnce.contains(partitionId) &&
-        TaskContext.get().attemptNumber() == 0)
+    val failNow = failPartitionOnce.contains(partitionId) &&
+      TaskContext.get().attemptNumber() == 0
+    partitionCol match {
+      case Some(colName) =>
+        new GraftJsonPartitionedDataWriter(
+          tmpDir, schema, partitionId, taskId, colName, failNow)
+      case None =>
+        val tmpFile = tmpDir.resolve(f"attempt-$partitionId%05d-$taskId.json")
+        new GraftJsonDataWriter(tmpFile, schema, partitionId, taskId, failNow)
+    }
   }
+}
+
+/** Partitioned writer: routes each row to a per-partition-value file so
+  * every committed file holds exactly ONE partition value — the property
+  * the grouped scan (storage-partitioned joins) depends on. Works for
+  * any input distribution; clustering the write merely reduces the file
+  * count.
+  */
+private class GraftJsonPartitionedDataWriter(
+    tmpDir: Path,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long,
+    partitionCol: String,
+    failNow: Boolean) extends DataWriter[InternalRow] {
+
+  private val ordinal = schema.fieldIndex(partitionCol)
+  private val dt = schema(ordinal).dataType
+  private final class Slot(val key: Option[String], seq: Int) {
+    val tmpFile: Path =
+      tmpDir.resolve(f"attempt-$partitionId%05d-$taskId-$seq%03d.json")
+    val out = Files.newBufferedWriter(tmpFile, StandardCharsets.UTF_8)
+    val stats = new GraftStats.Collector(schema)
+    var rows = 0L
+  }
+  private val slots = scala.collection.mutable.LinkedHashMap.empty[Option[String], Slot]
+
+  /** Canonical text of the partition value (None = SQL NULL). */
+  private def keyOf(row: InternalRow): Option[String] =
+    if (row.isNullAt(ordinal)) None
+    else Some(dt match {
+      case StringType => row.getUTF8String(ordinal).toString
+      case LongType => row.getLong(ordinal).toString
+      case IntegerType => row.getInt(ordinal).toString
+      case DoubleType => row.getDouble(ordinal).toString
+      case BooleanType => row.getBoolean(ordinal).toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other")
+    })
+
+  override def write(row: InternalRow): Unit = {
+    if (failNow) throw new RuntimeException(
+      s"graft-json injected failure (first attempt of this partition)")
+    val k = keyOf(row)
+    val slot = slots.getOrElseUpdate(k, new Slot(k, slots.size))
+    slot.out.write(GraftJsonSink.renderRow(row, schema))
+    slot.out.write("\n")
+    slot.stats.observe(row)
+    slot.rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    slots.values.foreach(_.out.close())
+    GraftJsonCommitMessage(partitionId, taskId,
+      slots.values.toSeq.map(s =>
+        GraftJsonFileEntry(s.tmpFile.toString, s.rows, s.stats.result(),
+          Some(s.key))))
+  }
+
+  override def abort(): Unit = {
+    slots.values.foreach { s =>
+      s.out.close(); Files.deleteIfExists(s.tmpFile)
+    }
+  }
+
+  override def close(): Unit = slots.values.foreach(_.out.close())
 }
 
 private class GraftJsonDataWriter(
@@ -304,7 +404,8 @@ private class GraftJsonDataWriter(
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftJsonCommitMessage(partitionId, taskId, tmpFile.toString, rows, stats.result())
+    GraftJsonCommitMessage(partitionId, taskId,
+      Seq(GraftJsonFileEntry(tmpFile.toString, rows, stats.result(), None)))
   }
 
   override def abort(): Unit = {

@@ -151,6 +151,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("src_partitioned_join: storage-partitioned layout serves the join — no key shuffle") {
+    val p = plan("src_partitioned_join")
+    assert(!p.contains("Exchange hashpartitioning(c_nationkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(s_nationkey"), p)
+  }
+
   test("src_bucketed_join: bucket layout serves the join — no Exchange on either side") {
     val p = plan("src_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
