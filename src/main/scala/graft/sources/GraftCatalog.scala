@@ -326,7 +326,8 @@ private[sources] class GraftCatalogTable(
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     version.isEmpty && filters.forall(FilterEval.evaluable(_, tableSchema))
@@ -462,6 +463,12 @@ private[sources] class GraftCatalogTable(
           }
         override def readSchema(): StructType = required
         override def toBatch: Batch = this
+        override def toMicroBatchStream(checkpointLocation: String):
+            org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+          require(version.isEmpty,
+            s"cannot stream from a historical version of $tableName")
+          new GraftTableStream(dir, tableSchema, required)
+        }
         override def planInputPartitions(): Array[InputPartition] =
           grouping match {
             case Some(groups) =>
