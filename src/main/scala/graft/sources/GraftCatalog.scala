@@ -345,6 +345,7 @@ private[sources] class GraftCatalogTable(
     */
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(version.isEmpty, s"cannot delete from a historical version of $tableName")
+    GraftJsonSink.withCommitLock(dir) {
     val (_, files) = GraftJsonSink.readManifest(dir)
     val stats = GraftStats.read(dir, tableSchema)
     val writeId = java.util.UUID.randomUUID().toString.take(8)
@@ -409,6 +410,7 @@ private[sources] class GraftCatalogTable(
         GraftParts.write(dir, parts ++ inherited)
       else Files.deleteIfExists(dir.resolve(GraftParts.PartsName))
     }
+    } // withCommitLock
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

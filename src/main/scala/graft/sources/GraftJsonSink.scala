@@ -85,6 +85,48 @@ object GraftJsonSink {
     * swap — the swap remains the single commit point; a crash between
     * swap and snapshot loses only the history entry, never data.
     */
+  /** Commit mutex: serialize the manifest read-merge-swap critical
+    * section across concurrent writers in this or any other process on
+    * the same filesystem. `Files.createDirectory` is atomic (POSIX
+    * mkdir), so exactly one committer holds the lock; without it two
+    * concurrent appends both read the same previous manifest and the
+    * second swap silently DROPS the first writer's files — the classic
+    * lost update. Locks older than 60s are presumed abandoned (a
+    * committer that died mid-commit) and broken; the manifest swap
+    * itself stays atomic, so a broken lock can duplicate no data.
+    */
+  private val heldLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  private[sources] def withCommitLock[A](dir: Path)(body: => A): A = {
+    val lock = dir.resolve("_graft_commit.lock")
+    val key = lock.toAbsolutePath.toString
+    // reentrant per thread: MERGE holds the table lock around its whole
+    // read-merge-write, and the inner replace-commit locks the same dir
+    if (heldLocks.get().contains(key)) return body
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var held = false
+    while (!held) {
+      try { Files.createDirectory(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale = try {
+            Files.getLastModifiedTime(lock).toMillis < System.currentTimeMillis() - 60000
+          } catch { case _: java.io.IOException => false }
+          if (stale) Files.deleteIfExists(lock)
+          else if (System.nanoTime() > deadline)
+            sys.error(s"timed out waiting for commit lock $lock")
+          else Thread.sleep(20)
+      }
+    }
+    heldLocks.set(heldLocks.get() + key)
+    try body finally {
+      heldLocks.set(heldLocks.get() - key)
+      Files.deleteIfExists(lock)
+    }
+  }
+
   private[sources] def snapshotManifest(dir: Path): Long = {
     val next = listSnapshots(dir).lastOption.getOrElse(0L) + 1
     Files.copy(dir.resolve(ManifestName),
@@ -211,6 +253,7 @@ private[sources] class GraftJsonBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
+    GraftJsonSink.withCommitLock(dir) {
     if (truncateFirst && !replaceMode) {
       // overwrite resets history: data files, manifest, snapshots, and the
       // stats sidecar go (the format's contract — unlike append, which
@@ -273,11 +316,18 @@ private[sources] class GraftJsonBatchWrite(
       GraftParts.write(dir,
         prevParts ++ published.collect { case (f, _, _, Some(v)) => f -> v })
     }
+    } // withCommitLock
     cleanTmp(dir) // sweep orphans from failed/speculative attempts
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // drop THIS write's files precisely; the stale sweep handles writers
+    // that died before producing a message
+    messages.filter(_ != null).foreach { case m: GraftJsonCommitMessage =>
+      m.entries.foreach(e => Files.deleteIfExists(Paths.get(e.tmpPath)))
+    }
     cleanTmp(Paths.get(path))
+  }
 
   private def listFiles(dir: Path): Seq[Path] = {
     if (!Files.isDirectory(dir)) return Nil
@@ -285,10 +335,22 @@ private[sources] class GraftJsonBatchWrite(
     try s.iterator().asScala.toList finally s.close()
   }
 
+  /** Sweep ONLY stale orphans (attempts older than 10 minutes, i.e.
+    * writers that died without committing or aborting). A concurrent
+    * writer's fresh in-flight attempt files must survive another
+    * committer's sweep — deleting the whole _tmp dir here was a lost
+    * race under concurrent appends.
+    */
   private def cleanTmp(dir: Path): Unit = {
     val tmp = dir.resolve("_tmp")
-    listFiles(tmp).foreach(Files.deleteIfExists(_))
-    Files.deleteIfExists(tmp)
+    val cutoff = System.currentTimeMillis() - 600000L
+    listFiles(tmp).foreach { p =>
+      val stale = try Files.getLastModifiedTime(p).toMillis < cutoff
+        catch { case _: java.io.IOException => false }
+      if (stale) Files.deleteIfExists(p)
+    }
+    try Files.deleteIfExists(tmp)
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 }
 

@@ -52,6 +52,10 @@ object GraftMerge {
     // job over `changes`, and a non-deterministic feed could otherwise
     // validate one set of rows and merge another.
     val pinned = changes.cache()
+    // table lock for the whole read-merge-write: an append committing
+    // between the survivors read and the replace swap would otherwise
+    // vanish from the merged manifest (the inner commit re-enters)
+    GraftJsonSink.withCommitLock(dir) {
     try {
       val dupKeys = pinned.groupBy(keyCols.map(col): _*)
         .count().filter(col("count") > 1)
@@ -68,6 +72,7 @@ object GraftMerge {
       merged.write.format("graft-json")
         .option("replace", "true").mode("overwrite").save(dir.toString)
     } finally pinned.unpersist(blocking = false)
+    } // withCommitLock
     spark.table(tableFqn).count()
   }
 }

@@ -48,6 +48,10 @@ object GraftUpdate {
     require(unknown.isEmpty, s"SET references unknown columns: $unknown")
 
     val skipFilters = GraftStats.understood(GraftPlans.translateFilters(table, where))
+    // the lock spans planning through splice: an append committing
+    // between our manifest read and our manifest swap would be dropped
+    // by the rewrite otherwise (row-level ops serialize with appends)
+    GraftJsonSink.withCommitLock(dir) {
     val (_, files) = GraftJsonSink.readManifest(dir)
     val stats = GraftStats.read(dir, schema)
     // a file is touched unless its stats PROVE no row matches; files
@@ -95,6 +99,7 @@ object GraftUpdate {
       GraftJsonSink.snapshotManifest(dir)
       GraftStats.write(dir, allStats, schema)
     }
+    } // withCommitLock
     spark.table(tableFqn).count()
   }
 }
