@@ -183,5 +183,47 @@ object SourceRoundtrip {
       Some("SELECT c_nationkey, count(*) AS n_pairs, " +
         "CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_sum " +
         "FROM customer JOIN supplier ON c_nationkey = s_nationkey " +
-        "GROUP BY c_nationkey")))
+        "GROUP BY c_nationkey")),
+
+    // The catalog table as a STREAMING SOURCE: three append commits land
+    // as three micro-batches (snapshot-diff offsets), aggregated through
+    // Structured Streaming in complete mode. The oracle aggregates the
+    // same slice straight from parquet — a dropped or double-read batch
+    // mismatches the totals.
+    GraftQuery(
+      "src_table_stream",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_tstr").toString
+        val cat = s"ts${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.orders " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+        val slice = Tables.table(s, dir, "orders")
+          .filter(col("o_orderkey") < 6000)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Seq(0L, 2000L, 4000L).foreach { lo =>
+          slice.filter(col("o_orderkey") >= lo && col("o_orderkey") < lo + 2000)
+            .writeTo(s"$cat.g.orders").append()
+        }
+        val name = s"tsq${System.nanoTime()}"
+        val q = s.readStream.table(s"$cat.g.orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("total"),
+            sum(col("o_orderkey")).as("key_sum"))
+          .writeStream.outputMode("complete").format("memory").queryName(name)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_tstr_ckpt").toString)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        val out = s.table(name).cache()
+        out.count()
+        out
+      },
+      Some("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders " +
+        "WHERE o_orderkey < 6000 GROUP BY o_orderstatus")))
 }
