@@ -174,6 +174,26 @@ object Coverage7 {
         "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_median " +
         "FROM lineitem WHERE l_orderkey < 2000")),
 
+    // Collated comparison (Spark 4 COLLATE): case-insensitive equality
+    // through the UTF8_LCASE collation over a deterministically
+    // mixed-case column — the oracle spells the same predicate with
+    // lower(), which agrees for ASCII data.
+    GraftQuery(
+      "q_collation",
+      (s, dir) => Tables.table(s, dir, "customer")
+        .withColumn("seg_mixed",
+          when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+            .otherwise(lower(col("c_mktsegment"))))
+        .filter(expr("seg_mixed COLLATE UTF8_LCASE = 'building'"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum")),
+      Some("SELECT c_nationkey, count(*) AS n, " +
+        "CAST(SUM(c_custkey) AS BIGINT) AS key_sum FROM (" +
+        "SELECT c_nationkey, c_custkey, " +
+        "CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment) " +
+        "ELSE lower(c_mktsegment) END AS seg_mixed FROM customer) " +
+        "WHERE lower(seg_mixed) = 'building' GROUP BY c_nationkey")),
+
     // Fuzzy (edit-distance) self-join — entity resolution over names.
     // Deletion-neighborhood blocking + exact levenshtein rescore equals
     // the quadratic all-pairs join (the oracle) with linear data motion;
