@@ -171,14 +171,26 @@ object SourceRoundtrip {
         Tables.table(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
           .writeTo(s"$cat.g.supp").append()
+        // enable v2 bucketing for THIS plan only — the gate shares one
+        // session across queries, so leaked conf would make later plans
+        // order-dependent. The conf is read at planning: resolve the
+        // DataFrame eagerly, then restore.
+        val prevBkt = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-        s.table(s"$cat.g.cust")
-          .join(s.table(s"$cat.g.supp"),
-            col("c_nationkey") === col("s_nationkey"))
-          .groupBy(col("c_nationkey"))
-          .agg(
-            count(lit(1)).as("n_pairs"),
-            sum(col("s_acctbal").cast(dec6)).cast(DoubleType).as("bal_sum"))
+        try {
+          val joined = s.table(s"$cat.g.cust")
+            .join(s.table(s"$cat.g.supp"),
+              col("c_nationkey") === col("s_nationkey"))
+            .groupBy(col("c_nationkey"))
+            .agg(
+              count(lit(1)).as("n_pairs"),
+              sum(col("s_acctbal").cast(dec6)).cast(DoubleType).as("bal_sum"))
+          joined.queryExecution.executedPlan // force planning under the conf
+          joined
+        } finally prevBkt match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
       },
       Some("SELECT c_nationkey, count(*) AS n_pairs, " +
         "CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_sum " +

@@ -61,6 +61,13 @@ class GraftCatalog extends TableCatalog {
     finally s.close()
   }
 
+  private def droppedColumns(ident: Identifier): Set[String] = {
+    val tf = dirFor(ident).resolve(GraftCatalog.DroppedFileName)
+    if (!Files.exists(tf)) Set.empty
+    else new String(Files.readAllBytes(tf), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSet
+  }
+
   private def partitionColOf(ident: Identifier): Option[String] = {
     val pf = dirFor(ident).resolve(GraftCatalog.PartitionFileName)
     if (Files.exists(pf))
@@ -178,6 +185,13 @@ class GraftCatalog extends TableCatalog {
           "added columns always append at the end (positional file contract)")
         val name = add.fieldNames.head
         require(!schema.fieldNames.contains(name), s"column $name already exists")
+        // a dropped name is tombstoned: old files still carry its key at
+        // its ORIGINAL position, and when that position coincides with
+        // the re-added column's the positional reader would resurrect
+        // old values (or crash on a type change). New name required.
+        require(!droppedColumns(ident).contains(name),
+          s"column $name was previously dropped; re-adding it would " +
+            "resurrect old file values — use a new name")
         require(Set[DataType](StringType, LongType, IntegerType, DoubleType, BooleanType)
           .contains(add.dataType),
           s"graft-json supports atomic string/long/int/double/boolean columns, " +
@@ -193,15 +207,17 @@ class GraftCatalog extends TableCatalog {
         require(!partitionColOf(ident).contains(name),
           s"cannot drop partition column $name")
         // metadata-only: data files keep the dropped key, the reader lexes
-        // and discards it; re-adding the same name later null-fills (old
-        // values do NOT resurrect) because the re-added column appends at
-        // the END while the old key sits at its original position
+        // and discards it. The name is tombstoned — see AddColumn above.
         schema = StructType(schema.filterNot(_.name == name))
+        val tf = dirFor(ident).resolve(GraftCatalog.DroppedFileName)
+        Files.write(tf, (droppedColumns(ident) + name).toSeq.sorted
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
       case other => throw new UnsupportedOperationException(
         s"graft catalog tables support only ADD/DROP COLUMN, got $other")
     }
     Files.write(f, schema.json.getBytes(StandardCharsets.UTF_8))
-    new GraftCatalogTable(ident.toString, dirFor(ident), schema)
+    new GraftCatalogTable(ident.toString, dirFor(ident), schema, None,
+      partitionColOf(ident))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -224,6 +240,7 @@ class GraftCatalog extends TableCatalog {
 object GraftCatalog {
   val TableFileName = "_graft_table.json"
   val PartitionFileName = "_graft_partition.json"
+  val DroppedFileName = "_graft_dropped.txt"
 
   /** Typed single-column partition key row from its canonical text. */
   private[sources] def partitionKeyRow(
@@ -303,6 +320,9 @@ object GraftCatalog {
     // grouped (storage-partitioned) layout no longer holds — drop the
     // sidecar; scans degrade to the flat per-file plan
     Files.deleteIfExists(tableDir.resolve(GraftParts.PartsName))
+    // history reset: streaming offsets from the old snapshot numbering
+    // must not alias the new one — a fresh epoch makes them fail loudly
+    Files.deleteIfExists(tableDir.resolve(GraftTableStream.EpochFileName))
     (files.size, 1)
   }
 }
@@ -431,7 +451,11 @@ private[sources] class GraftCatalogTable(
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = skippingFilters
       override def build(): Scan = new Scan with Batch
           with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
-        private def keptFiles: Seq[String] = {
+        // lazy vals, not defs: outputPartitioning (plan time) and
+        // planInputPartitions (execution time) must see ONE committed
+        // state — a concurrent commit between the two calls could
+        // otherwise report n groups and deliver m
+        private lazy val keptFiles: Seq[String] = {
           val (_, files) = version match {
             case Some(v) => GraftJsonSink.readManifestVersion(dir, v)
             case None => GraftJsonSink.readManifest(dir)
@@ -451,7 +475,7 @@ private[sources] class GraftCatalogTable(
         // covers EVERY kept file — anything less degrades to the flat
         // per-file scan (more parallelism, no reported partitioning),
         // never to a wrong grouping.
-        private def grouping: Option[Seq[(Option[String], Seq[String])]] =
+        private lazy val grouping: Option[Seq[(Option[String], Seq[String])]] =
           partitionCol.flatMap { _ =>
             val enabled = org.apache.spark.sql.internal.SQLConf.get
               .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"

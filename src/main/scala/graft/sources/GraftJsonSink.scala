@@ -99,23 +99,44 @@ object GraftJsonSink {
     override def initialValue(): Set[String] = Set.empty
   }
 
+  /** How long a lock may sit before a waiter presumes its holder died.
+    * Generous because row-level ops legitimately hold the lock across
+    * whole Spark jobs; a production build would heartbeat the lock
+    * mtime instead of relying on a fixed horizon.
+    */
+  private val LockStaleMillis = 30L * 60 * 1000
+
   private[sources] def withCommitLock[A](dir: Path)(body: => A): A = {
     val lock = dir.resolve("_graft_commit.lock")
     val key = lock.toAbsolutePath.toString
     // reentrant per thread: MERGE holds the table lock around its whole
     // read-merge-write, and the inner replace-commit locks the same dir
     if (heldLocks.get().contains(key)) return body
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.nanoTime() + 30L * 60 * 1000 * 1000 * 1000
     var held = false
     while (!held) {
-      try { Files.createDirectory(lock); held = true }
-      catch {
+      try {
+        Files.createDirectory(lock)
+        // owner token: release only deletes the lock it created, so a
+        // holder whose lock was broken cannot delete the breaker's lock
+        Files.write(lock.resolve("owner"), token.getBytes(StandardCharsets.UTF_8))
+        held = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val stale = try {
-            Files.getLastModifiedTime(lock).toMillis < System.currentTimeMillis() - 60000
+            Files.getLastModifiedTime(lock).toMillis <
+              System.currentTimeMillis() - LockStaleMillis
           } catch { case _: java.io.IOException => false }
-          if (stale) Files.deleteIfExists(lock)
-          else if (System.nanoTime() > deadline)
+          if (stale) {
+            // break via atomic rename: exactly ONE waiter wins the move;
+            // the loser's rename throws and it simply retries
+            val broken = dir.resolve(s"_graft_commit.broken-$token")
+            try {
+              Files.move(lock, broken, StandardCopyOption.ATOMIC_MOVE)
+              deleteRecursively(broken)
+            } catch { case _: java.io.IOException => () }
+          } else if (System.nanoTime() > deadline)
             sys.error(s"timed out waiting for commit lock $lock")
           else Thread.sleep(20)
       }
@@ -123,8 +144,22 @@ object GraftJsonSink {
     heldLocks.set(heldLocks.get() + key)
     try body finally {
       heldLocks.set(heldLocks.get() - key)
-      Files.deleteIfExists(lock)
+      val ownedByUs = try {
+        Files.exists(lock.resolve("owner")) &&
+          new String(Files.readAllBytes(lock.resolve("owner")),
+            StandardCharsets.UTF_8) == token
+      } catch { case _: java.io.IOException => false }
+      if (ownedByUs) deleteRecursively(lock)
     }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   private[sources] def snapshotManifest(dir: Path): Long = {
@@ -262,6 +297,7 @@ private[sources] class GraftJsonBatchWrite(
         val n = p.getFileName.toString
         n.startsWith("part-") || n == GraftJsonSink.ManifestName ||
           n == GraftStats.StatsName || n == GraftParts.PartsName ||
+          n == GraftTableStream.EpochFileName ||
           n.startsWith(GraftJsonSink.SnapshotPrefix)
       }.foreach(Files.deleteIfExists(_))
     }
@@ -392,14 +428,37 @@ private class GraftJsonPartitionedDataWriter(
 
   private val ordinal = schema.fieldIndex(partitionCol)
   private val dt = schema(ordinal).dataType
+  // bound open handles: a task seeing many distinct partition values
+  // (high-cardinality identity partitioning) must not exhaust the fd
+  // limit — least-recently-written slots close and reopen in append mode
+  private val MaxOpen = 64
   private final class Slot(val key: Option[String], seq: Int) {
     val tmpFile: Path =
-      tmpDir.resolve(f"attempt-$partitionId%05d-$taskId-$seq%03d.json")
-    val out = Files.newBufferedWriter(tmpFile, StandardCharsets.UTF_8)
+      tmpDir.resolve(f"attempt-$partitionId%05d-$taskId-$seq%05d.json")
+    var out: java.io.BufferedWriter = _
     val stats = new GraftStats.Collector(schema)
     var rows = 0L
+    var stamp = 0L
   }
   private val slots = scala.collection.mutable.LinkedHashMap.empty[Option[String], Slot]
+  private val open = scala.collection.mutable.LinkedHashSet.empty[Slot]
+  private var tick = 0L
+
+  private def writerFor(slot: Slot): java.io.BufferedWriter = {
+    if (slot.out == null) {
+      if (open.size >= MaxOpen) {
+        val lru = open.minBy(_.stamp)
+        lru.out.close(); lru.out = null
+        open.remove(lru)
+      }
+      slot.out = Files.newBufferedWriter(slot.tmpFile, StandardCharsets.UTF_8,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      open.add(slot)
+    }
+    tick += 1; slot.stamp = tick
+    slot.out
+  }
 
   /** Canonical text of the partition value (None = SQL NULL). */
   private def keyOf(row: InternalRow): Option[String] =
@@ -419,14 +478,19 @@ private class GraftJsonPartitionedDataWriter(
       s"graft-json injected failure (first attempt of this partition)")
     val k = keyOf(row)
     val slot = slots.getOrElseUpdate(k, new Slot(k, slots.size))
-    slot.out.write(GraftJsonSink.renderRow(row, schema))
-    slot.out.write("\n")
+    val out = writerFor(slot)
+    out.write(GraftJsonSink.renderRow(row, schema))
+    out.write("\n")
     slot.stats.observe(row)
     slot.rows += 1
   }
 
+  private def closeAll(): Unit = slots.values.foreach { s =>
+    if (s.out != null) { s.out.close(); s.out = null }
+  }
+
   override def commit(): WriterCommitMessage = {
-    slots.values.foreach(_.out.close())
+    closeAll()
     GraftJsonCommitMessage(partitionId, taskId,
       slots.values.toSeq.map(s =>
         GraftJsonFileEntry(s.tmpFile.toString, s.rows, s.stats.result(),
@@ -434,12 +498,11 @@ private class GraftJsonPartitionedDataWriter(
   }
 
   override def abort(): Unit = {
-    slots.values.foreach { s =>
-      s.out.close(); Files.deleteIfExists(s.tmpFile)
-    }
+    closeAll()
+    slots.values.foreach(s => Files.deleteIfExists(s.tmpFile))
   }
 
-  override def close(): Unit = slots.values.foreach(_.out.close())
+  override def close(): Unit = closeAll()
 }
 
 private class GraftJsonDataWriter(

@@ -377,8 +377,19 @@ object GraftStats {
               val cn = parseStr(); expect(':')
               types.get(cn) match {
                 case Some(dt) => cols += cn -> parseCol(dt)
-                case None => // schema drift: skip value conservatively
-                  throw new IllegalArgumentException(s"unknown column $cn")
+                case None =>
+                  // schema drift (e.g. DROP COLUMN left its entries
+                  // behind): skip THIS column's object — throwing here
+                  // would discard the whole sidecar and the next commit
+                  // would then persist the loss for every file
+                  expect('{')
+                  var smore = text.charAt(i) != '}'
+                  while (smore) {
+                    parseStr(); expect(':')
+                    if (text.charAt(i) == '"') parseStr() else parseScalarText()
+                    if (text.charAt(i) == ',') i += 1 else smore = false
+                  }
+                  expect('}')
               }
               if (text.charAt(i) == ',') i += 1 else cmore = false
             }

@@ -23,24 +23,44 @@ private[sources] class GraftTableStream(
     dir: Path, tableSchema: StructType, required: StructType)
     extends MicroBatchStream {
 
-  private case class SnapshotOffset(v: Long) extends Offset {
-    override def json(): String = v.toString
+  /** Offsets carry the table EPOCH alongside the snapshot version:
+    * compaction and INSERT OVERWRITE reset snapshot numbering, so a
+    * bare version from a pre-reset checkpoint would silently alias a
+    * post-reset snapshot and the file diff would skip data the
+    * append-only check cannot see. An epoch mismatch fails loudly.
+    */
+  private case class SnapshotOffset(epoch: String, v: Long) extends Offset {
+    override def json(): String = s"$epoch/$v"
+  }
+
+  private def epoch: String = GraftTableStream.epochOf(dir)
+
+  private def checkEpoch(o: SnapshotOffset): Long = {
+    require(o.epoch == epoch,
+      s"table history was reset (epoch ${o.epoch} -> $epoch) by " +
+        "compaction or INSERT OVERWRITE — restart the stream from a " +
+        "fresh checkpoint")
+    o.v
   }
 
   private def filesAt(v: Long): Seq[String] =
     if (v <= 0L) Nil else GraftJsonSink.readManifestVersion(dir, v)._2
 
-  override def initialOffset(): Offset = SnapshotOffset(0L)
+  override def initialOffset(): Offset = SnapshotOffset(epoch, 0L)
 
   override def latestOffset(): Offset =
-    SnapshotOffset(GraftJsonSink.listSnapshots(dir).lastOption.getOrElse(0L))
+    SnapshotOffset(epoch,
+      GraftJsonSink.listSnapshots(dir).lastOption.getOrElse(0L))
 
-  override def deserializeOffset(json: String): Offset =
-    SnapshotOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val idx = json.lastIndexOf('/')
+    require(idx > 0, s"malformed snapshot offset: $json")
+    SnapshotOffset(json.substring(0, idx), json.substring(idx + 1).trim.toLong)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SnapshotOffset].v
-    val e = end.asInstanceOf[SnapshotOffset].v
+    val s = checkEpoch(start.asInstanceOf[SnapshotOffset])
+    val e = checkEpoch(end.asInstanceOf[SnapshotOffset])
     val before = filesAt(s)
     val after = filesAt(e)
     val removed = before.toSet.diff(after.toSet)
@@ -58,4 +78,34 @@ private[sources] class GraftTableStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+private[sources] object GraftTableStream {
+
+  val EpochFileName = "_graft_epoch.txt"
+
+  /** The table's current epoch id, created on first use. History-
+    * resetting operations (compact, INSERT OVERWRITE) delete the file,
+    * so the next stream interaction mints a fresh epoch and checkpointed
+    * offsets from the old history are rejected instead of misread.
+    */
+  def epochOf(dir: java.nio.file.Path): String = {
+    val f = dir.resolve(EpochFileName)
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+    else {
+      val fresh = java.util.UUID.randomUUID().toString.take(8)
+      try {
+        java.nio.file.Files.write(f,
+          fresh.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        fresh
+      } catch { // another stream won the create: adopt its epoch
+        case _: java.nio.file.FileAlreadyExistsException =>
+          new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+      }
+    }
+  }
 }

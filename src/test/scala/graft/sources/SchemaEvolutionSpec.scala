@@ -61,7 +61,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE evocat.ns.t")
   }
 
-  test("DROP COLUMN hides old data without rewriting; re-add does not resurrect") {
+  test("DROP COLUMN hides old data without rewriting; the name is tombstoned") {
     spark.sql("CREATE TABLE evocat.ns.d (id BIGINT, s STRING, bal DOUBLE)")
     spark.sql("INSERT INTO evocat.ns.d VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
     spark.sql("ALTER TABLE evocat.ns.d DROP COLUMN s")
@@ -73,15 +73,32 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     // post-drop writes render only the surviving columns
     spark.sql("INSERT INTO evocat.ns.d VALUES (3, 3.5)")
     assert(spark.table("evocat.ns.d").count() == 3)
-    // re-adding the same name appends a FRESH column: old values must
-    // NOT resurrect (the old key sits at its original file position,
-    // the re-added column reads from the end)
-    spark.sql("ALTER TABLE evocat.ns.d ADD COLUMN s STRING")
-    val s3 = spark.sql("SELECT s FROM evocat.ns.d WHERE id = 1").head()
-    assert(s3.isNullAt(0), "dropped values resurrected after re-add")
+    // re-adding a dropped name is rejected: old files keep the key at
+    // its ORIGINAL position, and a trailing-position coincidence would
+    // make the positional reader resurrect old values (or crash on a
+    // type change) — the tombstone forces a fresh name instead
+    val ex = intercept[Exception](
+      spark.sql("ALTER TABLE evocat.ns.d ADD COLUMN s STRING"))
+    assert(ex.getMessage.contains("previously dropped"), ex.getMessage)
+    spark.sql("ALTER TABLE evocat.ns.d ADD COLUMN s2 STRING")
     spark.sql("INSERT INTO evocat.ns.d VALUES (4, 4.5, 'fresh')")
-    assert(spark.sql("SELECT s FROM evocat.ns.d WHERE id = 4").head().getString(0) == "fresh")
+    assert(spark.sql("SELECT s2 FROM evocat.ns.d WHERE id = 4").head().getString(0) == "fresh")
+    assert(spark.sql("SELECT s2 FROM evocat.ns.d WHERE id = 1").head().isNullAt(0))
     spark.sql("DROP TABLE evocat.ns.d")
+  }
+
+  test("dropping the TRAILING column then reading old files stays correct") {
+    spark.sql("CREATE TABLE evocat.ns.dt (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO evocat.ns.dt VALUES (1, 'x'), (2, 'y')")
+    spark.sql("ALTER TABLE evocat.ns.dt DROP COLUMN s")
+    assert(spark.table("evocat.ns.dt").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+    // the dangerous shape the tombstone exists for: a re-added trailing
+    // column would align with the old key's position
+    val ex = intercept[Exception](
+      spark.sql("ALTER TABLE evocat.ns.dt ADD COLUMN s DOUBLE"))
+    assert(ex.getMessage.contains("previously dropped"), ex.getMessage)
+    spark.sql("DROP TABLE evocat.ns.dt")
   }
 
   test("unsupported evolutions are rejected loudly") {
