@@ -248,10 +248,31 @@ private[sources] class GraftJsonWriteBuilder(
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GraftJsonBatchWrite(path, schema, truncateFirst, replaceMode,
-        failPartitionOnce, partitionCol)
+  override def build(): Write = partitionCol match {
+    case Some(colName) =>
+      // identity-partitioned writes declare a clustered distribution on
+      // the partition column: Spark routes each value to ONE task, so an
+      // append produces at most one file per value instead of
+      // (tasks x values) — the file-count bound that matters when a
+      // 1000-task job appends to a date-partitioned table
+      new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        override def requiredDistribution():
+            org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity(colName)))
+        override def requiredOrdering():
+            Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+        override def toBatch: BatchWrite =
+          new GraftJsonBatchWrite(path, schema, truncateFirst, replaceMode,
+            failPartitionOnce, partitionCol)
+      }
+    case None => new Write {
+      override def toBatch: BatchWrite =
+        new GraftJsonBatchWrite(path, schema, truncateFirst, replaceMode,
+          failPartitionOnce, partitionCol)
+    }
   }
 }
 

@@ -62,6 +62,20 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned appends cluster by value: at most one file per value per commit") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE spjcat.ns.f (k BIGINT, v DOUBLE) PARTITIONED BY (k)")
+    // 4 input partitions x 8 values — an unclustered write would cut up
+    // to 32 files; the declared distribution bounds it at 8
+    (0L until 800L).map(i => (i % 8, i.toDouble)).toDF("k", "v")
+      .repartition(4).writeTo("spjcat.ns.f").append()
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.spjcat.root"), "ns", "f")
+    val files = GraftJsonSink.readManifest(dir)._2
+    assert(files.size <= 8, s"expected <=8 files, got ${files.size}")
+    assert(spark.table("spjcat.ns.f").count() == 800)
+  }
+
   test("grouped scan covers all rows and respects stats skipping") {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     try {
