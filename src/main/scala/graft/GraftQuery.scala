@@ -36,6 +36,7 @@ object GraftQuery {
       queries.Coverage5.defs ++
       queries.Coverage6.defs ++
       queries.Coverage7.defs ++
+      queries.Coverage8.defs ++
       queries.SourceRoundtrip.defs ++
       queries.Pipeline.defs ++
       queries.TextAnalysis.defs ++

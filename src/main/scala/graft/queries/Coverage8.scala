@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{GraftQuery, Tables}
+
+/** Coverage wave: windowed distinct counting (the collect_set workaround
+  * for Spark's missing DISTINCT window aggregates) and per-row z-scores
+  * built from decimal power sums — exact cross-engine because every
+  * float step (divide, subtract, sqrt) is an IEEE operation on
+  * identical inputs.
+  */
+object Coverage8 {
+
+  private val dec6 = DecimalType(38, 6)
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // Distinct count over a running window: Spark has no DISTINCT window
+    // aggregate, so the idiom is size(collect_set() OVER w); DuckDB has
+    // the native form — both must agree row by row.
+    GraftQuery(
+      "q_window_count_distinct",
+      (s, dir) => {
+        // raw table: `ts` is the INT64 nanos column (nanosAsLong read)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.table(s, dir, "events")
+          .filter(col("user_id") < 100)
+          .select(col("event_id"), col("user_id"),
+            size(collect_set(col("event_type")).over(w)).as("distinct_types_so_far"))
+      },
+      Some("SELECT event_id, user_id, " +
+        "CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_ns(ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) " +
+        "AS distinct_types_so_far " +
+        "FROM events WHERE user_id < 100")),
+
+    // Per-row z-score against the row's group: mean and variance come
+    // from DECIMAL power sums (order-independent), and the remaining
+    // steps — two divides, a subtract, a sqrt — are IEEE-exact on both
+    // engines, so the z-scores match bit for bit with no rounding.
+    GraftQuery(
+      "q_window_zscore",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+        val n = count(lit(1)).over(byUser).cast(DoubleType)
+        val sx = sum(col("value").cast(dec6)).over(byUser).cast(DoubleType)
+        val sxx = sum((col("value") * col("value")).cast(dec6))
+          .over(byUser).cast(DoubleType)
+        val mean = sx / n
+        val variance = (sxx - sx * sx / n) / (n - lit(1.0d))
+        Tables.table(s, dir, "events")
+          .filter(col("user_id") < 200)
+          .select(col("event_id"), col("user_id"), col("value"),
+            ((col("value") - mean) / sqrt(variance)).as("zscore"))
+      },
+      Some("SELECT event_id, user_id, value, " +
+        "(value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1.0)) AS zscore " +
+        "FROM (SELECT event_id, user_id, value, " +
+        "CAST(count(*) OVER w AS DOUBLE) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxx " +
+        "FROM events WHERE user_id < 200 " +
+        "WINDOW w AS (PARTITION BY user_id))"))
+  )
+}
