@@ -100,6 +100,29 @@ object Pipeline {
         "CAST(any_value(n.n) - count(*) AS BIGINT) AS n_removed " +
         "FROM f JOIN n ON f.doc_id = n.doc_id GROUP BY f.doc_id")),
 
+    // Sliding-window chunking: split each document into 128-token chunks
+    // with a 96-token stride (32-token overlap) — the per-document
+    // complement to sequence packing below, used when examples must not
+    // cross document boundaries. Pure generator work (sequence +
+    // posexplode), no shuffle at all: chunking 100 TB is map-only.
+    GraftQuery(
+      "pipe_chunk_overlap",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0),
+            greatest(size(col("toks")) - 1, lit(0)), lit(96)))
+            .as(Seq("chunk_id", "st")))
+        .select(col("doc_id"), col("chunk_id"),
+          array_join(slice(col("toks"), col("st") + 1, lit(128)), " ").as("chunk"),
+          least(lit(128), size(col("toks")) - col("st")).as("chunk_tokens")),
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, toks, " +
+        "UNNEST(generate_series(0, GREATEST(len(toks) - 1, 0), 96)) AS st FROM t) " +
+        "SELECT doc_id, st // 96 AS chunk_id, " +
+        "array_to_string(list_slice(toks, st + 1, st + 128), ' ') AS chunk, " +
+        "CAST(LEAST(128, len(toks) - st) AS INT) AS chunk_tokens FROM s")),
+
     // Sequence packing: concatenate the corpus in doc_id order and chop
     // it into fixed 256-token context windows — each document learns its
     // start offset, covering window range, and whether it straddles a

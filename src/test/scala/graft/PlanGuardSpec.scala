@@ -151,6 +151,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("pipe_chunk_overlap: chunking is map-only — generators, no shuffle") {
+    val p = plan("pipe_chunk_overlap")
+    assert(!p.contains("Exchange"), "chunking must not shuffle:\n" + p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("src_partitioned_join: storage-partitioned layout serves the join — no key shuffle") {
     val p = plan("src_partitioned_join")
     assert(!p.contains("Exchange hashpartitioning(c_nationkey"), p)
