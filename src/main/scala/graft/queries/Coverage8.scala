@@ -65,6 +65,40 @@ object Coverage8 {
         "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx, " +
         "CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxx " +
         "FROM events WHERE user_id < 200 " +
-        "WINDOW w AS (PARTITION BY user_id))"))
+        "WINDOW w AS (PARTITION BY user_id))")),
+
+    // Triangle counting on the same deterministic synthetic link graph
+    // the PageRank query uses: canonicalize to undirected a<b edges,
+    // then the standard two-hop equi-join chain counts each triangle
+    // exactly once under a<b<c. At real scale the join order would sort
+    // vertices by DEGREE (not id) to bound the hub vertex's fan-out —
+    // same plan shape, different canonical order.
+    GraftQuery(
+      "graph_triangles",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val n = docs.agg(count(lit(1)).as("n"))
+        val raw = docs.crossJoin(broadcast(n))
+          .select(col("doc_id").as("src"),
+            explode(array(Seq(1, 2, 3).map(j =>
+              (col("doc_id") * 31 + j * 7) % col("n")): _*)).as("dst"))
+        val und = raw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        und.as("e1")
+          .join(und.as("e2"), col("e1.b") === col("e2.a"))
+          .join(und.as("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some("WITH nn AS (SELECT count(*) AS n FROM documents), " +
+        "raw AS (SELECT doc_id AS src, (doc_id * 31 + j * 7) % nn.n AS dst " +
+        "FROM documents, nn, UNNEST([1, 2, 3]) AS u(j)), " +
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b " +
+        "FROM raw WHERE src <> dst) " +
+        "SELECT count(*) AS n_triangles " +
+        "FROM und e1 JOIN und e2 ON e1.b = e2.a " +
+        "JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b"))
   )
 }
