@@ -87,6 +87,37 @@ object Similarity {
         "ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 5"),
       bench = true),
 
+    // Truncated-dimension retrieval (matryoshka-style): score with only
+    // the first 16 of 64 dims — a 4x cheaper scan pass whose candidates
+    // are rescored full-width downstream in a real pipeline. Same
+    // broadcast top-k shape as the brute baseline; the oracle slices the
+    // same prefix.
+    GraftQuery(
+      "sim_truncate_topk",
+      (s, dir) => {
+        val e = corpus(s, dir)
+          .withColumn("vt", slice(col("v"), 1, 16))
+          .withColumn("tn2", dot(col("vt"), col("vt")))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("vt").as("qt"), col("tn2").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine_t").desc, col("neighbor_id").asc)
+        e.select(col("vec_id").as("neighbor_id"), col("vt"), col("tn2"))
+          .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(col("qt"), col("vt"), col("qn"), col("tn2")).as("cosine_t"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+      },
+      Some("WITH e AS (SELECT vec_id, " +
+        "(CAST(embedding AS DOUBLE[]))[1:16] AS v FROM embeddings), " +
+        "scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        s"$cosineSql AS cosine_t " +
+        "FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) " +
+        "SELECT query_id, neighbor_id, cosine_t, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine_t DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 5")),
+
     // Embedding near-duplicate pairs above a cosine threshold.
     GraftQuery(
       "sim_neardup_pairs",
