@@ -67,6 +67,33 @@ object Coverage8 {
         "FROM events WHERE user_id < 200 " +
         "WINDOW w AS (PARTITION BY user_id))")),
 
+    // Outlier clipping by percentile band: per-type p05/p95 bounds
+    // (percentile_disc — actual data values, exact) broadcast back onto
+    // the rows, keeping only in-band values. The standard robust-
+    // cleaning pass before training-statistics aggregation.
+    GraftQuery(
+      "q_outlier_clip",
+      (s, dir) => {
+        val bounds = Tables.table(s, dir, "events")
+          .groupBy(col("event_type").as("bt"))
+          .agg(
+            expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").as("lo"),
+            expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("hi"))
+        Tables.table(s, dir, "events")
+          .join(broadcast(bounds), col("event_type") === col("bt"))
+          .filter(col("value") >= col("lo") && col("value") <= col("hi"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("value").cast(dec6)).cast(DoubleType).as("kept_sum"))
+      },
+      Some("WITH b AS (SELECT event_type AS bt, " +
+        "quantile_disc(value, 0.05) AS lo, quantile_disc(value, 0.95) AS hi " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT event_type, count(*) AS n_kept, " +
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS kept_sum " +
+        "FROM events JOIN b ON event_type = bt " +
+        "WHERE value >= lo AND value <= hi GROUP BY event_type")),
+
     // Triangle counting on the same deterministic synthetic link graph
     // the PageRank query uses: canonicalize to undirected a<b edges,
     // then the standard two-hop equi-join chain counts each triangle
