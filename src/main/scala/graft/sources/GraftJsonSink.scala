@@ -8,7 +8,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -248,30 +249,25 @@ private[sources] class GraftJsonWriteBuilder(
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  override def build(): Write = partitionCol match {
-    case Some(colName) =>
-      // identity-partitioned writes declare a clustered distribution on
-      // the partition column: Spark routes each value to ONE task, so an
-      // append produces at most one file per value instead of
-      // (tasks x values) — the file-count bound that matters when a
-      // 1000-task job appends to a date-partitioned table
-      new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-        override def requiredDistribution():
-            org.apache.spark.sql.connector.distributions.Distribution =
-          org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            Array(org.apache.spark.sql.connector.expressions.Expressions
-              .identity(colName)))
-        override def requiredOrdering():
-            Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          Array.empty
-        override def toBatch: BatchWrite =
-          new GraftJsonBatchWrite(path, schema, truncateFirst, replaceMode,
-            failPartitionOnce, partitionCol)
+  override def build(): Write = {
+    def batchWrite = new GraftJsonBatchWrite(
+      path, schema, truncateFirst, replaceMode, failPartitionOnce, partitionCol)
+    partitionCol match {
+      case Some(colName) =>
+        // identity-partitioned writes declare a clustered distribution on
+        // the partition column: Spark routes each value to ONE task, so an
+        // append produces at most one file per value instead of
+        // (tasks x values) — the file-count bound that matters when a
+        // 1000-task job appends to a date-partitioned table
+        new Write with RequiresDistributionAndOrdering {
+          override def requiredDistribution(): Distribution =
+            Distributions.clustered(Array(Expressions.identity(colName)))
+          override def requiredOrdering(): Array[SortOrder] = Array.empty
+          override def toBatch: BatchWrite = batchWrite
+        }
+      case None => new Write {
+        override def toBatch: BatchWrite = batchWrite
       }
-    case None => new Write {
-      override def toBatch: BatchWrite =
-        new GraftJsonBatchWrite(path, schema, truncateFirst, replaceMode,
-          failPartitionOnce, partitionCol)
     }
   }
 }
