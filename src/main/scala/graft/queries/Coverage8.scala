@@ -15,7 +15,31 @@ object Coverage8 {
 
   private val dec6 = DecimalType(38, 6)
 
+  /** NOT IN's three-valued trap, asserted on both engines: a NULL in the
+    * subquery's result poisons the whole predicate (x <> NULL is
+    * UNKNOWN, so NOT IN can never be TRUE) — the poisoned count MUST be
+    * zero while the null-free variant genuinely filters. Spark plans
+    * this as a null-aware anti join, the physical shape that exists for
+    * exactly this semantic.
+    */
+  private val notInNullsSql =
+    "SELECT " +
+      "(SELECT count(*) FROM orders WHERE o_custkey NOT IN " +
+      "(SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)) AS n_clean, " +
+      "(SELECT count(*) FROM orders WHERE o_custkey NOT IN " +
+      "(SELECT CASE WHEN c_custkey % 7 = 0 THEN c_custkey END FROM customer)) " +
+      "AS n_poisoned"
+
   def defs: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_not_in_nulls",
+      (s, dir) => {
+        Seq("orders", "customer").foreach(t =>
+          Tables.table(s, dir, t).createOrReplaceTempView(t))
+        s.sql(notInNullsSql)
+      },
+      Some(notInNullsSql)),
 
     // Distinct count over a running window: Spark has no DISTINCT window
     // aggregate, so the idiom is size(collect_set() OVER w); DuckDB has
