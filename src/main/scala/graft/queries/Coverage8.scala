@@ -91,6 +91,27 @@ object Coverage8 {
         "FROM events WHERE user_id < 200 " +
         "WINDOW w AS (PARTITION BY user_id))")),
 
+    // 2-D histogram: joint (hour-of-day × value-decile) counts — the
+    // binning pass behind heatmaps and drift monitors. Both axes are
+    // exact integer arithmetic (integral division on nanos, width_bucket
+    // on a fixed [0,100) domain), so the cells match exactly.
+    GraftQuery(
+      "q_histogram_2d",
+      (s, dir) => Tables.table(s, dir, "events")
+        .groupBy(
+          expr("(ts div 3600000000000) % 24").as("hour_of_day"),
+          expr("width_bucket(value, 0, 100, 10)").as("value_decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec6)).cast(DoubleType).as("v_sum")),
+      // DuckDB lacks width_bucket: spell the same [0,100)/10 binning as
+      // a guarded floor (bucket 0 below range, 11 at/above the top)
+      Some("SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day, " +
+        "CASE WHEN value < 0 THEN 0 WHEN value >= 100 THEN 11 " +
+        "ELSE CAST(floor(value / 10) AS BIGINT) + 1 END AS value_decile, " +
+        "count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v_sum " +
+        "FROM events GROUP BY 1, 2")),
+
     // Outlier clipping by percentile band: per-type p05/p95 bounds
     // (percentile_disc — actual data values, exact) broadcast back onto
     // the rows, keeping only in-band values. The standard robust-
