@@ -151,6 +151,22 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q_window_zscore: one shuffle serves all three window aggregates") {
+    val p = plan("q_window_zscore")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_outlier_clip: percentile bounds broadcast back to the rows") {
+    val p = plan("q_outlier_clip")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_not_in_nulls: NOT IN plans as anti joins, never a cartesian filter") {
+    val p = plan("q_not_in_nulls")
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("pipe_chunk_overlap: chunking is map-only — generators, no shuffle") {
     val p = plan("pipe_chunk_overlap")
     assert(!p.contains("Exchange"), "chunking must not shuffle:\n" + p)
