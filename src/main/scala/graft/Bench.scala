@@ -49,7 +49,12 @@ object Bench {
       }
     }
 
+    // optional comma-separated filter for single-query iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=dd_jaccard_ppjoin); unset = all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val headline = GraftQuery.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     // three timed runs per query, report the min: the first run of a plan
@@ -60,21 +65,25 @@ object Bench {
     // between runs, so each timed run includes any query-internal cache
     // build.
     headline.foreach { q =>
-      val t = (1 to 3).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val dt = time {
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
         spark.catalog.clearCache() // queries may cache internally; no leakage
         dt
-      }.min
-      results(q.name) = t
+      }
+      // per-run times on stderr: makes codegen-compile vs steady-state
+      // visible when chasing a drift report
+      System.err.println(f"RUNS ${q.name}: ${runs.map(r => f"$r%.3f").mkString(" ")}")
+      results(q.name) = runs.min
     }
 
     // the reference's own workload, end to end (extract → … → sink);
     // min of three runs like every other entry — the first run pays Janino
     // compilation for the 28-column projection chain, a fixed cost that
     // amortizes to zero at any real data volume
-    results("etl_reference_workload") = (1 to 3).map { _ =>
+    if (only.forall(_.contains("etl_reference_workload")))
+      results("etl_reference_workload") = (1 to 3).map { _ =>
       time {
         val out = Files.createTempDirectory("graft_bench_etl").toString
         val cfg = etl.ConfigLoader.load("/root/repo/config",
@@ -83,9 +92,49 @@ object Bench {
       }
     }.min
 
+    // cross-round drift guard: diff against the previous round's BENCH
+    // JSON and flag per-query deltas beyond ±25% so regressions are
+    // caught the round they land, not one judge-cycle later. Reported on
+    // stderr (the stdout contract stays ONE JSON line).
+    driftReport(results)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Compare this run against the newest BENCH_r*.json in the repo root
+    * (or `SPARK_GRAFT_PREV_BENCH`) and print queries that drifted >25%
+    * either way. Purely advisory — never fails the run.
+    */
+  private def driftReport(results: collection.Map[String, Double]): Unit = try {
+    val prev = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(java.nio.file.Paths.get(_))
+      .orElse {
+        val repo = java.nio.file.Paths.get("/root/repo")
+        val rx = "BENCH_r(\\d+)\\.json".r
+        import scala.jdk.CollectionConverters._
+        Files.list(repo).iterator.asScala
+          .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString).map(m => (m.group(1).toInt, p)))
+          .toSeq.sortBy(-_._1).headOption.map(_._2)
+      }
+    prev.filter(Files.exists(_)).foreach { p =>
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      // the file nests the queries map twice (raw line + parsed echo);
+      // first occurrence is enough for a guard
+      val qBlock = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text).map(_.group(1))
+      val pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+      val old = qBlock.map(b => pair.findAllMatchIn(b).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        .getOrElse(Map.empty)
+      results.foreach { case (name, now) =>
+        old.get(name).foreach { was =>
+          val delta = (now - was) / was
+          if (math.abs(delta) > 0.25)
+            System.err.println(f"DRIFT $name: ${was}%.3fs -> ${now}%.3fs (${delta * 100}%+.0f%% vs ${p.getFileName})")
+        }
+      }
+      results.keys.filterNot(old.contains)
+        .foreach(n => System.err.println(s"DRIFT $n: new this round (no baseline in ${p.getFileName})"))
+    }
+  } catch { case e: Exception => System.err.println(s"DRIFT guard skipped: $e") }
 }

@@ -12,16 +12,25 @@ import graft.functions.GraftFunctions
   * For Jaccard threshold t = num/den, any pair with jaccard >= t must
   * share at least one shingle within each document's first
   * (|d| - ceil(t·|d|) + 1) shingles under a GLOBAL rarest-first order. So:
-  * one map-side-combinable frequency pass builds the order, an equi-join
-  * on prefix shingles generates candidates (tiny buckets on Zipfian
-  * corpora — the prefix keeps only rare shingles), a length-ratio filter
-  * prunes further, and the merge-walk Jaccard expression rescores
-  * exactly. No false negatives: the result is identical to the all-pairs
-  * join at any scale.
+  * one map-side-combinable frequency pass builds the order, prefix
+  * shingles are grouped into an inverted index (tiny buckets on Zipfian
+  * corpora — the prefix keeps only rare shingles), pairs are generated
+  * INSIDE each bucket (so the prefix relation is computed exactly once —
+  * no self-join, no cache, no eager materialization on the timed path),
+  * a length-ratio filter plus PPJoin's positional filter prune further,
+  * and the merge-walk Jaccard expression rescores exactly. No false
+  * negatives: the result is identical to the all-pairs join at any scale.
   *
   * The threshold is a rational num/den so the prefix length is computed
   * in exact integer arithmetic — ceil(0.8·|d|) in double is off by one
   * for |d| divisible by 5.
+  *
+  * Nothing is cached: the shingle relation is recomputed per consumer
+  * (one ranked pass + two rescore sides). At 100 TB the shingle arrays
+  * would never fit in cache anyway — recompute-from-scan is the shape
+  * that survives scale, and at bench scale the ngram pass is scan-bound
+  * and cheap. This also means repeated invocations leak nothing in the
+  * block manager.
   */
 object PrefixFilterJoin {
 
@@ -33,33 +42,33 @@ object PrefixFilterJoin {
     val s = docs.sparkSession
     GraftFunctions.register(s)
     val threshold = num.toDouble / den.toDouble
-    val sets = docs
+    def sets: DataFrame = docs
       .select(col("doc_id"),
         GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-      .cache()
-    // materialize before the final action fans out over four plan branches
-    // (freq, ranked, and both rescoring sides) — an unmaterialized cache is
-    // raced by concurrent branches and recomputed per branch
-    sets.count()
-    // global rarest-first order: frequency, ties by hash
+    // global rarest-first order: frequency, ties by hash. Partial-agg
+    // combinable, skew-free (no per-shingle doc lists materialized).
     val freq = sets.select(explode(col("sh")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("f"))
     // per-doc prefix under that order: sz - ceil(t*sz) + 1 rarest shingles
     val prefixLen = expr(s"sz - (($num * sz + ${den - 1}) div $den) + 1").cast("int")
-    val ranked = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
+    val pref = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
       .join(freq, Seq("h"))
       .groupBy(col("doc_id"), col("sz"))
       .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
       .select(col("doc_id"), col("sz"),
-        slice(transform(col("fh"), x => x.getField("h")), lit(1), prefixLen).as("prefix"))
-      // both sides of the candidate self-join read `ranked`; uncached,
-      // Spark recomputes the freq-join + collect_list subtree per side
-      .cache()
-    ranked.count()
-    val pref = ranked.select(col("doc_id"), col("sz"),
-      posexplode(col("prefix")).as(Seq("p", "h")))
+        posexplode(slice(transform(col("fh"), x => x.getField("h")), lit(1), prefixLen))
+          .as(Seq("p", "h")))
+    // inverted index on prefix shingles: pairs are generated inside each
+    // bucket, so the ranked-prefix subtree above is computed exactly once
+    // (a prefix self-JOIN would read it twice, forcing a cache + eager
+    // materialization onto the timed path — the round-6 regression).
+    // Buckets are rare-shingle postings lists: tiny on Zipfian text.
+    val buckets = pref
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"), col("p"))).as("ds"))
+      .filter(size(col("ds")) > 1)
     // positional filter (PPJoin's second pruning rule): a prefix shingle
     // matching at 1-based positions (i, j) of the docs' globally-sorted
     // shingle lists caps the possible overlap at min(|A|-i, |B|-j) + 1 —
@@ -73,20 +82,30 @@ object PrefixFilterJoin {
       s"($num * (sz_a + sz_b) + ${num + den - 1}) div ${num + den}")
     val uBound =
       least(col("sz_a") - (col("p_a") + 1), col("sz_b") - (col("p_b") + 1)) + 1
-    val candidates = pref
-      .select(col("h"), col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("p").as("p_a"))
-      .join(pref.select(col("h"), col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("p").as("p_b")), Seq("h"))
-      // doc order + length-ratio filter: jaccard >= t needs t|A| <= |B| <= |A|/t
-      .filter(col("doc_a") < col("doc_b") &&
-        col("sz_b") * den >= col("sz_a") * num && col("sz_a") * den >= col("sz_b") * num &&
+    val shufflePartitions = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val candidates = buckets
+      .select(explode(col("ds")).as("a"), col("ds"))
+      // only partners later in doc order: halves the fan-out pre-explode
+      .select(col("a"),
+        explode(filter(col("ds"), b => b.getField("doc_id") > col("a.doc_id")))
+          .as("b"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("a.sz").as("sz_a"), col("a.p").as("p_a"),
+        col("b.doc_id").as("doc_b"), col("b.sz").as("sz_b"), col("b.p").as("p_b"))
+      // length-ratio filter: jaccard >= t needs t|A| <= |B| <= |A|/t
+      .filter(col("sz_b") * den >= col("sz_a") * num &&
+        col("sz_a") * den >= col("sz_b") * num &&
         uBound >= oReq)
       .select(col("doc_a"), col("doc_b"))
       // one exchange, not two: an explicit-width repartition on the pair key
       // followed by dropDuplicates reuses that partitioning for the dedup
       // aggregate (no second shuffle), and the explicit numPartitions keeps
       // AQE from coalescing the bytes-small but compute-heavy candidate set
-      // to ~1 partition, which would serialize the rescoring
-      .repartition(s.sparkContext.defaultParallelism, col("doc_a"), col("doc_b"))
+      // to ~1 partition, which would serialize the rescoring. Width follows
+      // spark.sql.shuffle.partitions — a data/deployment-tunable knob —
+      // not defaultParallelism (a fixed cluster-shaped constant that stops
+      // scaling when the candidate set needs more partitions than cores).
+      .repartition(shufflePartitions, col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
