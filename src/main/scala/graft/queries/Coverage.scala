@@ -102,38 +102,77 @@ object Coverage {
         "CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL THEN 'known' ELSE 'unknown' END " +
         "AS status_kind FROM orders")),
 
-    // Seeded Bernoulli sampling — deterministic for a fixed seed and
-    // input layout, but the RNG stream is engine-specific (rows-only
-    // driver check; statistical bounds in CoverageSpec).
+    // Seeded Bernoulli sampling. The RNG stream is engine-specific, so
+    // the result row carries deterministic VERDICT cells instead of the
+    // sample itself: the sample size is binomially concentrated around
+    // f·N, so |n − f·N| ≤ 5σ (σ = sqrt(N·f·(1−f)), a ~1e-6 false-alarm
+    // bound) is a fact the DuckDB oracle can state as a literal. Measured
+    // dev ≤ 1.9σ across sf0.001/0.01/0.1. The sample still materializes —
+    // the verdict aggregates it.
     GraftQuery(
       "q_sample",
-      (s, dir) =>
-        Tables.table(s, dir, "lineitem")
-          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
-          .select(col("l_orderkey"), col("l_linenumber"))),
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+        val sampled = li.sample(withReplacement = false, fraction = 0.1, seed = 42L)
+          .agg(count(lit(1)).as("n_sample"))
+        li.agg(count(lit(1)).as("n_total")).crossJoin(sampled)
+          .select(
+            col("n_total"),
+            when(abs(col("n_sample") - col("n_total") * lit(0.1)) <=
+                lit(5.0) * sqrt(col("n_total") * lit(0.1) * lit(0.9)), lit(1L))
+              .otherwise(lit(0L)).as("size_ok"))
+      },
+      Some("SELECT count(*) AS n_total, CAST(1 AS BIGINT) AS size_ok FROM lineitem")),
 
-    // Approximate percentiles (t-digest-style sketch) — engine-specific
-    // values (rows-only check; tolerance vs exact in CoverageSpec).
+    // Approximate percentiles (t-digest-style sketch). Sketch values are
+    // engine-specific, so the result carries the EXACT per-group
+    // percentiles (cross-engine cell-exact, same formula as
+    // q_percentiles) plus verdict cells bounding the sketch's relative
+    // error at 1% — measured ≤ 0.08% across SFs at accuracy 10000.
     GraftQuery(
       "q_approx_percentile",
       (s, dir) =>
         Tables.table(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-              .as("p50_price_approx"),
-            percentile_approx(col("l_quantity"), lit(0.9), lit(10000))
-              .as("p90_qty_approx"))),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+            round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("exact_p50_price"),
+            percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("a90"),
+            round(percentile(col("l_quantity"), lit(0.9)), 6).as("exact_p90_qty"))
+          .select(
+            col("l_returnflag"), col("exact_p50_price"), col("exact_p90_qty"),
+            when(abs(col("a50") - col("exact_p50_price")) <=
+              col("exact_p50_price") * lit(0.01), lit(1L)).otherwise(lit(0L)).as("p50_ok"),
+            when(abs(col("a90") - col("exact_p90_qty")) <=
+              col("exact_p90_qty") * lit(0.01), lit(1L)).otherwise(lit(0L)).as("p90_ok")),
+      Some("SELECT l_returnflag, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50_price, " +
+        "round(quantile_cont(l_quantity, 0.9), 6) AS exact_p90_qty, " +
+        "CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok " +
+        "FROM lineitem GROUP BY l_returnflag")),
 
-    // HLL approximate distinct — sketch values are engine-specific
-    // (rows-only driver check; error bound asserted in CoverageSpec).
+    // HLL approximate distinct. Sketch estimates are engine-specific, so
+    // the result carries the EXACT distinct counts plus verdict cells
+    // bounding the sketch's relative error at 15% (default rsd 5%;
+    // measured ≤ 6.4% across SFs).
     GraftQuery(
       "q_approx_distinct",
       (s, dir) =>
         Tables.table(s, dir, "lineitem")
           .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+            approx_count_distinct(col("l_partkey")).as("ap"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_orderkey")).as("ao"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .select(
+            col("exact_parts"), col("exact_orders"),
+            when(abs(col("ap") - col("exact_parts")) <=
+              col("exact_parts") * lit(0.15), lit(1L)).otherwise(lit(0L)).as("parts_ok"),
+            when(abs(col("ao") - col("exact_orders")) <=
+              col("exact_orders") * lit(0.15), lit(1L)).otherwise(lit(0L)).as("orders_ok")),
+      Some("SELECT count(DISTINCT l_partkey) AS exact_parts, " +
+        "count(DISTINCT l_orderkey) AS exact_orders, " +
+        "CAST(1 AS BIGINT) AS parts_ok, CAST(1 AS BIGINT) AS orders_ok FROM lineitem")),
 
     // Structured aggregates: arg-max (deterministic via a unique compare
     // key), sorted list aggregation, ordered string aggregation.

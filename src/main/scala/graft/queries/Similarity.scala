@@ -60,6 +60,93 @@ object Similarity {
       when(dot(v, typedlit(hyperplanes(p))) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Exact brute-force top-k (query_id, neighbor_id) for queries
+    * vec_id < 10 — the in-query ground truth the ANN verdict rows
+    * compare against.
+    */
+  private def bruteTopK(e: DataFrame, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm2"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("norm2")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** One deterministic verdict row for an ANN result: n_queries and
+    * n_exact restate facts DuckDB derives from the data; results_ok
+    * asserts the ANN pipeline returned a full top-k for every query;
+    * recall_ok bounds micro-averaged recall@k against the in-query
+    * brute-force ground truth. The approximate pipeline still runs end
+    * to end — the verdict aggregates it into cells the driver's DuckDB
+    * oracle can hash-match.
+    */
+  private def annVerdict(ann: DataFrame, exact: DataFrame, minRecall: Double): DataFrame = {
+    val hits = exact
+      .join(ann.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    val annN = ann.agg(count(lit(1)).as("n_ann"))
+    hits.crossJoin(annN).select(
+      col("n_queries"), col("n_exact"),
+      when(col("n_ann") === col("n_exact"), lit(1L)).otherwise(lit(0L)).as("results_ok"),
+      when(col("n_hits") >= col("n_exact") * lit(minRecall), lit(1L))
+        .otherwise(lit(0L)).as("recall_ok"))
+  }
+
+  private val annVerdictSql =
+    "SELECT count(*) AS n_queries, CAST(count(*) * 5 AS BIGINT) AS n_exact, " +
+      "CAST(1 AS BIGINT) AS results_ok, CAST(1 AS BIGINT) AS recall_ok " +
+      "FROM embeddings WHERE vec_id < 10"
+
+  /** Raw LSH ANN top-5 per query (query_id, neighbor_id, cosine, rank) —
+    * the pipeline under the `sim_lsh_ann` verdict; specs assert on this
+    * directly.
+    */
+  def lshAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir).withColumn("sig", lshSignature(col("v"))).cache()
+    val bands = e.select(
+      col("vec_id"), col("v"), col("norm2"),
+      posexplode(array((0 until 4).map { j =>
+        shiftright(col("sig"), 4 * j).bitwiseAND(lit(0xF))
+      }: _*)).as(Seq("band", "band_val")))
+    val q = bands.filter(col("vec_id") < 10).select(
+      col("band"), col("band_val"),
+      col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn"))
+    val c = bands.select(
+      col("band"), col("band_val"),
+      col("vec_id").as("neighbor_id"), col("v"), col("norm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, Seq("band", "band_val"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("norm2")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  /** Raw IVF ANN top-5 per query — the pipeline under the `sim_ivf_ann`
+    * verdict; specs assert on this directly.
+    */
+  def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir).cache()
+    val centroids = graft.operators.IvfIndex.train(
+      e.select(col("vec_id"), col("v")), "v", nlist = 16, iters = 2)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn"))
+    graft.operators.IvfIndex.search(e, centroids, q, nprobe = 4, k = 5)
+  }
+
   def defs: Seq[GraftQuery] = Seq(
 
     // Brute-force exact cosine top-5 for the first 10 query vectors.
@@ -140,18 +227,15 @@ object Similarity {
     // 2 Lloyd iterations, deterministic init+ties), queries probe the
     // nprobe=4 nearest cells, exact cosine rescoring inside. The scale
     // path where LSH recall degrades: cells adapt to the data
-    // distribution. Rows-only check; recall vs brute force in
+    // distribution. Driver check: one verdict row — recall@5 ≥ 0.7 vs
+    // the in-query brute-force ground truth (measured 0.9–1.0 across
+    // SFs); raw neighbor lists are additionally recall-asserted in
     // SimilaritySpec.
     GraftQuery(
       "sim_ivf_ann",
-      (s, dir) => {
-        val e = corpus(s, dir).cache()
-        val centroids = graft.operators.IvfIndex.train(
-          e.select(col("vec_id"), col("v")), "v", nlist = 16, iters = 2)
-        val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn"))
-        graft.operators.IvfIndex.search(e, centroids, q, nprobe = 4, k = 5)
-      }),
+      (s, dir) =>
+        annVerdict(ivfAnn(s, dir), bruteTopK(corpus(s, dir), 5), minRecall = 0.7),
+      Some(annVerdictSql)),
 
     // Int8 vector quantization (per-vector min/max scale): the storage/
     // bandwidth lever for 100 TB embedding corpora. floor keeps the
@@ -186,31 +270,12 @@ object Similarity {
     // the recall/cost dial: these embeddings are near-random (top-5
     // cosine ~0.4 => P(bit agree) ~ 0.63), so 4-bit bands x 4 give ~50%
     // recall; clustered real-world embeddings would use wider bands.
-    // Approximate by design (recall asserted vs brute force in
-    // SimilaritySpec); rows-only check for the driver.
+    // Driver check: one verdict row — recall@5 ≥ 0.25 vs the in-query
+    // brute-force ground truth (measured 0.38–0.50 across SFs); raw
+    // neighbor lists are additionally recall-asserted in SimilaritySpec.
     GraftQuery(
       "sim_lsh_ann",
-      (s, dir) => {
-        val e = corpus(s, dir).withColumn("sig", lshSignature(col("v"))).cache()
-        val bands = e.select(
-          col("vec_id"), col("v"), col("norm2"),
-          posexplode(array((0 until 4).map { j =>
-            shiftright(col("sig"), 4 * j).bitwiseAND(lit(0xF))
-          }: _*)).as(Seq("band", "band_val")))
-        val q = bands.filter(col("vec_id") < 10).select(
-          col("band"), col("band_val"),
-          col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn"))
-        val c = bands.select(
-          col("band"), col("band_val"),
-          col("vec_id").as("neighbor_id"), col("v"), col("norm2"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id").asc)
-        q.join(c, Seq("band", "band_val"))
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .dropDuplicates("query_id", "neighbor_id")
-          .select(col("query_id"), col("neighbor_id"),
-            cosine(col("qv"), col("v"), col("qn"), col("norm2")).as("cosine"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-      }))
+      (s, dir) =>
+        annVerdict(lshAnn(s, dir), bruteTopK(corpus(s, dir), 5), minRecall = 0.25),
+      Some(annVerdictSql)))
 }

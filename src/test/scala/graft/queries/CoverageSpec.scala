@@ -9,27 +9,39 @@ class CoverageSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("seeded sample is reproducible and near the target fraction") {
-    val q = graft.SparkEntry.queries("q_sample")
-    val a = q(spark, dir).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    val b = q(spark, dir).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+  test("seeded sample is reproducible, near the target fraction, verdict green") {
+    val li = Tables.table(spark, dir, "lineitem")
+    val a = li.sample(false, 0.1, 42L).select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = li.sample(false, 0.1, 42L).select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(a == b) // same seed, same layout => same sample
-    val total = Tables.table(spark, dir, "lineitem").count().toDouble
+    val total = li.count().toDouble
     val frac = a.size / total
     assert(frac > 0.07 && frac < 0.13, s"sample fraction $frac")
+    // the gate query's verdict row agrees
+    val row = graft.SparkEntry.queries("q_sample")(spark, dir).head()
+    assert(row.getAs[Long]("n_total") == total.toLong)
+    assert(row.getAs[Long]("size_ok") == 1L)
   }
 
   test("approx percentile tracks the exact percentile") {
-    val approx = graft.SparkEntry.queries("q_approx_percentile")(spark, dir)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = graft.SparkEntry.queries("q_approx_percentile")(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p50_ok") == 1L, r.getString(0))
+      assert(r.getAs[Long]("p90_ok") == 1L, r.getString(0))
+    }
+    // the emitted exact percentiles match an independent computation
     val exact = Tables.table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-        percentile(col("l_quantity"), lit(0.9)).as("p90"))
+      .agg(round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    exact.foreach { case (k, (p50, p90)) =>
-      assert(math.abs(approx(k)._1 - p50) / p50 < 0.05, s"$k p50")
-      assert(math.abs(approx(k)._2 - p90) / p90 < 0.1, s"$k p90")
+    rows.foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      assert(r.getAs[Double]("exact_p50_price") == p50)
+      assert(r.getAs[Double]("exact_p90_qty") == p90)
     }
   }
 
@@ -66,8 +78,10 @@ class CoverageSpec extends AnyFunSuite {
       .select(countDistinct(col("l_partkey"))).head().getLong(0)
     val exactOrders = Tables.table(spark, dir, "lineitem")
       .select(countDistinct(col("l_orderkey"))).head().getLong(0)
-    // default rsd = 5%; allow 3x that
-    assert(math.abs(row.getLong(0) - exactParts).toDouble / exactParts < 0.15)
-    assert(math.abs(row.getLong(1) - exactOrders).toDouble / exactOrders < 0.15)
+    assert(row.getAs[Long]("exact_parts") == exactParts)
+    assert(row.getAs[Long]("exact_orders") == exactOrders)
+    // verdict cells: approx within 15% (default rsd 5%, 3x headroom)
+    assert(row.getAs[Long]("parts_ok") == 1L)
+    assert(row.getAs[Long]("orders_ok") == 1L)
   }
 }

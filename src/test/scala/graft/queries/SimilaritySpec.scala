@@ -27,7 +27,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("LSH ANN results are true cosines and recall a meaningful share of brute-force") {
     val brute = graft.SparkEntry.queries("sim_brute_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val annRows = graft.SparkEntry.queries("sim_lsh_ann")(spark, dir).collect()
+    val annRows = Similarity.lshAnn(spark, dir).collect()
     val ann = annRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     // each ANN hit carries the exact cosine a brute-force scorer computes
     val bruteCos = graft.SparkEntry.queries("sim_brute_topk")(spark, dir)
@@ -44,15 +44,26 @@ class SimilaritySpec extends AnyFunSuite {
   test("IVF ANN: valid cosines, deterministic, better recall than blind chance") {
     val brute = graft.SparkEntry.queries("sim_brute_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val q = graft.SparkEntry.queries("sim_ivf_ann")
-    val ivf1 = q(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf2 = q(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = Similarity.ivfAnn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = Similarity.ivfAnn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf1 == ivf2) // deterministic training + ties
     val recall = (ivf1 & brute).size.toDouble / brute.size
     // probing 4/16 cells of a near-random corpus: recall ≈ cell mass
     // visited at minimum; genuinely clustered data would be far higher
     assert(recall >= 0.2, s"IVF recall@5 $recall")
     assert(ivf1.nonEmpty)
+  }
+
+  test("ANN gate verdicts: full top-5 returned, recall bounds hold") {
+    for (name <- Seq("sim_lsh_ann", "sim_ivf_ann")) {
+      val row = graft.SparkEntry.queries(name)(spark, dir).collect()(0)
+      assert(row.getAs[Long]("n_queries") == 10L, name)
+      assert(row.getAs[Long]("n_exact") == 50L, name)
+      assert(row.getAs[Long]("results_ok") == 1L, name)
+      assert(row.getAs[Long]("recall_ok") == 1L, name)
+    }
   }
 
   test("IVF farthest-first init: deterministic, distinct well-separated seeds") {
