@@ -92,20 +92,30 @@ object GraftJsonSink {
     * mkdir), so exactly one committer holds the lock; without it two
     * concurrent appends both read the same previous manifest and the
     * second swap silently DROPS the first writer's files — the classic
-    * lost update. Locks older than 60s are presumed abandoned (a
-    * committer that died mid-commit) and broken; the manifest swap
-    * itself stays atomic, so a broken lock can duplicate no data.
+    * lost update. Locks untouched for LockStaleMillis (30 min) are
+    * presumed abandoned (a committer that died mid-commit) and broken;
+    * live holders heartbeat the lock mtime so a long-running row-level
+    * op is never presumed dead. The manifest swap itself stays atomic,
+    * so a broken lock can duplicate no data.
     */
   private val heldLocks = new ThreadLocal[Set[String]] {
     override def initialValue(): Set[String] = Set.empty
   }
 
-  /** How long a lock may sit before a waiter presumes its holder died.
-    * Generous because row-level ops legitimately hold the lock across
-    * whole Spark jobs; a production build would heartbeat the lock
-    * mtime instead of relying on a fixed horizon.
+  /** How long a lock's mtime may sit unrefreshed before a waiter
+    * presumes its holder died. Row-level ops legitimately hold the lock
+    * across whole Spark jobs, so the HOLDER refreshes the mtime every
+    * LockStaleMillis/3 from a daemon heartbeat — staleness measures a
+    * dead process, not a slow job.
     */
   private val LockStaleMillis = 30L * 60 * 1000
+
+  private lazy val heartbeater =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-commit-lock-heartbeat")
+      t.setDaemon(true)
+      t
+    })
 
   private[sources] def withCommitLock[A](dir: Path)(body: => A): A = {
     val lock = dir.resolve("_graft_commit.lock")
@@ -143,7 +153,17 @@ object GraftJsonSink {
       }
     }
     heldLocks.set(heldLocks.get() + key)
+    // heartbeat: refresh the lock mtime while held so waiters never
+    // break a live holder's lock mid-job (and then race its commit)
+    val beat = heartbeater.scheduleAtFixedRate(
+      () => try {
+        Files.setLastModifiedTime(lock,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      } catch { case _: java.io.IOException => () },
+      LockStaleMillis / 3, LockStaleMillis / 3,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
     try body finally {
+      beat.cancel(false)
       heldLocks.set(heldLocks.get() - key)
       val ownedByUs = try {
         Files.exists(lock.resolve("owner")) &&
@@ -154,7 +174,7 @@ object GraftJsonSink {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[sources] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)
       try s.iterator().asScala.foreach(deleteRecursively)

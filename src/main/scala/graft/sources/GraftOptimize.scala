@@ -33,10 +33,16 @@ object GraftOptimize {
     require(parts.length >= 2, s"expected catalog.[ns.]table, got $tableFqn")
     val root = spark.conf.get(s"spark.sql.catalog.${parts.head}.root")
     val dir = parts.tail.foldLeft(Paths.get(root))(_.resolve(_))
-    graft.operators.ZOrder
-      .layout(spark.table(tableFqn), col(xCol), col(yCol), numFiles)
-      .write.format("graft-json")
-      .option("replace", "true").mode("overwrite").save(dir.toString)
-    spark.table(tableFqn).count()
+    // the lock spans the scan through the replace swap (the inner
+    // replace-commit reenters it): an append committing between the
+    // scan's manifest read and the swap would otherwise vanish from the
+    // rewritten manifest — the same lost-update MERGE locks against
+    GraftJsonSink.withCommitLock(dir) {
+      graft.operators.ZOrder
+        .layout(spark.table(tableFqn), col(xCol), col(yCol), numFiles)
+        .write.format("graft-json")
+        .option("replace", "true").mode("overwrite").save(dir.toString)
+      spark.table(tableFqn).count()
+    }
   }
 }

@@ -61,7 +61,11 @@ object GraftUpdate {
         skipFilters.forall(GraftStats.mayMatch(_, fs, schema)))
     }
     if (touched.nonEmpty) {
+      // FAILFAST: a corrupt data line must abort the update — the default
+      // PERMISSIVE mode would silently rewrite it as an all-null row and
+      // commit the damage back into the table
       val updated = spark.read.schema(schema)
+        .option("mode", "FAILFAST")
         .json(touched.map(f => dir.resolve(f).toString): _*)
         .select(schema.fieldNames.toIndexedSeq.map { n =>
           set.get(n) match {
@@ -72,8 +76,11 @@ object GraftUpdate {
         }: _*)
       // render through the engine's own sink into a staging dir — the
       // executors write data files + stats there, then the driver splices
-      // them into the live manifest in one atomic swap
+      // them into the live manifest in one atomic swap. The staging dir
+      // (manifest, stats sidecar, snapshot, _tmp) is deleted once the
+      // data files have moved out, whether or not the commit succeeds.
       val staging = Files.createTempDirectory("graft_update")
+      try {
       updated.write.format("graft-json").mode("overwrite").save(staging.toString)
       val (_, newFiles) = GraftJsonSink.readManifest(staging)
       val newStats = GraftStats.read(staging, schema)
@@ -98,6 +105,7 @@ object GraftUpdate {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       GraftJsonSink.snapshotManifest(dir)
       GraftStats.write(dir, allStats, schema)
+      } finally GraftJsonSink.deleteRecursively(staging)
     }
     } // withCommitLock
     spark.table(tableFqn).count()

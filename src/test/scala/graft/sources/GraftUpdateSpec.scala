@@ -74,6 +74,23 @@ class GraftUpdateSpec extends AnyFunSuite {
     spark.sql("DROP TABLE updcat.ns.u2")
   }
 
+  test("update cleans up its staging directory") {
+    import scala.jdk.CollectionConverters._
+    def stagingDirs: Set[String] = {
+      val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+      val s = Files.list(tmp)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("graft_update")).toSet
+      finally s.close()
+    }
+    mkTable("u4")
+    val before = stagingDirs
+    GraftUpdate.update(spark, "updcat.ns.u4",
+      col("id") === 42, Map("bal" -> lit(0.0d)))
+    assert(stagingDirs == before) // no leaked graft_update temp dirs
+    spark.sql("DROP TABLE updcat.ns.u4")
+  }
+
   test("UNKNOWN predicate keeps the row — SQL three-valued semantics") {
     import spark.implicits._
     spark.sql("CREATE TABLE updcat.ns.u3 (id BIGINT, s STRING, bal DOUBLE)")
