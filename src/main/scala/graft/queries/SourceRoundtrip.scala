@@ -108,6 +108,47 @@ object SourceRoundtrip {
         "WHERE o_orderkey < 8000 AND NOT (o_orderkey >= 2000 AND o_orderkey < 4000) " +
         "GROUP BY o_orderstatus")),
 
+    // Type-widening schema evolution under the gate: an INT column is
+    // appended, widened to BIGINT (metadata-only — the JSON files store
+    // numbers as text, so old literals re-parse losslessly), a second
+    // generation appends values only a 64-bit type can hold, and the
+    // final read chains a stats-skipped filter (> 3e9 prunes every
+    // pre-widen file by its min/max range) with a full-table aggregate
+    // proving the old int data reads under the widened schema. The
+    // oracle replays both generations straight from parquet.
+    GraftQuery(
+      "src_type_widening",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_widen").toString
+        val cat = s"tw${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.t (qty INT, price DOUBLE)")
+        Tables.table(s, dir, "lineitem")
+          .select(col("l_quantity").cast(IntegerType).as("qty"),
+            col("l_extendedprice").as("price"))
+          .writeTo(s"$cat.g.t").append()
+        s.sql(s"ALTER TABLE $cat.g.t ALTER COLUMN qty TYPE BIGINT")
+        Tables.table(s, dir, "orders")
+          .filter(col("o_orderkey") < 100)
+          .select((col("o_orderkey") + lit(4000000000L)).as("qty"),
+            col("o_totalprice").as("price"))
+          .writeTo(s"$cat.g.t").append()
+        val t = s.table(s"$cat.g.t")
+        val wide = t.filter(col("qty") > lit(3000000000L))
+          .agg(count(lit(1)).as("n_wide"), sum(col("qty")).as("wide_qty_sum"))
+        val total = t.agg(count(lit(1)).as("n_total"), sum(col("qty")).as("qty_sum"))
+        wide.crossJoin(total)
+      },
+      Some("WITH wide AS (SELECT CAST(o_orderkey + 4000000000 AS BIGINT) AS qty " +
+        "FROM orders WHERE o_orderkey < 100), " +
+        "narrow AS (SELECT CAST(l_quantity AS INT) AS qty FROM lineitem) " +
+        "SELECT (SELECT count(*) FROM wide) AS n_wide, " +
+        "(SELECT CAST(SUM(qty) AS BIGINT) FROM wide) AS wide_qty_sum, " +
+        "(SELECT count(*) FROM wide) + (SELECT count(*) FROM narrow) AS n_total, " +
+        "(SELECT CAST(SUM(qty) AS BIGINT) FROM wide) + " +
+        "(SELECT CAST(SUM(qty) AS BIGINT) FROM narrow) AS qty_sum")),
+
     // Bucketed tables: both sides written bucketBy(8) on the join key —
     // Spark's bucket layout IS a persisted HashPartitioning (pmod of the
     // same Murmur3 hash), so the sort-merge join needs NO Exchange on

@@ -212,8 +212,37 @@ class GraftCatalog extends TableCatalog {
         val tf = dirFor(ident).resolve(GraftCatalog.DroppedFileName)
         Files.write(tf, (droppedColumns(ident) + name).toSeq.sorted
           .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          s"graft-json supports only top-level columns, got ${upd.fieldNames.mkString(".")}")
+        val name = upd.fieldNames.head
+        require(schema.fieldNames.contains(name), s"no such column: $name")
+        val from = schema(name).dataType
+        val to = upd.newDataType()
+        // metadata-only widening: data files store numbers as JSON text,
+        // so an int-written literal re-parses losslessly as the wider
+        // type — no file rewrite, and historical snapshots read correctly
+        // under the widened schema. The stats sidecar re-parses min/max
+        // per the CURRENT schema on every read, so skipping survives the
+        // change. Only lossless widenings qualify: int→long, int→double.
+        // (long→double would silently lose precision above 2^53 and is
+        // rejected; float columns don't exist in this format, so the
+        // classic float→double case has no analogue here.)
+        val widens = (from, to) match {
+          case (IntegerType, LongType) => true
+          case (IntegerType, DoubleType) => true
+          case _ => false
+        }
+        require(widens,
+          s"only lossless type widening (int->long, int->double) is supported, " +
+            s"got $from -> $to for $name")
+        require(!partitionColOf(ident).contains(name),
+          s"cannot change type of partition column $name (layout keys by its text)")
+        schema = StructType(schema.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f))
       case other => throw new UnsupportedOperationException(
-        s"graft catalog tables support only ADD/DROP COLUMN, got $other")
+        s"graft catalog tables support only ADD/DROP COLUMN and " +
+          s"ALTER COLUMN TYPE widening, got $other")
     }
     Files.write(f, schema.json.getBytes(StandardCharsets.UTF_8))
     new GraftCatalogTable(ident.toString, dirFor(ident), schema, None,
@@ -325,6 +354,48 @@ object GraftCatalog {
     Files.deleteIfExists(tableDir.resolve(GraftTableStream.EpochFileName))
     (files.size, 1)
   }
+
+  /** Time-based snapshot retention — compact()'s vacuum nukes ALL
+    * history; this is the bounded-history maintenance op a table at a
+    * real commit rate needs. Expires every snapshot whose commit time
+    * (file mtime) is older than `olderThanMillis` ago — except the
+    * latest, which always stays time-travelable — then deletes data
+    * files referenced by NO retained snapshot and not the live manifest
+    * (copy-on-write orphans kept alive only for expired history).
+    *
+    * Runs under the table commit lock, same discipline as compact():
+    * a concurrent writer's manifest read-merge-swap never interleaves
+    * with the reference scan, so a file committed mid-expire cannot be
+    * swept. Expired versions fail loudly on VERSION AS OF (the version
+    * check rejects them); retained versions keep reading because every
+    * file they reference survives the sweep by construction.
+    *
+    * Returns (expired versions, deleted orphan data files).
+    */
+  def expireSnapshots(tableDir: Path, olderThanMillis: Long): (Seq[Long], Seq[String]) =
+    GraftJsonSink.withCommitLock(tableDir) {
+      val cutoff = System.currentTimeMillis() - olderThanMillis
+      val all = GraftJsonSink.listSnapshots(tableDir)
+      val expired = all.dropRight(1).filter { v =>
+        Files.getLastModifiedTime(
+          tableDir.resolve(s"${GraftJsonSink.SnapshotPrefix}$v.json")).toMillis < cutoff
+      }
+      expired.foreach(v =>
+        Files.deleteIfExists(tableDir.resolve(s"${GraftJsonSink.SnapshotPrefix}$v.json")))
+      // sweep data files only history kept alive: referenced-by-nothing =
+      // not in the live manifest and not in any retained snapshot
+      val referenced = (GraftJsonSink.readManifest(tableDir)._2 ++
+        GraftJsonSink.listSnapshots(tableDir)
+          .flatMap(v => GraftJsonSink.readManifestVersion(tableDir, v)._2)).toSet
+      val files = Files.list(tableDir)
+      val orphans = try files.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && !referenced.contains(n))
+        .toList
+      finally files.close()
+      orphans.foreach(n => Files.deleteIfExists(tableDir.resolve(n)))
+      (expired, orphans)
+    }
 }
 
 /** A catalog-managed graft-json table: reads list the manifest's

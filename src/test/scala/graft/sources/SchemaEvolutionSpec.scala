@@ -101,9 +101,66 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE evocat.ns.dt")
   }
 
+  test("ALTER COLUMN TYPE widens int to long without rewriting files") {
+    spark.sql("CREATE TABLE evocat.ns.w (id BIGINT, qty INT)")
+    spark.sql("INSERT INTO evocat.ns.w VALUES (1, 10), (2, 20)")
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.evocat.root"), "ns", "w")
+    val filesBefore = GraftJsonSink.readManifest(dir)._2.toSet
+    spark.sql("ALTER TABLE evocat.ns.w ALTER COLUMN qty TYPE BIGINT")
+    assert(GraftJsonSink.readManifest(dir)._2.toSet == filesBefore) // metadata-only
+    // old int literals re-parse as long; new 64-bit values append fine
+    spark.sql("INSERT INTO evocat.ns.w VALUES (3, 4000000000)")
+    val rows = spark.sql("SELECT id, qty FROM evocat.ns.w ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 20L), (3L, 4000000000L)))
+    // time travel reads the pre-widen snapshot under the widened schema
+    assert(spark.sql("SELECT sum(qty) FROM evocat.ns.w VERSION AS OF 1")
+      .head().getLong(0) == 30L)
+    spark.sql("DROP TABLE evocat.ns.w")
+  }
+
+  test("stats skipping survives widening: old min/max still prune files") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      def scan(p: SparkPlan): Seq[BatchScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+        case q: QueryStageExec => scan(q.plan)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(scan)
+      }
+      scan(df.queryExecution.executedPlan).map(_.inputPartitions.size).sum
+    }
+    spark.sql("CREATE TABLE evocat.ns.ws (id BIGINT, qty INT)")
+    spark.sql("INSERT INTO evocat.ns.ws VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE evocat.ns.ws ALTER COLUMN qty TYPE BIGINT")
+    spark.sql("INSERT INTO evocat.ns.ws VALUES (3, 4000000000)")
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.evocat.root"), "ns", "ws")
+    val nFiles = GraftJsonSink.readManifest(dir)._2.size
+    val t = spark.table("evocat.ns.ws")
+    assert(plannedFiles(t) == nFiles) // no filter: all files
+    // every pre-widen file's int stats, re-typed long, prune it; only
+    // the post-widen file survives the planning
+    val wide = t.filter("qty > 3000000000")
+    assert(plannedFiles(wide) == 1)
+    assert(wide.count() == 1)
+    spark.sql("DROP TABLE evocat.ns.ws")
+  }
+
   test("unsupported evolutions are rejected loudly") {
     spark.sql("CREATE TABLE evocat.ns.r (id BIGINT, s STRING)")
     intercept[Exception](spark.sql("ALTER TABLE evocat.ns.r RENAME COLUMN s TO t"))
+    // lossy/narrowing type changes are rejected; only int->long/double widen
+    intercept[Exception](
+      spark.sql("ALTER TABLE evocat.ns.r ALTER COLUMN id TYPE INT"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE evocat.ns.r ALTER COLUMN id TYPE DOUBLE")) // long->double loses >2^53
+    intercept[Exception](
+      spark.sql("ALTER TABLE evocat.ns.r ALTER COLUMN s TYPE BIGINT"))
     // dropping every column must fail (second drop hits the last-column guard)
     intercept[Exception](spark.sql("ALTER TABLE evocat.ns.r DROP COLUMNS (id, s)"))
     intercept[Exception](
