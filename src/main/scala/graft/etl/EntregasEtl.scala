@@ -4,6 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Run metrics, mirroring the reference's metrics dict
   * (`/root/reference/src/etl_entregas.py:558-573` + `main.py:233-238`).
+  * `toJson` renders the dict FIELD-FOR-FIELD — same keys, same nesting,
+  * same semantics — so a consumer of the reference's
+  * `execution_metrics.json` reads this engine's output unchanged
+  * (EtlMetricsParitySpec asserts the schema against the documented dict).
   */
 final case class RunMetrics(
     environment: String,
@@ -13,23 +17,45 @@ final case class RunMetrics(
     quality: QualityMetrics,
     finalRows: Long,
     partitionsCreated: Map[String, Long],
+    outputPath: String,
+    outputFormat: String,
+    startTimeIso: String,
+    endTimeIso: String,
     executionTimeSeconds: Double) {
 
   def toJson: String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val parts = partitionsCreated.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")
+    // partitions_created is the reference's list of partition dates
+    // (`etl_entregas.py:509-514`); per-date row counts ride alongside in
+    // partition_row_counts (an engine extra — additive, never renaming)
+    val dates = partitionsCreated.keys.toSeq.sorted
+    val counts = dates.map(d => s"${q(d)}: ${partitionsCreated(d)}").mkString("{", ", ", "}")
     s"""{
+       |  "status": "SUCCESS",
        |  "environment": ${q(environment)},
-       |  "filters": {"start_date": ${q(startDate)}, "end_date": ${q(endDate)}, "country": ${country.map(q).getOrElse("null")}},
-       |  "records_read": ${quality.inputRows},
-       |  "removed_null_material": ${quality.removedNullMaterial},
-       |  "removed_invalid_type": ${quality.removedInvalidType},
-       |  "removed_duplicates": ${quality.removedDuplicates},
-       |  "removed_invalid_country": ${quality.removedInvalidCountry},
-       |  "records_written": $finalRows,
-       |  "partitions_created": $parts,
-       |  "execution_time_seconds": $executionTimeSeconds
+       |  "start_time": ${q(startTimeIso)},
+       |  "end_time": ${q(endTimeIso)},
+       |  "execution_time_seconds": $executionTimeSeconds,
+       |  "filters_applied": {
+       |    "start_date": ${q(startDate)},
+       |    "end_date": ${q(endDate)},
+       |    "country": ${country.map(q).getOrElse("null")}
+       |  },
+       |  "quality_metrics": {
+       |    "registros_iniciales": ${quality.inputRows},
+       |    "registros_null_material": ${quality.removedNullMaterial},
+       |    "registros_duplicados": ${quality.removedDuplicates},
+       |    "registros_tipo_invalido": ${quality.removedInvalidType},
+       |    "registros_finales": ${quality.outputRows}
+       |  },
+       |  "output_info": {
+       |    "output_path": ${q(outputPath)},
+       |    "partitions_created": ${dates.map(q).mkString("[", ", ", "]")},
+       |    "total_partitions": ${dates.size},
+       |    "format": ${q(outputFormat)},
+       |    "partition_row_counts": $counts
+       |  },
+       |  "final_record_count": $finalRows
        |}""".stripMargin
   }
 }
@@ -55,6 +81,7 @@ final class EntregasEtl(val config: EtlConfig, val spark: SparkSession) {
 
   def run(): RunMetrics = {
     val t0 = System.nanoTime()
+    val startIso = java.time.LocalDateTime.now().toString
     val raw = extract().cache()
     try {
       val quality = qualityMetrics(raw)
@@ -70,6 +97,10 @@ final class EntregasEtl(val config: EtlConfig, val spark: SparkSession) {
         quality = quality,
         finalRows = partitions.values.sum,
         partitionsCreated = partitions,
+        outputPath = config.paths.outputBase,
+        outputFormat = config.paths.outputFormat,
+        startTimeIso = startIso,
+        endTimeIso = java.time.LocalDateTime.now().toString,
         executionTimeSeconds = (System.nanoTime() - t0) / 1e9)
     } finally raw.unpersist()
   }

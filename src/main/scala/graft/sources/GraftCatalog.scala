@@ -307,8 +307,11 @@ object GraftCatalog {
     val out = Files.newOutputStream(target)
     try files.foreach { f => out.write(Files.readAllBytes(tableDir.resolve(f))) }
     finally out.close()
+    // streaming-txn markers survive compaction: a restarted stream must
+    // still see its last applied batch id after maintenance runs
     val manifest =
-      s"""{"rows":$rows,"files":["${target.getFileName}"]}\n"""
+      s"""{"rows":$rows,"files":["${target.getFileName}"]""" +
+        GraftJsonSink.renderTxn(GraftJsonSink.readTxn(tableDir)) + "}\n"
     val tmp = tableDir.resolve(GraftJsonSink.ManifestName + ".tmp")
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, tableDir.resolve(GraftJsonSink.ManifestName),

@@ -117,7 +117,7 @@ object GraftJsonSink {
       t
     })
 
-  private[sources] def withCommitLock[A](dir: Path)(body: => A): A = {
+  private[graft] def withCommitLock[A](dir: Path)(body: => A): A = {
     val lock = dir.resolve("_graft_commit.lock")
     val key = lock.toAbsolutePath.toString
     // reentrant per thread: MERGE holds the table lock around its whole
@@ -191,6 +191,28 @@ object GraftJsonSink {
     next
   }
 
+  /** Streaming-transaction markers committed with the manifest swap:
+    * appId → highest applied writer version (e.g. foreachBatch batchId).
+    * Readers use this to make micro-batch re-delivery after a crash
+    * idempotent — see [[graft.streaming.CdcMergeStream]].
+    */
+  private[graft] def readTxn(dir: Path): Map[String, Long] = {
+    val m = dir.resolve(ManifestName)
+    if (!Files.exists(m)) return Map.empty
+    val text = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    "\"txn\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)
+      .map(g => "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(g.group(1))
+        .map(p => p.group(1) -> p.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
+  }
+
+  /** Render a txn map as the manifest suffix fragment (empty when none). */
+  private[sources] def renderTxn(txnMap: Map[String, Long]): String =
+    if (txnMap.isEmpty) ""
+    else txnMap.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(",\"txn\":{", ",", "}")
+
   private def parseManifest(m: Path): (Long, Seq[String]) = {
     if (!Files.exists(m)) return (0L, Nil)
     val text = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
@@ -254,7 +276,9 @@ private class GraftJsonSinkTable(writeSchema: StructType)
       info.options.get("path"),
       info.schema(),
       Option(info.options.get("failPartitionOnce")).map(_.toInt),
-      replaceMode = Option(info.options.get("replace")).exists(_.toBoolean))
+      replaceMode = Option(info.options.get("replace")).exists(_.toBoolean),
+      txn = Option(info.options.get("txnAppId"))
+        .map(_ -> info.options.get("txnVersion").toLong))
 }
 
 private[sources] class GraftJsonWriteBuilder(
@@ -262,16 +286,22 @@ private[sources] class GraftJsonWriteBuilder(
     schema: StructType,
     failPartitionOnce: Option[Int],
     replaceMode: Boolean = false,
-    partitionCol: Option[String] = None) extends WriteBuilder with SupportsTruncate {
+    partitionCol: Option[String] = None,
+    txn: Option[(String, Long)] = None) extends WriteBuilder with SupportsTruncate {
 
   require(path != null && path.nonEmpty, "graft-json requires a path")
+  txn.foreach { case (appId, _) =>
+    require(appId.nonEmpty && appId.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
+      && !appId.contains("part-"),
+      s"txnAppId must be [A-Za-z0-9_-]+ without 'part-', got '$appId'")
+  }
   private var truncateFirst = false
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = {
     def batchWrite = new GraftJsonBatchWrite(
-      path, schema, truncateFirst, replaceMode, failPartitionOnce, partitionCol)
+      path, schema, truncateFirst, replaceMode, failPartitionOnce, partitionCol, txn)
     partitionCol match {
       case Some(colName) =>
         // identity-partitioned writes declare a clustered distribution on
@@ -314,7 +344,8 @@ private[sources] class GraftJsonBatchWrite(
     truncateFirst: Boolean,
     replaceMode: Boolean,
     failPartitionOnce: Option[Int],
-    partitionCol: Option[String] = None) extends BatchWrite {
+    partitionCol: Option[String] = None,
+    txn: Option[(String, Long)] = None) extends BatchWrite {
 
   // unique per write: filenames never collide across commits to one dir
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
@@ -356,13 +387,23 @@ private[sources] class GraftJsonBatchWrite(
         (target.getFileName.toString, e.rows, e.stats, e.partValue)
       }
     }
+    // streaming-transaction markers ride IN the manifest so they commit
+    // atomically with the swap (the Delta txn pattern): a writer that
+    // dies after the swap has its version durably recorded, and one that
+    // dies before it recorded nothing — no window for a double-apply.
+    // Markers survive replace (copy-on-write) commits; a plain overwrite
+    // resets them with the rest of history.
+    val prevTxn =
+      if (truncateFirst && !replaceMode) Map.empty[String, Long]
+      else GraftJsonSink.readTxn(dir)
+    val txnJson = GraftJsonSink.renderTxn(prevTxn ++ txn.toMap)
     // manifest last, via atomic rename: the commit point
     val manifest = new java.lang.StringBuilder()
       .append("{\"rows\":").append(prevRows + published.map(_._2).sum)
       .append(",\"files\":[")
       .append((prevFiles ++ published.map(_._1)).map(f => "\"" + f + "\"")
         .sorted.mkString(","))
-      .append("]}\n").toString
+      .append("]").append(txnJson).append("}\n").toString
     val tmpManifest = dir.resolve(GraftJsonSink.ManifestName + ".tmp")
     Files.write(tmpManifest, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmpManifest, dir.resolve(GraftJsonSink.ManifestName),

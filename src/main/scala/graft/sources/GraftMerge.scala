@@ -37,12 +37,17 @@ object GraftMerge {
     * write happens. Collapse multi-event feeds to last-event-per-key
     * (e.g. a window over a change sequence number) before merging.
     */
+  /** Optional `txn` = (appId, version): recorded inside the manifest the
+    * merge commits, atomically with the swap — the idempotence handle
+    * for streaming re-delivery (see [[graft.streaming.CdcMergeStream]]).
+    */
   def into(
       spark: SparkSession,
       tableFqn: String,
       changes: DataFrame,
       keyCols: Seq[String],
-      opCol: String = "op"): Long = {
+      opCol: String = "op",
+      txn: Option[(String, Long)] = None): Long = {
     val parts = tableFqn.split('.')
     require(parts.length >= 2, s"expected catalog.[ns.]table, got $tableFqn")
     val root = spark.conf.get(s"spark.sql.catalog.${parts.head}.root")
@@ -69,8 +74,11 @@ object GraftMerge {
       val upserts = pinned.filter(col(opCol) =!= "D")
         .select(base.columns.map(col).toIndexedSeq: _*)
       val merged = survivors.unionByName(upserts)
-      merged.write.format("graft-json")
-        .option("replace", "true").mode("overwrite").save(dir.toString)
+      val w = merged.write.format("graft-json")
+        .option("replace", "true").mode("overwrite")
+      txn.fold(w) { case (appId, v) =>
+        w.option("txnAppId", appId).option("txnVersion", v.toString)
+      }.save(dir.toString)
     } finally pinned.unpersist(blocking = false)
     } // withCommitLock
     spark.table(tableFqn).count()

@@ -93,11 +93,14 @@ object GraftUpdate {
       }
       val allFiles = (untouched ++ newFiles).sorted
       val keptRows = allFiles.map(fileRows).sum
+      // streaming-txn markers survive row-level rewrites (same contract
+      // as the sink's replace commit)
       val manifest = new java.lang.StringBuilder()
         .append("{\"rows\":").append(keptRows)
         .append(",\"files\":[")
         .append(allFiles.map(f => "\"" + f + "\"").mkString(","))
-        .append("]}\n").toString
+        .append("]").append(GraftJsonSink.renderTxn(GraftJsonSink.readTxn(dir)))
+        .append("}\n").toString
       val tmp = dir.resolve(GraftJsonSink.ManifestName + ".tmp")
       Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, dir.resolve(GraftJsonSink.ManifestName),

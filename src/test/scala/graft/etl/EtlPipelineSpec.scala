@@ -75,8 +75,8 @@ class EtlPipelineSpec extends AnyFunSuite {
     val cfg = config
     val metrics = EntregasEtl(cfg, Some(spark)).run()
     val json = metrics.toJson
-    assert(json.contains("\"records_read\": 379"))
-    assert(json.contains("\"removed_duplicates\": 197"))
-    assert(json.contains("\"records_written\": 123"))
+    assert(json.contains("\"registros_iniciales\": 379"))
+    assert(json.contains("\"registros_duplicados\": 197"))
+    assert(json.contains("\"final_record_count\": 123"))
   }
 }
