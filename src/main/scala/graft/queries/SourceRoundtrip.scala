@@ -149,6 +149,50 @@ object SourceRoundtrip {
         "(SELECT CAST(SUM(qty) AS BIGINT) FROM wide) + " +
         "(SELECT CAST(SUM(qty) AS BIGINT) FROM narrow) AS qty_sum")),
 
+    // Snapshot retention under the gate: three appends build history,
+    // expireSnapshots(0) drops every snapshot but the latest and sweeps
+    // nothing (append-only history: all files live in the latest
+    // manifest), and the table + its retained version still read fully.
+    // The emitted verdict cells (retained/expired counts, version-read
+    // parity) are facts the oracle states from the appended slices.
+    GraftQuery(
+      "src_expire_snapshots",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_exp_gate").toString
+        val cat = s"ex${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        val orders = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        Seq((0L, 2000L), (2000L, 4000L), (4000L, 6000L)).foreach { case (lo, hi) =>
+          orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+            .writeTo(s"$cat.g.t").append()
+        }
+        Thread.sleep(20) // snapshot mtimes strictly before the cutoff
+        val tableDir = java.nio.file.Paths.get(root, "g", "t")
+        val (expired, swept) =
+          graft.sources.GraftCatalog.expireSnapshots(tableDir, olderThanMillis = 0L)
+        val retained = graft.sources.GraftJsonSink.listSnapshots(tableDir)
+        val latestRows = s.sql(
+          s"SELECT count(*) FROM $cat.g.t VERSION AS OF ${retained.last}")
+          .head().getLong(0)
+        s.table(s"$cat.g.t")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(col("o_orderkey")).as("key_sum"))
+          .select(
+            col("n_total"), col("key_sum"),
+            lit(expired.size.toLong).as("n_expired"),
+            lit(retained.size.toLong).as("n_retained"),
+            lit(swept.size.toLong).as("n_swept"),
+            (col("n_total") === lit(latestRows)).cast("long").as("version_read_ok"))
+      },
+      Some("SELECT count(*) AS n_total, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(2 AS BIGINT) AS n_expired, CAST(1 AS BIGINT) AS n_retained, " +
+        "CAST(0 AS BIGINT) AS n_swept, CAST(1 AS BIGINT) AS version_read_ok " +
+        "FROM orders WHERE o_orderkey < 6000")),
+
     // Bucketed tables: both sides written bucketBy(8) on the join key —
     // Spark's bucket layout IS a persisted HashPartitioning (pmod of the
     // same Murmur3 hash), so the sort-merge join needs NO Exchange on
