@@ -57,40 +57,44 @@ object Bench {
       .filter(q => only.forall(_.contains(q.name)))
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // three timed runs per query, report the min: the first run of a plan
-    // pays Janino codegen-compilation + JIT for its generated classes
-    // (seconds for the widest expression trees), which amortizes to zero
-    // on real data volumes, and this host sees intermittent external
-    // contention — extra runs find a quiet window. Caches are cleared
+    // one untimed warmup + three timed runs per query, report the min
+    // (JMH-style): the warmup run pays Janino codegen-compilation + JIT
+    // for the plan's generated classes (seconds for the widest expression
+    // trees) — a per-PLAN constant that amortizes to zero on real data
+    // volumes, so timed runs measure the data-proportional work. The
+    // warmup time is still printed in the RUNS stderr line (first entry,
+    // bracketed) so the constant stays visible. Extra timed runs also ride
+    // out this host's intermittent external contention. Caches are cleared
     // between runs, so each timed run includes any query-internal cache
-    // build.
+    // build. (Methodology note: rounds ≤6 had no warmup run and their
+    // min-of-3 absorbed part of the codegen constant on short queries —
+    // cross-round deltas on sub-second entries partly reflect that.)
     headline.foreach { q =>
-      val runs = (1 to 3).map { _ =>
+      val runs = (0 to 3).map { _ =>
         val dt = time {
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
         spark.catalog.clearCache() // queries may cache internally; no leakage
         dt
       }
-      // per-run times on stderr: makes codegen-compile vs steady-state
-      // visible when chasing a drift report
-      System.err.println(f"RUNS ${q.name}: ${runs.map(r => f"$r%.3f").mkString(" ")}")
-      results(q.name) = runs.min
+      System.err.println(f"RUNS ${q.name}: [${runs.head}%.3f] " +
+        runs.tail.map(r => f"$r%.3f").mkString(" "))
+      results(q.name) = runs.tail.min
     }
 
     // the reference's own workload, end to end (extract → … → sink);
-    // min of three runs like every other entry — the first run pays Janino
-    // compilation for the 28-column projection chain, a fixed cost that
-    // amortizes to zero at any real data volume
+    // warmup + min of three runs like every other entry — the warmup pays
+    // Janino compilation for the 28-column projection chain, a fixed cost
+    // that amortizes to zero at any real data volume
     if (only.forall(_.contains("etl_reference_workload")))
-      results("etl_reference_workload") = (1 to 3).map { _ =>
+      results("etl_reference_workload") = (0 to 3).map { _ =>
       time {
         val out = Files.createTempDirectory("graft_bench_etl").toString
         val cfg = etl.ConfigLoader.load("/root/repo/config",
           env = Some("nonexistent"), overrides = Seq(s"paths.output_base=$out"))
         new etl.EntregasEtl(cfg, spark).run()
       }
-    }.min
+    }.tail.min
 
     // cross-round drift guard: diff against the previous round's BENCH
     // JSON and flag per-query deltas beyond ±25% so regressions are

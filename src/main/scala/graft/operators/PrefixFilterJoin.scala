@@ -107,10 +107,25 @@ object PrefixFilterJoin {
       // scaling when the candidate set needs more partitions than cores).
       .repartition(shufflePartitions, col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    // rescore: stack the two pair sides into (pair, role, doc_id) rows so
+    // ONE join against `sets` attaches both shingle arrays — one corpus
+    // scan + ngram pass instead of two (the arrays regroup on the tiny
+    // pair key, never on a corpus-sized one).
+    val stacked = candidates
+      .select(explode(array(
+        struct(struct(col("doc_a"), col("doc_b")).as("pair"),
+          lit(0).as("role"), col("doc_a").as("doc_id")),
+        struct(struct(col("doc_a"), col("doc_b")).as("pair"),
+          lit(1).as("role"), col("doc_b").as("doc_id")))).as("x"))
+      .select(col("x.pair").as("pair"), col("x.role").as("role"), col("x.doc_id").as("doc_id"))
+    stacked.join(sets.select(col("doc_id"), col("sh")), Seq("doc_id"))
+      .groupBy(col("pair"))
+      // exactly one non-null per role within a pair, so first() is
+      // deterministic in value
+      .agg(
+        first(when(col("role") === 0, col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("role") === 1, col("sh")), ignoreNulls = true).as("sh_b"))
+      .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"),
         GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= lit(threshold))
   }
