@@ -23,8 +23,19 @@ final case class GraftQuery(
     bench: Boolean = false)
 
 object GraftQuery {
-  /** All query groups, in inventory order. */
-  def all: Seq[GraftQuery] =
+  /** All query groups, in inventory order. Names must be unique: the
+    * driver contract is a name→query Map, where a duplicate would
+    * silently shadow one of the two (and the shadowed query's oracle
+    * would "pass" against the wrong program).
+    */
+  def all: Seq[GraftQuery] = {
+    val qs = defsInOrder
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
+
+  private def defsInOrder: Seq[GraftQuery] =
     queries.EtlParity.defs ++
       queries.Relational.defs ++
       queries.TpchShapes.defs ++
@@ -40,6 +51,7 @@ object GraftQuery {
       queries.SourceRoundtrip.defs ++
       queries.Pipeline.defs ++
       queries.TextAnalysis.defs ++
+      queries.Retrieval.defs ++
       queries.Dedup.defs ++
       queries.Similarity.defs ++
       queries.Events.defs ++

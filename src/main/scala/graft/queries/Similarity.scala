@@ -277,5 +277,55 @@ object Similarity {
       "sim_lsh_ann",
       (s, dir) =>
         annVerdict(lshAnn(s, dir), bruteTopK(corpus(s, dir), 5), minRecall = 0.25),
-      Some(annVerdictSql)))
+      Some(annVerdictSql)),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    // corpus into clusters, then find near-duplicate pairs INSIDE each
+    // cluster only — the clustering turns an O(n²) cosine join into
+    // per-cluster work. Here the partitioner is nearest-of-K fixed seed
+    // vectors (the K lowest vec_ids), which keeps cluster assignment
+    // SQL-expressible so the whole path — assignment, intra-cluster
+    // pairing, canonical-survivor choice — is oracle-checked end to end;
+    // the 100 TB variant swaps the seed table for IvfIndex's k-means
+    // centroids (same dataflow: broadcast centroids, map-side argmax,
+    // shuffle only on the cluster key). Pairs at cosine ≥ 0.4 mark the
+    // higher vec_id as dropped; survivors = corpus minus dropped.
+    GraftQuery(
+      "sim_semantic_dedup",
+      (s, dir) => {
+        val e = corpus(s, dir)
+        val seeds = e.orderBy(col("vec_id")).limit(8)
+          .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("norm2").as("sn"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cs").desc, col("seed_id").asc)
+        val assign = e.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("seed_id"),
+            cosine(col("v"), col("sv"), col("norm2"), col("sn")).as("cs"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("seed_id").as("cluster"))
+        val withC = e.join(assign, Seq("vec_id"))
+        val a = withC.select(col("cluster"), col("vec_id").as("id_a"),
+          col("v").as("va"), col("norm2").as("na"))
+        val b = withC.select(col("cluster"), col("vec_id").as("id_b"),
+          col("v").as("vb"), col("norm2").as("nb"))
+        a.join(b, Seq("cluster"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("cluster"), col("id_a"), col("id_b"),
+            cosine(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
+          .filter(col("cosine") >= 0.4d)
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e ORDER BY vec_id LIMIT 8), " +
+        "scored AS (SELECT e.vec_id, s.seed_id, " +
+        "round(list_dot_product(e.v, s.sv) / " +
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.sv, s.sv))), 6) AS cs " +
+        "FROM e CROSS JOIN seeds s), " +
+        "assign AS (SELECT vec_id, seed_id AS cluster FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY cs DESC, seed_id ASC) AS rn FROM scored) WHERE rn = 1), " +
+        "c AS (SELECT e.vec_id, e.v, a.cluster FROM e JOIN assign a ON e.vec_id = a.vec_id) " +
+        "SELECT a.cluster AS cluster, a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"$cosineSql AS cosine " +
+        "FROM c a JOIN c b ON a.cluster = b.cluster AND a.vec_id < b.vec_id " +
+        s"WHERE $cosineSql >= 0.4")))
 }

@@ -68,6 +68,36 @@ object SourceRoundtrip {
         "CAST(SUM(length(text)) AS BIGINT) AS chars_total, " +
         "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY lang")),
 
+    // ORC with a Hive-style partitioned layout (the flat-file ORC
+    // roundtrip is src_orc_roundtrip in Pipeline.scala). The read filters
+    // on the partition column (directory pruning — only matching
+    // partitions are listed) plus a data predicate that reaches the ORC
+    // reader as a pushed search argument. The oracle replays both
+    // predicates on parquet.
+    GraftQuery(
+      "src_orc_partitioned",
+      (s, dir) => {
+        val proj = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_returnflag"))
+        val tmp = Files.createTempDirectory("graft_orc_rt").toString
+        proj.write.mode("overwrite").partitionBy("l_returnflag").orc(tmp)
+        s.read.orc(tmp)
+          .filter(col("l_returnflag") === "A" && col("l_quantity") >= 25)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(dec6)).cast(DoubleType).as("qty"),
+            sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+              .cast(dec6)).cast(DoubleType).as("revenue"),
+            sum(col("l_orderkey")).as("key_sum"))
+      },
+      Some("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty, " +
+        "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, " +
+        "CAST(SUM(l_orderkey) AS BIGINT) AS key_sum FROM lineitem " +
+        "WHERE l_returnflag = 'A' AND l_quantity >= 25 GROUP BY l_returnflag")),
+
     // The full catalog lifecycle under the gate: CREATE a graft-json
     // table, INSERT a range-clustered orders slice, DELETE a key band,
     // UPDATE another band (both copy-on-write, stats-planned), then
