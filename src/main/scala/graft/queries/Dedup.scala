@@ -42,7 +42,7 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  private val shingleSetSql =
+  private[queries] val shingleSetSql =
     "list_distinct(list_transform(generate_series(1, greatest(len(tokens) - 2, 0)), " +
       "i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))"
 

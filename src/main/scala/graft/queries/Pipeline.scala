@@ -435,6 +435,54 @@ object Pipeline {
         "WHEN bucket < 'fd' THEN 'val' ELSE 'test' END AS split FROM b"))
   ,
 
+    // Leakage-safe split: pipe_train_split hashes the raw doc_id, so two
+    // near-duplicate documents can land in train AND test — the classic
+    // contamination bug that inflates eval numbers. Here the split hashes
+    // the near-dup cluster CANONICAL (min doc_id of the connected
+    // component over exact jaccard-0.8 pairs; singletons are their own
+    // canonical), so every member of a cluster inherits one split. At
+    // 100 TB the cluster map is the dedup pipeline's existing output —
+    // the split itself stays a map-side hash, no extra shuffle.
+    GraftQuery(
+      "pipe_leak_safe_split",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text"))
+        val pairs = graft.operators.PrefixFilterJoin.pairs(docs, num = 4, den = 5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val comp = graft.operators.ConnectedComponents.run(pairs)
+          .select(col("id").as("doc_id"), col("component"))
+        val canon = docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("canonical"))
+        val b = substring(
+          md5(concat(lit("split:"), col("canonical").cast(StringType))), 1, 2)
+        canon.select(col("doc_id"), col("canonical"),
+          when(b < "fa", "train").when(b < "fd", "val")
+            .otherwise("test").as("split"))
+      },
+      Some("WITH RECURSIVE t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
+        s"s AS (SELECT doc_id, ${Dedup.shingleSetSql} AS sh FROM t), " +
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
+        "len(list_intersect(a.sh, b.sh)) / " +
+        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "comp(node, lbl) AS (" +
+        "SELECT src, src FROM edges " +
+        "UNION " +
+        "SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node), " +
+        "cc AS (SELECT node AS doc_id, min(lbl) AS component FROM comp GROUP BY node), " +
+        "canon AS (SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS canonical " +
+        "FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id) " +
+        "SELECT doc_id, canonical, CASE " +
+        "WHEN substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 2) < 'fa' THEN 'train' " +
+        "WHEN substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 2) < 'fd' THEN 'val' " +
+        "ELSE 'test' END AS split FROM canon")),
+
     // Single-pass data-quality report: every expectation (null counts,
     // range violations, primary-key uniqueness) evaluated as a
     // conditional aggregate in ONE scan, with pass/fail verdicts
