@@ -60,6 +60,24 @@ object Events {
         "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1, 2")),
 
+    // Streaming exact-once restoration: the stream unioned with itself
+    // (every event delivered twice — at-least-once replay) through
+    // dropDuplicatesWithinWatermark, then summarized per event_type. The
+    // oracle aggregates the SINGLE-copy table, so the hash match proves
+    // the duplicated feed collapsed back to exactly-once delivery.
+    GraftQuery(
+      "ev_stream_dedup",
+      (s, dir) => EventStream.dedupUnionStream(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("value").cast(dec6)).cast(DoubleType).as("total_value")),
+      Some("SELECT event_type, count(*) AS n_events, " +
+        "CAST(SUM(event_id) AS BIGINT) AS id_sum, " +
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1")),
+
     // Sliding (hopping) 1h/15min windows: every event lands in four
     // overlapping windows. The oracle materializes the same membership
     // by exact integer arithmetic — k ranges over the window starts in

@@ -72,6 +72,40 @@ object EventStream {
     out
   }
 
+  /** Streaming dedup under genuine at-least-once delivery: the event
+    * stream UNIONED WITH ITSELF (every event delivered twice, the way a
+    * replayed Kafka partition or a retried file listing duplicates a
+    * feed), then dropDuplicatesWithinWatermark restores exactly-once.
+    * Late second copies are equivalent whether the watermark drops them
+    * or the dedup state does — both copies carry the same event time, so
+    * exactly one survives on every path. Returns the deduped rows from
+    * the memory sink; the gate aggregates them and compares against the
+    * batch DISTINCT of the single-copy table.
+    */
+  def dedupUnionStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val name = s"ev_dedup_union_${System.nanoTime()}"
+    val q = src.union(src)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
+
   /** Streaming → external sink with exactly-once semantics: each
     * micro-batch lands in its own `batch=<id>` directory through the
     * graft-json DSv2 sink. Idempotence under batch replay comes from the
