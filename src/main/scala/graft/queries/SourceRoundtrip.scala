@@ -223,6 +223,39 @@ object SourceRoundtrip {
         "CAST(0 AS BIGINT) AS n_swept, CAST(1 AS BIGINT) AS version_read_ok " +
         "FROM orders WHERE o_orderkey < 6000")),
 
+    // RENAME COLUMN under the gate: files written before the rename keep
+    // the old key on disk; the read — with a filter AND an aggregate on
+    // the renamed column spanning pre- and post-rename files — must see
+    // one coherent column. The oracle computes the same numbers straight
+    // from the parquet slice, so a reader that null-fills old files (the
+    // naive by-name bind) mismatches immediately.
+    GraftQuery(
+      "src_rename_column",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_rn_gate").toString
+        val cat = s"rn${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        val orders = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        orders.filter(col("o_orderkey") < 3000).writeTo(s"$cat.g.t").append()
+        s.sql(s"ALTER TABLE $cat.g.t RENAME COLUMN o_totalprice TO price")
+        orders.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 6000)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+          .writeTo(s"$cat.g.t").append()
+        s.table(s"$cat.g.t")
+          .filter(col("price") > 100000.0d)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("price").cast(dec6)).cast(DoubleType).as("price_sum"),
+            sum(col("o_orderkey")).as("key_sum"))
+      },
+      Some("SELECT count(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders " +
+        "WHERE o_orderkey < 6000 AND o_totalprice > 100000.0")),
+
     // Bucketed tables: both sides written bucketBy(8) on the join key —
     // Spark's bucket layout IS a persisted HashPartitioning (pmod of the
     // same Murmur3 hash), so the sort-merge join needs NO Exchange on

@@ -163,12 +163,20 @@ class GraftCatalog extends TableCatalog {
     new GraftCatalogTable(ident.toString, dirFor(ident), schema, None, partitionCol)
   }
 
-  /** Append-only schema evolution: ADD COLUMN (nullable, atomic type,
-    * top-level, at the end). Files written before the change simply end
-    * early — the reader null-fills trailing columns — so no data file
-    * is ever rewritten and historical snapshots read correctly under
-    * the widened schema. Drops/renames/type-changes would break that
-    * positional contract and are rejected.
+  /** Metadata-only schema evolution, never rewriting a data file:
+    *  - ADD COLUMN (nullable, atomic type, top-level, at the end):
+    *    files written before the change end early and the reader
+    *    null-fills trailing columns;
+    *  - DROP COLUMN: old files keep the key, the reader lexes and
+    *    discards it; the name (and its former names) tombstone;
+    *  - RENAME COLUMN: old files keep the former key at the same
+    *    position, the reader binds it to the current field via the
+    *    rename-alias sidecar; former names stay reserved;
+    *  - ALTER COLUMN TYPE for lossless widenings (int→long/double).
+    * Historical snapshots always read correctly under the current
+    * schema. Stats sidecars written before a rename key the former
+    * name, so skipping on the renamed column degrades to "read the
+    * file" for pre-rename files (sound) until they are rewritten.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val f = schemaFile(ident)
@@ -192,6 +200,13 @@ class GraftCatalog extends TableCatalog {
         require(!droppedColumns(ident).contains(name),
           s"column $name was previously dropped; re-adding it would " +
             "resurrect old file values — use a new name")
+        // a live rename alias is a key old files still carry: a column
+        // re-using it could capture those values (same hazard as a
+        // dropped name)
+        require(!GraftCatalog.renamesAt(dirFor(ident)).values
+          .exists(_.contains(name)),
+          s"column name $name is a former name of a renamed column; " +
+            "old file values would be ambiguous — use a new name")
         require(Set[DataType](StringType, LongType, IntegerType, DoubleType, BooleanType)
           .contains(add.dataType),
           s"graft-json supports atomic string/long/int/double/boolean columns, " +
@@ -207,11 +222,18 @@ class GraftCatalog extends TableCatalog {
         require(!partitionColOf(ident).contains(name),
           s"cannot drop partition column $name")
         // metadata-only: data files keep the dropped key, the reader lexes
-        // and discards it. The name is tombstoned — see AddColumn above.
+        // and discards it. The name is tombstoned — see AddColumn above —
+        // along with every former name the column carried (old files
+        // still hold those keys, so re-adding any of them would resurrect
+        // values just the same).
         schema = StructType(schema.filterNot(_.name == name))
+        val renames = GraftCatalog.renamesAt(dirFor(ident))
         val tf = dirFor(ident).resolve(GraftCatalog.DroppedFileName)
-        Files.write(tf, (droppedColumns(ident) + name).toSeq.sorted
-          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+        Files.write(tf,
+          (droppedColumns(ident) + name ++ renames.getOrElse(name, Set.empty))
+            .toSeq.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        if (renames.contains(name))
+          GraftCatalog.writeRenames(dirFor(ident), renames - name)
       case upd: TableChange.UpdateColumnType =>
         require(upd.fieldNames.length == 1,
           s"graft-json supports only top-level columns, got ${upd.fieldNames.mkString(".")}")
@@ -240,8 +262,31 @@ class GraftCatalog extends TableCatalog {
           s"cannot change type of partition column $name (layout keys by its text)")
         schema = StructType(schema.map(f =>
           if (f.name == name) f.copy(dataType = to) else f))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"graft-json supports only top-level columns, got ${ren.fieldNames.mkString(".")}")
+        val from = ren.fieldNames.head
+        val to = ren.newName()
+        require(schema.fieldNames.contains(from), s"no such column: $from")
+        require(!schema.fieldNames.contains(to), s"column $to already exists")
+        require(!droppedColumns(ident).contains(to),
+          s"column name $to was previously dropped; old file values would " +
+            "resurrect under it — use a new name")
+        require(!partitionColOf(ident).contains(from),
+          s"cannot rename partition column $from (layout dirs key by its name)")
+        val renames = GraftCatalog.renamesAt(dirFor(ident))
+        require(!renames.values.exists(_.contains(to)),
+          s"column name $to is a former name of a renamed column — use a new name")
+        // metadata-only: old data files keep the old key at the same
+        // position; the reader accepts any former name there. The alias
+        // set travels with the column across chained renames (a→b→c
+        // leaves c answering for both a and b).
+        schema = StructType(schema.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        GraftCatalog.writeRenames(dirFor(ident),
+          (renames - from) + (to -> (renames.getOrElse(from, Set.empty) + from)))
       case other => throw new UnsupportedOperationException(
-        s"graft catalog tables support only ADD/DROP COLUMN and " +
+        s"graft catalog tables support only ADD/DROP/RENAME COLUMN and " +
           s"ALTER COLUMN TYPE widening, got $other")
     }
     Files.write(f, schema.json.getBytes(StandardCharsets.UTF_8))
@@ -270,6 +315,32 @@ object GraftCatalog {
   val TableFileName = "_graft_table.json"
   val PartitionFileName = "_graft_partition.json"
   val DroppedFileName = "_graft_dropped.txt"
+  val RenamesFileName = "_graft_renames.txt"
+
+  /** current column name → every former name it has carried (RENAME
+    * COLUMN history). Data files written before a rename keep the old
+    * key; readers accept any former name at the column's position.
+    * Sidecar format: one `current<TAB>former` pair per line.
+    */
+  private[sources] def renamesAt(dir: Path): Map[String, Set[String]] = {
+    val f = dir.resolve(RenamesFileName)
+    if (!Files.exists(f)) Map.empty
+    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty)
+      .map { line =>
+        val Array(cur, former) = line.split('\t')
+        (cur, former)
+      }.toSeq.groupBy(_._1).map { case (c, fs) => c -> fs.map(_._2).toSet }
+  }
+
+  private[sources] def writeRenames(
+      dir: Path, renames: Map[String, Set[String]]): Unit = {
+    val body = renames.toSeq.sortBy(_._1)
+      .flatMap { case (c, fs) => fs.toSeq.sorted.map(f => s"$c\t$f") }
+      .mkString("\n")
+    Files.write(dir.resolve(RenamesFileName),
+      body.getBytes(StandardCharsets.UTF_8))
+  }
 
   /** Typed single-column partition key row from its canonical text. */
   private[sources] def partitionKeyRow(
@@ -415,6 +486,10 @@ private[sources] class GraftCatalogTable(
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  // former column names from RENAME COLUMN; old data files still carry
+  // them as keys, every raw-line read must translate
+  private lazy val renameAliases: Map[String, Set[String]] =
+    GraftCatalog.renamesAt(dir)
   override def partitioning(): Array[Transform] =
     partitionCol.toArray.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
@@ -459,7 +534,8 @@ private[sources] class GraftCatalogTable(
           .asScala.filter(_.nonEmpty)
         val collector = new GraftStats.Collector(tableSchema)
         val kept = lines.filter { line =>
-          val row = JsonLineParser.parse(line, tableSchema, tableSchema)
+          val row = JsonLineParser.parse(line, tableSchema, tableSchema,
+            renameAliases)
           val isDeleted = filters.forall(
             FilterEval.eval(_, row, tableSchema) == java.lang.Boolean.TRUE)
           if (!isDeleted) collector.observe(row)
@@ -597,7 +673,7 @@ private[sources] class GraftCatalogTable(
         override def description(): String =
           s"graft-json $tableName, skipping filters: [${skippingFilters.mkString(", ")}]"
         override def createReaderFactory(): PartitionReaderFactory =
-          new JsonFileReaderFactory(tableSchema, required)
+          new JsonFileReaderFactory(tableSchema, required, renameAliases)
       }
     }
 
@@ -621,7 +697,8 @@ private case class JsonFilesPartition(
   override def partitionKey(): InternalRow = key
 }
 
-private class JsonFileReaderFactory(fileSchema: StructType, required: StructType)
+private class JsonFileReaderFactory(fileSchema: StructType, required: StructType,
+    aliases: Map[String, Set[String]] = Map.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -636,7 +713,8 @@ private class JsonFileReaderFactory(fileSchema: StructType, required: StructType
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!lines.hasNext) return false
-        current = JsonLineParser.parse(lines.next(), fileSchema, required)
+        current = JsonLineParser.parse(lines.next(), fileSchema, required,
+          aliases)
         true
       }
       override def get(): InternalRow = current
@@ -651,7 +729,8 @@ private class JsonFileReaderFactory(fileSchema: StructType, required: StructType
   */
 private[sources] object JsonLineParser {
 
-  def parse(line: String, fileSchema: StructType, required: StructType): InternalRow = {
+  def parse(line: String, fileSchema: StructType, required: StructType,
+      aliases: Map[String, Set[String]] = Map.empty): InternalRow = {
     val values = new Array[Any](required.length)
     val reqIdx = required.fieldNames.zipWithIndex.toMap
     var i = 0
@@ -663,7 +742,10 @@ private[sources] object JsonLineParser {
     // A row may also carry keys the schema no longer has (files written
     // before a DROP COLUMN): those values are lexed and discarded. Both
     // work because schema order is always a subsequence of any file's
-    // key order — adds append, drops preserve relative order.
+    // key order — adds append, drops preserve relative order. A key may
+    // also be a FORMER name of the current field (files written before a
+    // RENAME COLUMN): `aliases` maps each current name to its former
+    // names, and such a key binds to the current field.
     while (f < fileSchema.length && !(i < line.length && line.charAt(i) == '}')) {
       if (entry > 0) { expect(line, i, ','); i += 1 }
       entry += 1
@@ -671,7 +753,9 @@ private[sources] object JsonLineParser {
       i = i2
       expect(line, i, ':'); i += 1
       val field = fileSchema(f)
-      if (key != field.name) { // dropped column: skip its value
+      val bound = key == field.name ||
+        aliases.getOrElse(field.name, Set.empty).contains(key)
+      if (!bound) { // dropped column: skip its value
         if (i < line.length && line.charAt(i) == '"') {
           val (_, i3) = parseString(line, i); i = i3
         } else {
@@ -701,7 +785,7 @@ private[sources] object JsonLineParser {
           case dt => throw new IllegalArgumentException(s"unsupported type $dt")
         }
       }
-      if (key == field.name) f += 1
+      if (bound) f += 1
     }
     InternalRow.fromSeq(values.toIndexedSeq)
   }

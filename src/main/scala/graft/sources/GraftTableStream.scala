@@ -74,7 +74,8 @@ private[sources] class GraftTableStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonFileReaderFactory(tableSchema, required)
+    new JsonFileReaderFactory(tableSchema, required,
+      GraftCatalog.renamesAt(dir))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

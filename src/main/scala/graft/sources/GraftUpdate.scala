@@ -63,10 +63,24 @@ object GraftUpdate {
     if (touched.nonEmpty) {
       // FAILFAST: a corrupt data line must abort the update — the default
       // PERMISSIVE mode would silently rewrite it as an all-null row and
-      // commit the damage back into the table
-      val updated = spark.read.schema(schema)
+      // commit the damage back into the table. Files written before a
+      // RENAME COLUMN carry the former key, which Spark's by-name JSON
+      // reader would null: read former names as extra columns of the
+      // current type and coalesce into the current column.
+      val aliases = GraftCatalog.renamesAt(dir)
+      val readSchema = org.apache.spark.sql.types.StructType(
+        schema ++ schema.flatMap(f =>
+          aliases.getOrElse(f.name, Set.empty).toSeq.sorted
+            .map(a => f.copy(name = a))))
+      def cur(n: String): Column =
+        org.apache.spark.sql.functions.coalesce(
+          (col(n) +: aliases.getOrElse(n, Set.empty).toSeq.sorted.map(col)): _*)
+      val updated = spark.read.schema(readSchema)
         .option("mode", "FAILFAST")
         .json(touched.map(f => dir.resolve(f).toString): _*)
+        // normalize to current names FIRST so `where` and the SET
+        // expressions (written against current names) see old-file values
+        .select(schema.fieldNames.toIndexedSeq.map(n => cur(n).as(n)): _*)
         .select(schema.fieldNames.toIndexedSeq.map { n =>
           set.get(n) match {
             case Some(e) =>

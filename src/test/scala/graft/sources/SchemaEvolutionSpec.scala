@@ -151,9 +151,49 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE evocat.ns.ws")
   }
 
+  test("RENAME COLUMN is metadata-only: old files read under the new name") {
+    spark.sql("CREATE TABLE evocat.ns.rn (id BIGINT, amount DOUBLE)")
+    spark.sql("INSERT INTO evocat.ns.rn VALUES (1, 10.0), (2, 20.0)")
+    spark.sql("ALTER TABLE evocat.ns.rn RENAME COLUMN amount TO price")
+    spark.sql("INSERT INTO evocat.ns.rn VALUES (3, 30.0)")
+    // old files carry key "amount", new files "price" — both bind to price
+    val rows = spark.sql(
+      "SELECT id, price FROM evocat.ns.rn ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // filters and row-level ops on the renamed column cross old files
+    assert(spark.sql(
+      "SELECT count(*) FROM evocat.ns.rn WHERE price >= 20.0")
+      .head().getLong(0) == 2)
+    GraftUpdate.update(spark, "evocat.ns.rn",
+      org.apache.spark.sql.functions.col("id") === 1L,
+      Map("price" -> (org.apache.spark.sql.functions.col("price") +
+        org.apache.spark.sql.functions.lit(1.0))))
+    assert(spark.sql("SELECT price FROM evocat.ns.rn WHERE id = 1")
+      .head().getDouble(0) == 11.0)
+    spark.sql("DELETE FROM evocat.ns.rn WHERE price = 20.0")
+    assert(spark.table("evocat.ns.rn").count() == 2)
+    // chained rename: price -> cost still answers for the original key
+    spark.sql("ALTER TABLE evocat.ns.rn RENAME COLUMN price TO cost")
+    assert(spark.sql("SELECT CAST(SUM(cost) AS BIGINT) FROM evocat.ns.rn")
+      .head().getLong(0) == 41L)
+    // name-reuse hazards are rejected: former names stay reserved
+    intercept[Exception](
+      spark.sql("ALTER TABLE evocat.ns.rn ADD COLUMN amount DOUBLE"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE evocat.ns.rn RENAME COLUMN id TO price"))
+    // dropping a renamed column tombstones its whole name history
+    spark.sql("ALTER TABLE evocat.ns.rn ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE evocat.ns.rn DROP COLUMN cost")
+    intercept[Exception](
+      spark.sql("ALTER TABLE evocat.ns.rn ADD COLUMN amount DOUBLE"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE evocat.ns.rn ADD COLUMN cost DOUBLE"))
+    spark.sql("DROP TABLE evocat.ns.rn")
+  }
+
   test("unsupported evolutions are rejected loudly") {
     spark.sql("CREATE TABLE evocat.ns.r (id BIGINT, s STRING)")
-    intercept[Exception](spark.sql("ALTER TABLE evocat.ns.r RENAME COLUMN s TO t"))
     // lossy/narrowing type changes are rejected; only int->long/double widen
     intercept[Exception](
       spark.sql("ALTER TABLE evocat.ns.r ALTER COLUMN id TYPE INT"))
