@@ -69,16 +69,31 @@ object Bench {
     // build. (Methodology note: rounds ≤6 had no warmup run and their
     // min-of-3 absorbed part of the codegen constant on short queries —
     // cross-round deltas on sub-second entries partly reflect that.)
+    // shuffle bytes written during the final timed run — the cluster-cost
+    // metric that scales with data volume where wall-clock on one box
+    // doesn't; reported per query alongside the seconds
+    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { q =>
-      val runs = (0 to 3).map { _ =>
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        val bytes = new java.util.concurrent.atomic.AtomicLong
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      val runs = (0 to 3).map { i =>
+        if (i == 3) spark.sparkContext.addSparkListener(listener)
         val dt = time {
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
         spark.catalog.clearCache() // queries may cache internally; no leakage
         dt
       }
+      org.apache.spark.sql.graft.GraftPlans.drainListenerBus(spark)
+      spark.sparkContext.removeSparkListener(listener)
+      shuffleMb(q.name) = listener.bytes.get() / 1e6
       System.err.println(f"RUNS ${q.name}: [${runs.head}%.3f] " +
-        runs.tail.map(r => f"$r%.3f").mkString(" "))
+        runs.tail.map(r => f"$r%.3f").mkString(" ") +
+        f" shuffle=${shuffleMb(q.name)}%.1fMB")
       results(q.name) = runs.tail.min
     }
 
@@ -104,7 +119,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sh = shuffleMb.map { case (k, v) => "\"" + k + f"""":$v%.1f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -223,6 +223,39 @@ object SourceRoundtrip {
         "CAST(0 AS BIGINT) AS n_swept, CAST(1 AS BIGINT) AS version_read_ok " +
         "FROM orders WHERE o_orderkey < 6000")),
 
+    // TIMESTAMP AS OF under the gate: two appends with a captured
+    // instant between them; the timestamp read resolves to the first
+    // snapshot and its count/sum land as value cells the oracle computes
+    // from the same key slice — so timestamp→snapshot resolution itself
+    // is what's being hashed, not just "some rows came back".
+    GraftQuery(
+      "src_timestamp_travel",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_ts_gate").toString
+        val cat = s"tt${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        val orders = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        orders.filter(col("o_orderkey") < 3000).writeTo(s"$cat.g.t").append()
+        Thread.sleep(20) // mtimes strictly before the captured instant
+        val mid = java.time.Instant.now()
+        Thread.sleep(20)
+        orders.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 6000)
+          .writeTo(s"$cat.g.t").append()
+        val tsLit = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC).format(mid)
+        s.sql(s"SELECT count(*) AS n_at_ts, " +
+          s"CAST(SUM(o_orderkey) AS BIGINT) AS key_sum_at_ts " +
+          s"FROM $cat.g.t TIMESTAMP AS OF '$tsLit'")
+          .crossJoin(s.table(s"$cat.g.t").agg(count(lit(1)).as("n_now")))
+      },
+      Some("SELECT count(*) FILTER (WHERE o_orderkey < 3000) AS n_at_ts, " +
+        "CAST(SUM(o_orderkey) FILTER (WHERE o_orderkey < 3000) AS BIGINT) AS key_sum_at_ts, " +
+        "count(*) AS n_now FROM orders WHERE o_orderkey < 6000")),
+
     // RENAME COLUMN under the gate: files written before the rename keep
     // the old key on disk; the read — with a filter AND an aggregate on
     // the renamed column spanning pre- and post-rename files — must see
