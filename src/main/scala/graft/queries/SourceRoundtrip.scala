@@ -223,6 +223,47 @@ object SourceRoundtrip {
         "CAST(0 AS BIGINT) AS n_swept, CAST(1 AS BIGINT) AS version_read_ok " +
         "FROM orders WHERE o_orderkey < 6000")),
 
+    // Small-file compaction under the gate: six trickle appends leave six
+    // tiny files; compactSmall bin-packs them into one as a
+    // history-preserving commit. The verdict cells pin the file counts,
+    // the pre-compaction snapshot's readability, and the table aggregate
+    // after the rewrite — the oracle states all of them from the same
+    // orders slice.
+    GraftQuery(
+      "src_compact_small",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_cs_gate").toString
+        val cat = s"cs${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        val orders = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        (0 until 6).foreach { i =>
+          orders.filter(col("o_orderkey") >= i * 500 && col("o_orderkey") < (i + 1) * 500)
+            .coalesce(1).writeTo(s"$cat.g.t").append()
+        }
+        val tableDir = java.nio.file.Paths.get(root, "g", "t")
+        val preSnap = graft.sources.GraftJsonSink.listSnapshots(tableDir).last
+        val (nBefore, nAfter) = graft.sources.GraftCatalog.compactSmall(
+          tableDir, s.table(s"$cat.g.t").schema,
+          minBytes = 10L << 20, targetBytes = 64L << 20)
+        val preRows = s.sql(
+          s"SELECT count(*) FROM $cat.g.t VERSION AS OF $preSnap").head().getLong(0)
+        s.table(s"$cat.g.t")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(col("o_orderkey")).as("key_sum"))
+          .select(col("n_total"), col("key_sum"),
+            lit(nBefore.toLong).as("files_before"),
+            lit(nAfter.toLong).as("files_after"),
+            (col("n_total") === lit(preRows)).cast("long").as("history_read_ok"))
+      },
+      Some("SELECT count(*) AS n_total, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(6 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after, " +
+        "CAST(1 AS BIGINT) AS history_read_ok " +
+        "FROM orders WHERE o_orderkey < 3000")),
+
     // TIMESTAMP AS OF under the gate: two appends with a captured
     // instant between them; the timestamp read resolves to the first
     // snapshot and its count/sum land as value cells the oracle computes

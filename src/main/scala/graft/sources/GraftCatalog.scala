@@ -429,6 +429,83 @@ object GraftCatalog {
     (files.size, 1)
   }
 
+  /** Incremental small-file maintenance — the steady-state sibling of
+    * compact(). Streaming appends and trickle inserts leave a long tail
+    * of tiny files; this bin-packs every data file smaller than
+    * `minBytes` into merged files of up to ~`targetBytes`, PER PARTITION
+    * VALUE (so the grouped storage-partitioned layout survives), and
+    * commits the new file list as a normal snapshot. Unlike compact(),
+    * nothing is deleted and history is preserved: replaced originals
+    * stay on disk for existing snapshots until expireSnapshots sweeps
+    * them — the Iceberg rewrite_data_files model. Stats fold per bin
+    * (concatenation preserves ranges), so skipping survives. Returns
+    * (files before, files after).
+    */
+  def compactSmall(
+      tableDir: Path,
+      schema: StructType,
+      minBytes: Long,
+      targetBytes: Long): (Int, Int) = GraftJsonSink.withCommitLock(tableDir) {
+    val (rows, files) = GraftJsonSink.readManifest(tableDir)
+    val parts = GraftParts.read(tableDir)
+    val partitioned = parts.nonEmpty
+    val small = files
+      .filter(f => Files.size(tableDir.resolve(f)) < minBytes)
+      .sorted
+    // greedy name-ordered bin packing within each partition value; only
+    // bins of >= 2 files are worth a merge
+    val bins = small.groupBy(f => if (partitioned) parts.getOrElse(f, None) else None)
+      .toSeq.sortBy(_._1.toString)
+      .flatMap { case (pv, fs) =>
+        val acc = scala.collection.mutable.ListBuffer.empty[(Option[String], Seq[String])]
+        var cur = Vector.empty[String]
+        var curBytes = 0L
+        fs.foreach { f =>
+          val sz = Files.size(tableDir.resolve(f))
+          if (cur.nonEmpty && curBytes + sz > targetBytes) {
+            if (cur.size >= 2) acc += (pv -> cur)
+            cur = Vector.empty; curBytes = 0L
+          }
+          cur :+= f; curBytes += sz
+        }
+        if (cur.size >= 2) acc += (pv -> cur)
+        acc.toList
+      }
+    if (bins.isEmpty) (files.size, files.size)
+    else {
+      val prevStats = GraftStats.read(tableDir, schema)
+      var newStats = Map.empty[String, GraftStats.FileStats]
+      var newParts = Map.empty[String, Option[String]]
+      val replaced = bins.flatMap(_._2).toSet
+      val newFiles = bins.map { case (pv, members) =>
+        val name = s"part-merged-${java.util.UUID.randomUUID().toString.take(8)}.json"
+        val out = Files.newOutputStream(tableDir.resolve(name))
+        try members.foreach(f => out.write(Files.readAllBytes(tableDir.resolve(f))))
+        finally out.close()
+        val memberStats = members.flatMap(prevStats.get)
+        if (memberStats.size == members.size)
+          newStats += name -> memberStats.reduce(GraftStats.merge)
+        newParts += name -> pv
+        name
+      }
+      val keptFiles = (files.filterNot(replaced) ++ newFiles).sorted
+      val manifest =
+        s"""{"rows":$rows,"files":[${keptFiles.map("\"" + _ + "\"").mkString(",")}]""" +
+          GraftJsonSink.renderTxn(GraftJsonSink.readTxn(tableDir)) + "}\n"
+      val tmp = tableDir.resolve(GraftJsonSink.ManifestName + ".tmp")
+      Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, tableDir.resolve(GraftJsonSink.ManifestName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      GraftJsonSink.snapshotManifest(tableDir)
+      // replaced originals keep their stats/parts entries: retained
+      // snapshots still read them, and both sidecars are advisory
+      GraftStats.write(tableDir, prevStats ++ newStats, schema)
+      if (partitioned) GraftParts.write(tableDir, parts ++ newParts)
+      (files.size, keptFiles.size)
+    }
+  }
+
   /** Time-based snapshot retention — compact()'s vacuum nukes ALL
     * history; this is the bounded-history maintenance op a table at a
     * real commit rate needs. Expires every snapshot whose commit time
