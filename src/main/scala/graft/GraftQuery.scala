@@ -52,6 +52,7 @@ object GraftQuery {
       queries.Pipeline.defs ++
       queries.TextAnalysis.defs ++
       queries.Retrieval.defs ++
+      queries.Typed.defs ++
       queries.Dedup.defs ++
       queries.Similarity.defs ++
       queries.Events.defs ++
