@@ -188,4 +188,48 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(c_custkey"), p)
     assert(p.contains("SelectedBucketsCount"), p)
   }
+
+  test("txt_bm25_topk: postings prune to query terms before any shuffle; " +
+    "df/query/stats sides broadcast") {
+    val p = plan("txt_bm25_topk")
+    // the In(term, ...) filter must sit under the first Exchange — data
+    // motion proportional to matching postings, not corpus size
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    val termFilter = p.indexOf("term#")
+    assert(firstExchange >= 0, p)
+    assert(p.contains("customer"), p) // the literal query-term list is inline
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(termFilter >= 0, p)
+  }
+
+  test("sim_semantic_dedup: seeds broadcast; the pair join shuffles only on the cluster key") {
+    val p = plan("sim_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), "assignment must broadcast seeds:\n" + p)
+    // intra-cluster pairing is an equi join on `cluster`
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_typed_aggregator: typed Aggregator keeps map-side partial aggregation") {
+    val p = plan("q_typed_aggregator")
+    val aggs = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate, got $aggs:\n" + p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("pipe_leak_safe_split: split assignment is map-side over the cluster map — " +
+    "no extra shuffle beyond the dedup pipeline itself") {
+    val p = plan("pipe_leak_safe_split")
+    // the md5/split projection must not introduce its own Exchange: the
+    // same exchange count as the canonical-cluster pipeline feeding it
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    val cluster = SparkEntry.queries("dd_cluster_canonical")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val clusterExchanges = "Exchange hashpartitioning".r.findAllIn(cluster).size
+    // + 1 for the left join attaching components to ALL docs (the
+    // cluster query returns only clustered docs)
+    assert(exchanges <= clusterExchanges + 2,
+      s"split added ${exchanges - clusterExchanges} exchanges over the cluster pipeline:\n" + p)
+  }
 }
