@@ -480,6 +480,41 @@ object Dedup {
         "FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2"),
       bench = true),
 
+    // The hash-keyed flavor of dd_span_dupes — the 100 TB shape: the
+    // span-keyed shuffle carries a fixed 16-byte digest instead of the
+    // span text (ScaleSmoke measures 3.9-9.7× less shuffle at 1M-10M
+    // docs with xxhash64; here md5 so BOTH engines compute the identical
+    // key and the gate hash-checks the whole pipeline). Span text is
+    // recoverable by re-scanning with a digest filter when a hit needs
+    // inspection — the scan is cheaper than shipping every span.
+    GraftQuery(
+      "dd_span_dupes_hashed",
+      (s, dir) => {
+        val k = 8
+        val toks = split(col("text"), " ")
+        val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+          .otherwise(array().cast("array<int>"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(transform(starts, i =>
+              md5(array_join(slice(toks, i, lit(k)), " ")))).as("span_h"))
+          .groupBy(col("span_h"), col("doc_id"))
+          .agg(count(lit(1)).as("occ"))
+          .groupBy(col("span_h"))
+          .agg(
+            sum(col("occ")).as("n_occurrences"),
+            count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") >= 2)
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "w AS (SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS span_h " +
+        "FROM t, unnest(range(1, len(toks) - 7 + 1)) AS g(i)) " +
+        "SELECT span_h, count(*) AS n_occurrences, " +
+        "count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc " +
+        "FROM w GROUP BY span_h HAVING count(DISTINCT doc_id) >= 2")),
+
     // Test-set decontamination (the GPT-3-style n-gram overlap pass):
     // flag corpus documents sharing >= 2 distinct token spans with any
     // held-out benchmark document (doc_id % 50 == 0 stands in for the
