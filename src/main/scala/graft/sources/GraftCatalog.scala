@@ -175,8 +175,9 @@ class GraftCatalog extends TableCatalog {
     *  - ALTER COLUMN TYPE for lossless widenings (int→long/double).
     * Historical snapshots always read correctly under the current
     * schema. Stats sidecars written before a rename key the former
-    * name, so skipping on the renamed column degrades to "read the
-    * file" for pre-rename files (sound) until they are rewritten.
+    * name; GraftStats.read folds those entries into the current name,
+    * so file skipping on a renamed column keeps pruning pre-rename
+    * files too.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val f = schemaFile(ident)

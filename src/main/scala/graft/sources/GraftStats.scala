@@ -297,12 +297,22 @@ object GraftStats {
   def read(dir: Path, schema: StructType): Map[String, FileStats] = {
     val p = dir.resolve(StatsName)
     if (!Files.exists(p)) return Map.empty
-    try parseSidecar(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim, schema)
+    // sidecars written before a RENAME COLUMN key the former name; fold
+    // those entries into the current name (values re-parse under the
+    // current type, same as the widening path) so skipping on a renamed
+    // column keeps pruning pre-rename files
+    val renameTo: Map[String, String] = GraftCatalog.renamesAt(dir)
+      .flatMap { case (cur, formers) => formers.map(_ -> cur) }
+    try parseSidecar(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim,
+      schema, renameTo)
     catch { case _: Exception => Map.empty }
   }
 
-  private def parseSidecar(text: String, schema: StructType): Map[String, FileStats] = {
-    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+  private def parseSidecar(text: String, schema: StructType,
+      renameTo: Map[String, String]): Map[String, FileStats] = {
+    val current = schema.fields.map(f => f.name -> f.dataType).toMap
+    val types = current ++
+      renameTo.flatMap { case (former, cur) => current.get(cur).map(former -> _) }
     var i = 0
     def expect(c: Char): Unit = {
       require(i < text.length && text.charAt(i) == c, s"expected '$c' at $i")
@@ -376,7 +386,8 @@ object GraftStats {
             while (cmore) {
               val cn = parseStr(); expect(':')
               types.get(cn) match {
-                case Some(dt) => cols += cn -> parseCol(dt)
+                case Some(dt) =>
+                  cols += renameTo.getOrElse(cn, cn) -> parseCol(dt)
                 case None =>
                   // schema drift (e.g. DROP COLUMN left its entries
                   // behind): skip THIS column's object — throwing here

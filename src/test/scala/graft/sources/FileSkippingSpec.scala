@@ -236,4 +236,21 @@ class FileSkippingSpec extends AnyFunSuite {
     assert(v2point.head().getString(1) == "b")
     spark.sql("DROP TABLE skipcat.ns.tt")
   }
+
+  test("skipping on a renamed column still prunes pre-rename files") {
+    import spark.implicits._
+    mkRangedTable("rn")
+    spark.sql("ALTER TABLE skipcat.ns.rn RENAME COLUMN id TO key")
+    // one post-rename file on top of the four pre-rename ones
+    (400L until 500L).map(i => (i, f"k$i%05d", i / 10.0))
+      .toDF("key", "s", "v").coalesce(1).writeTo("skipcat.ns.rn").append()
+    // pre-rename sidecar entries key "id"; the read must fold them into
+    // "key" so a point filter plans ONE file, not all five
+    val point = spark.table("skipcat.ns.rn").filter(org.apache.spark.sql.functions.col("key") === 150L)
+    assert(plannedFiles(point) == 1, "pre-rename stats must keep pruning")
+    assert(point.count() == 1)
+    val post = spark.table("skipcat.ns.rn").filter(org.apache.spark.sql.functions.col("key") === 450L)
+    assert(plannedFiles(post) == 1)
+    spark.sql("DROP TABLE skipcat.ns.rn")
+  }
 }
