@@ -41,13 +41,21 @@ object GraftMerge {
     * merge commits, atomically with the swap — the idempotence handle
     * for streaming re-delivery (see [[graft.streaming.CdcMergeStream]]).
     */
+  /** With `evolveSchema = true`, change-feed columns the table lacks are
+    * ADDed (nullable, atomic types, appended — the catalog's append-only
+    * evolution contract) before merging: pre-merge rows null-fill them,
+    * upserts carry their values. Without the flag an unknown column
+    * fails loudly before any write — silent column swallowing is the
+    * worse default.
+    */
   def into(
       spark: SparkSession,
       tableFqn: String,
       changes: DataFrame,
       keyCols: Seq[String],
       opCol: String = "op",
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      evolveSchema: Boolean = false): Long = {
     val parts = tableFqn.split('.')
     require(parts.length >= 2, s"expected catalog.[ns.]table, got $tableFqn")
     val root = spark.conf.get(s"spark.sql.catalog.${parts.head}.root")
@@ -68,6 +76,19 @@ object GraftMerge {
       require(dupKeys.isEmpty,
         s"MERGE change feed has multiple rows per key on (${keyCols.mkString(", ")}); " +
           s"e.g. ${dupKeys.mkString(", ")} — collapse to one change per key first")
+      // schema evolution: feed columns the table lacks ADD (through the
+      // catalog's ALTER path, so tombstone/alias/type rules all apply)
+      // BEFORE the base is resolved — base rows then null-fill them
+      val extras = pinned.schema.fields.filter(f =>
+        f.name != opCol && !spark.table(tableFqn).columns.contains(f.name))
+      if (extras.nonEmpty) {
+        require(evolveSchema,
+          s"MERGE change feed carries columns the table lacks: " +
+            s"${extras.map(_.name).mkString(", ")} — pass evolveSchema = true " +
+            "to add them, or drop them from the feed")
+        extras.foreach(f => spark.sql(
+          s"ALTER TABLE $tableFqn ADD COLUMN ${f.name} ${f.dataType.sql}"))
+      }
       val base = spark.table(tableFqn)
       val survivors = base.join(
         pinned.select(keyCols.map(col): _*), keyCols, "left_anti")

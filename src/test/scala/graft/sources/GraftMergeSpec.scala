@@ -91,4 +91,31 @@ class GraftMergeSpec extends AnyFunSuite {
     assert(state("SELECT * FROM graftmerge.ns.m2") == Set((2L, 21L), (3L, 30L)))
     assert(GraftJsonSink.listSnapshots(dir) == Seq(1L))
   }
+
+  test("schema evolution: a wider change feed ADDs columns; off by default") {
+    val sp = spark
+    import sp.implicits._
+    spark.sql("CREATE TABLE graftmerge.ns.ev (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graftmerge.ns.ev VALUES (1, 'a'), (2, 'b')")
+    val changes = Seq(
+      (2L, "b2", 0.9, "U"),
+      (3L, "c", 0.5, "I"))
+      .toDF("id", "name", "quality", "op")
+    // without the flag: loud failure, nothing written
+    val e = intercept[Exception](
+      GraftMerge.into(spark, "graftmerge.ns.ev", changes, Seq("id")))
+    assert(e.getMessage.contains("quality"), e.getMessage)
+    assert(spark.table("graftmerge.ns.ev").columns.toSeq == Seq("id", "name"))
+
+    val n = GraftMerge.into(spark, "graftmerge.ns.ev", changes, Seq("id"),
+      evolveSchema = true)
+    assert(n == 3)
+    val rows = spark.sql(
+      "SELECT id, name, quality FROM graftmerge.ns.ev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    // the untouched row null-fills the evolved column
+    assert(rows == Seq((1L, "a", None), (2L, "b2", Some(0.9)), (3L, "c", Some(0.5))))
+    spark.sql("DROP TABLE graftmerge.ns.ev")
+  }
 }
