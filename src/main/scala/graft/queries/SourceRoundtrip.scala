@@ -223,6 +223,69 @@ object SourceRoundtrip {
         "CAST(0 AS BIGINT) AS n_swept, CAST(1 AS BIGINT) AS version_read_ok " +
         "FROM orders WHERE o_orderkey < 6000")),
 
+    // MERGE INTO under the gate — previously spec-only: one change feed
+    // updates a key band (bumped price + a flag), inserts a fresh band,
+    // and deletes a band, with schema evolution adding the flag column
+    // mid-merge; OPTIMIZE ZORDER BY then rewrites the merged table and
+    // the final aggregate (counts per flag, decimal price sum, key sum)
+    // must equal the oracle's pure-SQL replay of the same edits on the
+    // parquet slice — proving merge semantics, evolution null-fill, and
+    // zorder row-preservation in one hash.
+    GraftQuery(
+      "src_merge_lifecycle",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_mg_gate").toString
+        val cat = s"mg${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        val orders = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        orders.filter(col("o_orderkey") < 3000).writeTo(s"$cat.g.t").append()
+        val updates = orders.filter(col("o_orderkey") < 500)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + lit(10.0d)).as("o_totalprice"),
+            lit("u").as("flag"), lit("U").as("op"))
+        val inserts = orders
+          .filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 3500)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            lit("i").as("flag"), lit("I").as("op"))
+        val deletes = orders
+          .filter(col("o_orderkey") >= 1500 && col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            lit(null).cast("string").as("flag"), lit("D").as("op"))
+        graft.sources.GraftMerge.into(s, s"$cat.g.t",
+          updates.unionByName(inserts).unionByName(deletes),
+          keyCols = Seq("o_orderkey"), evolveSchema = true)
+        val nMerged = s.table(s"$cat.g.t").count()
+        graft.sources.GraftOptimize.zorderBy(s, s"$cat.g.t",
+          "o_orderkey", "o_totalprice", numFiles = 4)
+        s.table(s"$cat.g.t")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("price_sum"),
+            count(when(col("flag") === "u", 1)).as("n_upd"),
+            count(when(col("flag") === "i", 1)).as("n_ins"),
+            count(when(col("flag").isNull, 1)).as("n_plain"))
+          .select(col("n_total"), col("key_sum"), col("price_sum"),
+            col("n_upd"), col("n_ins"), col("n_plain"),
+            (col("n_total") === lit(nMerged)).cast("long").as("zorder_preserved"))
+      },
+      Some("WITH m AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey < 500 THEN o_totalprice + 10.0 ELSE o_totalprice END AS price, " +
+        "CASE WHEN o_orderkey < 500 THEN 'u' " +
+        "WHEN o_orderkey >= 3000 THEN 'i' END AS flag " +
+        "FROM orders WHERE (o_orderkey < 3000 AND " +
+        "NOT (o_orderkey >= 1500 AND o_orderkey < 2000)) " +
+        "OR (o_orderkey >= 3000 AND o_orderkey < 3500)) " +
+        "SELECT count(*) AS n_total, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS price_sum, " +
+        "count(*) FILTER (WHERE flag = 'u') AS n_upd, " +
+        "count(*) FILTER (WHERE flag = 'i') AS n_ins, " +
+        "count(*) FILTER (WHERE flag IS NULL) AS n_plain, " +
+        "CAST(1 AS BIGINT) AS zorder_preserved FROM m")),
+
     // Small-file compaction under the gate: six trickle appends leave six
     // tiny files; compactSmall bin-packs them into one as a
     // history-preserving commit. The verdict cells pin the file counts,
