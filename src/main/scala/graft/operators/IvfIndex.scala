@@ -129,9 +129,20 @@ object IvfIndex {
       centroids: DataFrame,
       queries: DataFrame, // query_id, qv, qn
       nprobe: Int,
+      k: Int): DataFrame =
+    searchAssigned(assign(corpus, "v", centroids), centroids, queries, nprobe, k)
+
+  /** Query over an ALREADY-ASSIGNED corpus (vec_id, v, norm2,
+    * centroid_id) — the serve-time entry point when the assignment is a
+    * persisted index artifact rather than computed inline.
+    */
+  def searchAssigned(
+      indexed: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      nprobe: Int,
       k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val indexed = assign(corpus, "v", centroids) // vec_id, v, norm2, centroid_id
+    graft.functions.GraftFunctions.register(indexed.sparkSession)
 
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("centroid_id").asc)
