@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "4.1.2", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL surface for table maintenance (OPTIMIZE ... ZORDER BY /
+    // COMPACT SMALL FILES, VACUUM ... RETAIN): non-matching statements
+    // delegate verbatim to the stock parser
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash"),
