@@ -480,6 +480,35 @@ object Dedup {
         "FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2"),
       bench = true),
 
+    // Streaming dedup against a PERSISTED store (DedupStoreStream): the
+    // document feed drives to completion through foreachBatch, each
+    // batch keep-first-hashing and MERGE-inserting only novel content
+    // hashes into a catalog store table with txn-marker idempotence.
+    // The oracle computes the same store membership — min doc_id per
+    // md5(text) — straight from parquet, so the hash match proves the
+    // streamed, store-mediated dedup equals the batch answer.
+    GraftQuery(
+      "dd_stream_store",
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_ds_gate").toString
+        val cat = s"ds${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.store (sig STRING, doc_id BIGINT, text STRING)")
+        graft.streaming.DedupStoreStream.runToCompletion(
+          s, dir, s"$cat.g.store", checkpoint = s"$root/_ckpt")
+        s.table(s"$cat.g.store")
+          .agg(
+            count(lit(1)).as("n_unique"),
+            sum(col("doc_id")).as("key_sum"),
+            (count(lit(1)) === countDistinct(col("sig"))).cast("long")
+              .as("one_row_per_hash"))
+      },
+      Some("SELECT count(*) AS n_unique, CAST(SUM(kid) AS BIGINT) AS key_sum, " +
+        "CAST(1 AS BIGINT) AS one_row_per_hash FROM " +
+        "(SELECT min(doc_id) AS kid FROM " +
+        "(SELECT doc_id, md5(text) AS h FROM documents) GROUP BY h)")),
+
     // The hash-keyed flavor of dd_span_dupes — the 100 TB shape: the
     // span-keyed shuffle carries a fixed 16-byte digest instead of the
     // span text (ScaleSmoke measures 3.9-9.7× less shuffle at 1M-10M
