@@ -482,6 +482,67 @@ object SourceRoundtrip {
         "FROM customer JOIN supplier ON c_nationkey = s_nationkey " +
         "GROUP BY c_nationkey")),
 
+    // Per-file Bloom index under the gate: four appends INTERLEAVED on
+    // o_orderkey % 8 give every file a min/max range spanning the whole
+    // key space — range skipping provably keeps all 4 files for any
+    // equality. After buildBloomIndex, a present-key lookup plans exactly
+    // the one holding file and an absent-but-in-range key plans zero;
+    // both planned-file counts land as verdict cells (deterministic:
+    // fixed data, seeded xxhash64), alongside the lookups' row values
+    // the oracle replays from parquet.
+    GraftQuery(
+      "src_bloom_skip",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_bloom_gate").toString
+        val cat = s"bl${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        val orders = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .filter(col("o_orderkey") < 6000)
+        (0 until 4).foreach { r =>
+          orders.filter(pmod(col("o_orderkey"), lit(8)) === r)
+            .coalesce(1).writeTo(s"$cat.g.t").append()
+        }
+        val tableDir = java.nio.file.Paths.get(root, "g", "t")
+        graft.sources.GraftCatalog.buildBloomIndex(
+          tableDir, s.table(s"$cat.g.t").schema, Seq("o_orderkey"))
+        def planned(df: org.apache.spark.sql.DataFrame): Long = {
+          df.collect()
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          def scan(p: SparkPlan): Seq[BatchScanExec] = p match {
+            case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+            case q: QueryStageExec => scan(q.plan)
+            case b: BatchScanExec => Seq(b)
+            case other => other.children.flatMap(scan)
+          }
+          scan(df.queryExecution.executedPlan).map(_.inputPartitions.size).sum.toLong
+        }
+        // 1001 % 8 = 1 → lives in exactly the r=1 file; 12 % 8 = 4 → in
+        // range but never written
+        val hit = s.table(s"$cat.g.t").filter(col("o_orderkey") === 1001L)
+        val miss = s.table(s"$cat.g.t").filter(col("o_orderkey") === 12L)
+        val keptHit = planned(hit)
+        val keptMiss = planned(miss)
+        hit.agg(
+            count(lit(1)).as("n_hit"),
+            max(col("o_totalprice")).as("hit_price"))
+          .crossJoin(miss.agg(count(lit(1)).as("n_miss")))
+          .select(col("n_hit"), col("hit_price"), col("n_miss"),
+            lit(4L).as("files_total"),
+            lit(keptHit).as("files_kept_hit"),
+            lit(keptMiss).as("files_kept_miss"))
+      },
+      Some("SELECT count(*) FILTER (WHERE o_orderkey = 1001) AS n_hit, " +
+        "MAX(o_totalprice) FILTER (WHERE o_orderkey = 1001) AS hit_price, " +
+        "count(*) FILTER (WHERE o_orderkey = 12) AS n_miss, " +
+        "CAST(4 AS BIGINT) AS files_total, CAST(1 AS BIGINT) AS files_kept_hit, " +
+        "CAST(0 AS BIGINT) AS files_kept_miss " +
+        "FROM orders WHERE o_orderkey < 6000 AND o_orderkey % 8 < 4")),
+
     // The catalog table as a STREAMING SOURCE: three append commits land
     // as three micro-batches (snapshot-diff offsets), aggregated through
     // Structured Streaming in complete mode. The oracle aggregates the

@@ -424,6 +424,9 @@ object GraftCatalog {
     // grouped (storage-partitioned) layout no longer holds — drop the
     // sidecar; scans degrade to the flat per-file plan
     Files.deleteIfExists(tableDir.resolve(GraftParts.PartsName))
+    // every indexed file was just deleted; the bloom sidecar would be
+    // all-stale (advisory, so merely useless — but drop it for hygiene)
+    Files.deleteIfExists(tableDir.resolve(GraftBloom.BloomName))
     // history reset: streaming offsets from the old snapshot numbering
     // must not alias the new one — a fresh epoch makes them fail loudly
     Files.deleteIfExists(tableDir.resolve(GraftTableStream.EpochFileName))
@@ -548,6 +551,71 @@ object GraftCatalog {
       orphans.foreach(n => Files.deleteIfExists(tableDir.resolve(n)))
       (expired, orphans)
     }
+
+  /** Build (or refresh) the per-file Bloom-filter index over `columns` —
+    * the point-lookup maintenance op (Delta's `bloomfilter` index,
+    * Iceberg's parquet bloom pages). Incremental: files already indexed
+    * for every requested column keep their entries untouched; only new
+    * files are read, and entries for files no longer in the manifest are
+    * dropped. Runs under the commit lock so the file list it indexes is
+    * one committed state; the sidecar itself is advisory (see
+    * [[GraftBloom]]), so a concurrent append between this commit and the
+    * next build merely scans unindexed files. Like the other maintenance
+    * ops, rows are read on the driver here; a cluster build would fan the
+    * per-file builders out as tasks — the sidecar format is unchanged.
+    *
+    * Returns (files indexed this call, files already covered).
+    */
+  def buildBloomIndex(
+      tableDir: Path,
+      schema: StructType,
+      columns: Seq[String],
+      bitsPerKey: Int = 12): (Int, Int) = GraftJsonSink.withCommitLock(tableDir) {
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    columns.foreach { c =>
+      val f = byName.getOrElse(c,
+        sys.error(s"bloom index column '$c' not in schema ${schema.fieldNames.mkString(", ")}"))
+      require(GraftBloom.indexable(f.dataType),
+        s"bloom index on '$c': ${f.dataType.simpleString} is not indexable " +
+          "(STRING / BIGINT / INT only)")
+    }
+    val (_, files) = GraftJsonSink.readManifest(tableDir)
+    val aliases = renamesAt(tableDir)
+    val existing = GraftBloom.read(tableDir)
+    val idx = columns.map(c => c -> schema.fieldIndex(c))
+    val covered = files.filter(f =>
+      existing.get(f).exists(cols => columns.forall(cols.contains)))
+    val todo = files.filterNot(covered.toSet)
+    val fresh = todo.map { f =>
+      val lines = Files.readAllLines(tableDir.resolve(f), StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty)
+      val builders = idx.map { case (c, _) =>
+        c -> new GraftBloom.Builder(lines.size.toLong, bitsPerKey)
+      }
+      lines.foreach { line =>
+        val row = JsonLineParser.parse(line, schema, schema, aliases)
+        builders.zip(idx).foreach { case ((_, b), (_, i)) =>
+          if (!row.isNullAt(i)) {
+            val v: Any = schema(i).dataType match {
+              case StringType => row.getUTF8String(i)
+              case LongType => row.getLong(i)
+              case IntegerType => row.getInt(i)
+              case dt => sys.error(s"unreachable: $dt")
+            }
+            GraftBloom.hashPair(v).foreach { case (h1, h2) => b.add(h1, h2) }
+          }
+        }
+      }
+      f -> builders.map { case (c, b) => c -> b.result() }.toMap
+    }.toMap
+    // merge per file: keep whatever columns an old entry had, add the new
+    val live = files.toSet
+    val merged = (existing.filter { case (f, _) => live.contains(f) }.toSeq ++ fresh.toSeq)
+      .groupBy(_._1)
+      .map { case (f, entries) => f -> entries.map(_._2).reduce(_ ++ _) }
+    GraftBloom.write(tableDir, merged)
+    (todo.size, covered.size)
+  }
 }
 
 /** A catalog-managed graft-json table: reads list the manifest's
@@ -690,10 +758,19 @@ private[sources] class GraftCatalogTable(
           }
           if (skippingFilters.isEmpty) files
           else {
+            // two advisory layers compose: min/max ranges answer the
+            // ordered predicates, per-file Bloom filters answer equality
+            // on high-cardinality columns whose ranges overlap across
+            // files (where min/max never prunes). Either saying
+            // "provably empty" drops the file; a file missing from
+            // either sidecar passes that layer.
             val stats = GraftStats.read(dir, tableSchema)
+            val blooms = GraftBloom.read(dir)
             files.filter { f =>
               stats.get(f).forall(fs =>
-                skippingFilters.forall(GraftStats.mayMatch(_, fs, tableSchema)))
+                skippingFilters.forall(GraftStats.mayMatch(_, fs, tableSchema))) &&
+              blooms.get(f).forall(bs =>
+                skippingFilters.forall(GraftBloom.mayMatch(_, bs, tableSchema)))
             }
           }
         }
