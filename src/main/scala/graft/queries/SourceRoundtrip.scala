@@ -138,6 +138,65 @@ object SourceRoundtrip {
         "WHERE o_orderkey < 8000 AND NOT (o_orderkey >= 2000 AND o_orderkey < 4000) " +
         "GROUP BY o_orderstatus")),
 
+    // Merge-on-read deletion vectors under the gate: two MOR deletes
+    // record vectors in the manifest — no data file is rewritten or
+    // added (verdict cell: the post-delete file set is a subset of the
+    // pre-delete set AND a vector exists) — then the aggregate reads
+    // through the vector-subtracting scan, followed by a compaction
+    // that materializes the vectors and must reproduce the same rows.
+    // The oracle replays both delete predicates straight on parquet.
+    GraftQuery(
+      "src_mor_delete",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_mor_gate").toString
+        val cat = s"mor${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.orders " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+        Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .writeTo(s"$cat.g.orders").append()
+        val tdir = java.nio.file.Paths.get(root, "g", "orders")
+        val before = graft.sources.GraftJsonSink.readManifest(tdir)._2.toSet
+        s.conf.set("spark.graft.delete.mode", "mor")
+        try {
+          s.sql(s"DELETE FROM $cat.g.orders " +
+            "WHERE o_orderkey >= 1000 AND o_orderkey < 3000")
+          s.sql(s"DELETE FROM $cat.g.orders " +
+            "WHERE o_orderstatus = 'F' AND o_orderkey >= 4000 AND o_orderkey < 5000")
+        } finally s.conf.set("spark.graft.delete.mode", "cow")
+        val after = graft.sources.GraftJsonSink.readManifest(tdir)._2.toSet
+        val morOnly = after.subsetOf(before) &&
+          graft.sources.GraftDv.read(tdir).nonEmpty
+        val viaVectors = s.table(s"$cat.g.orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("total"),
+            sum(col("o_orderkey")).as("key_sum"),
+            lit(if (morOnly) 1L else 0L).as("mor_only"))
+        // materialize and re-read: the compacted table must agree
+        graft.sources.GraftCatalog.compact(tdir, Some(s.table(s"$cat.g.orders").schema))
+        val viaMaterialized = s.table(s"$cat.g.orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("total"),
+            sum(col("o_orderkey")).as("key_sum"),
+            lit(1L).as("mor_only"))
+        // rows appear once iff both reads produced them identically
+        viaVectors.intersect(viaMaterialized)
+      },
+      Some("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(1 AS BIGINT) AS mor_only FROM orders " +
+        "WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 3000) " +
+        "AND NOT (o_orderstatus = 'F' AND o_orderkey >= 4000 AND o_orderkey < 5000) " +
+        "GROUP BY o_orderstatus")),
+
     // Type-widening schema evolution under the gate: an INT column is
     // appended, widened to BIGINT (metadata-only — the JSON files store
     // numbers as text, so old literals re-parse losslessly), a second

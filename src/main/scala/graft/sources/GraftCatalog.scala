@@ -372,12 +372,22 @@ object GraftCatalog {
   def compact(tableDir: Path): (Int, Int) = compact(tableDir, None)
 
   def compact(tableDir: Path, schema: Option[StructType]): (Int, Int) = {
-    val (rows, files) = GraftJsonSink.readManifest(tableDir)
-    if (files.size <= 1) return (files.size, files.size)
+    val (rows, files, dvs) = GraftJsonSink.readState(tableDir)
+    if (files.size <= 1 && dvs.isEmpty) return (files.size, files.size)
     val target = tableDir.resolve(
       s"part-compact-${java.util.UUID.randomUUID().toString.take(8)}.json")
     val out = Files.newOutputStream(target)
-    try files.foreach { f => out.write(Files.readAllBytes(tableDir.resolve(f))) }
+    // deletion vectors materialize here: a file with a vector streams
+    // only its live lines into the compacted output
+    try files.foreach { f =>
+      dvs.get(f) match {
+        case None => out.write(Files.readAllBytes(tableDir.resolve(f)))
+        case Some(dv) =>
+          GraftDv.liveLines(tableDir, f, dv).foreach { l =>
+            out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+          }
+      }
+    }
     finally out.close()
     // streaming-txn markers survive compaction: a restarted stream must
     // still see its last applied batch id after maintenance runs
@@ -408,8 +418,18 @@ object GraftCatalog {
     GraftJsonSink.snapshotManifest(tableDir)
     // the compacted file is exactly the concatenation of its inputs, so
     // its stats are the fold of theirs — skipping survives compaction
-    // when every input had stats; otherwise the sidecar resets (advisory)
+    // when every input had stats; otherwise the sidecar resets (advisory).
+    // When vectors were materialized the fold would describe rows that no
+    // longer exist (its row/null counts feed IsNotNull skipping), so the
+    // stats recollect from the live lines just written.
     schema match {
+      case Some(sch) if dvs.nonEmpty =>
+        val aliases = renamesAt(tableDir)
+        val c = new GraftStats.Collector(sch)
+        Files.readAllLines(target, StandardCharsets.UTF_8).asScala
+          .filter(_.nonEmpty)
+          .foreach(l => c.observe(JsonLineParser.parse(l, sch, sch, aliases)))
+        GraftStats.write(tableDir, Map(keep -> c.result()), sch)
       case Some(sch) =>
         val prev = GraftStats.read(tableDir, sch)
         val inputs = files.flatMap(prev.get)
@@ -450,7 +470,7 @@ object GraftCatalog {
       schema: StructType,
       minBytes: Long,
       targetBytes: Long): (Int, Int) = GraftJsonSink.withCommitLock(tableDir) {
-    val (rows, files) = GraftJsonSink.readManifest(tableDir)
+    val (rows, files, dvs) = GraftJsonSink.readState(tableDir)
     val parts = GraftParts.read(tableDir)
     val partitioned = parts.nonEmpty
     val small = files
@@ -481,20 +501,42 @@ object GraftCatalog {
       var newStats = Map.empty[String, GraftStats.FileStats]
       var newParts = Map.empty[String, Option[String]]
       val replaced = bins.flatMap(_._2).toSet
+      val aliases = renamesAt(tableDir)
       val newFiles = bins.map { case (pv, members) =>
         val name = s"part-merged-${java.util.UUID.randomUUID().toString.take(8)}.json"
         val out = Files.newOutputStream(tableDir.resolve(name))
-        try members.foreach(f => out.write(Files.readAllBytes(tableDir.resolve(f))))
+        // a member with a deletion vector contributes only its live
+        // lines — the merge materializes the vector
+        try members.foreach { f =>
+          dvs.get(f) match {
+            case None => out.write(Files.readAllBytes(tableDir.resolve(f)))
+            case Some(dv) =>
+              GraftDv.liveLines(tableDir, f, dv).foreach { l =>
+                out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+              }
+          }
+        }
         finally out.close()
         val memberStats = members.flatMap(prevStats.get)
-        if (memberStats.size == members.size)
+        if (members.exists(dvs.contains)) {
+          // the fold would count materialized-away rows; recollect
+          val c = new GraftStats.Collector(schema)
+          Files.readAllLines(tableDir.resolve(name), StandardCharsets.UTF_8)
+            .asScala.filter(_.nonEmpty)
+            .foreach(l => c.observe(JsonLineParser.parse(l, schema, schema, aliases)))
+          newStats += name -> c.result()
+        } else if (memberStats.size == members.size)
           newStats += name -> memberStats.reduce(GraftStats.merge)
         newParts += name -> pv
         name
       }
       val keptFiles = (files.filterNot(replaced) ++ newFiles).sorted
+      // vectors on replaced members materialized into the bins; vectors
+      // on untouched files must survive the new manifest
+      val keptDvs = dvs.filter { case (f, _) => !replaced(f) }
       val manifest =
         s"""{"rows":$rows,"files":[${keptFiles.map("\"" + _ + "\"").mkString(",")}]""" +
+          GraftDv.render(keptDvs) +
           GraftJsonSink.renderTxn(GraftJsonSink.readTxn(tableDir)) + "}\n"
       val tmp = tableDir.resolve(GraftJsonSink.ManifestName + ".tmp")
       Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
@@ -579,7 +621,7 @@ object GraftCatalog {
         s"bloom index on '$c': ${f.dataType.simpleString} is not indexable " +
           "(STRING / BIGINT / INT only)")
     }
-    val (_, files) = GraftJsonSink.readManifest(tableDir)
+    val (_, files, dvs) = GraftJsonSink.readState(tableDir)
     val aliases = renamesAt(tableDir)
     val existing = GraftBloom.read(tableDir)
     val idx = columns.map(c => c -> schema.fieldIndex(c))
@@ -587,8 +629,9 @@ object GraftCatalog {
       existing.get(f).exists(cols => columns.forall(cols.contains)))
     val todo = files.filterNot(covered.toSet)
     val fresh = todo.map { f =>
-      val lines = Files.readAllLines(tableDir.resolve(f), StandardCharsets.UTF_8)
-        .asScala.filter(_.nonEmpty)
+      // deleted rows would only add safe false positives, but indexing
+      // live lines keeps the filter as selective as the data
+      val lines = GraftDv.liveLines(tableDir, f, dvs.getOrElse(f, Array.empty))
       val builders = idx.map { case (c, _) =>
         c -> new GraftBloom.Builder(lines.size.toLong, bitsPerKey)
       }
@@ -660,52 +703,93 @@ private[sources] class GraftCatalogTable(
     */
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(version.isEmpty, s"cannot delete from a historical version of $tableName")
+    // merge-on-read mode: record deleted ordinals in the manifest instead
+    // of rewriting data files — see [[GraftDv]]. At 100 TB this turns a
+    // terabyte of copy-on-write rewrite into a few KB of manifest.
+    val mor = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.delete.mode", "cow") == "mor"
     GraftJsonSink.withCommitLock(dir) {
-    val (_, files) = GraftJsonSink.readManifest(dir)
+    val (_, files, dvs) = GraftJsonSink.readState(dir)
     val stats = GraftStats.read(dir, tableSchema)
     val writeId = java.util.UUID.randomUUID().toString.take(8)
     var newStats = Map.empty[String, GraftStats.FileStats]
+    var keptDvs = Map.empty[String, Array[Int]]
     var keptRows = 0L
     val keptFiles = Vector.newBuilder[String]
     val rewriteLog = Vector.newBuilder[(String, String)]
     files.zipWithIndex.foreach { case (f, idx) =>
+      val dv = dvs.getOrElse(f, Array.empty[Int])
       val fileStats = stats.get(f)
+      // stats describe the physical file (deleted rows included) — a
+      // superset range, so the skip stays conservative under vectors
       val untouchable = fileStats.exists(fs =>
         !filters.forall(GraftStats.mayMatch(_, fs, tableSchema)))
       if (untouchable) {
         keptFiles += f
-        keptRows += fileStats.get.rows
+        keptRows += fileStats.get.rows - dv.length
+        if (dv.nonEmpty) keptDvs += f -> dv
       } else {
         val lines = Files.readAllLines(dir.resolve(f), StandardCharsets.UTF_8)
           .asScala.filter(_.nonEmpty)
-        val collector = new GraftStats.Collector(tableSchema)
-        val kept = lines.filter { line =>
-          val row = JsonLineParser.parse(line, tableSchema, tableSchema,
-            renameAliases)
-          val isDeleted = filters.forall(
-            FilterEval.eval(_, row, tableSchema) == java.lang.Boolean.TRUE)
-          if (!isDeleted) collector.observe(row)
-          !isDeleted
+        val dead = dv.toSet
+        if (mor) {
+          // ordinals (among non-empty lines) where the conjunction is
+          // definitely TRUE and the row is still live
+          val hits = lines.zipWithIndex.collect {
+            case (line, i) if !dead(i) && filters.forall(
+              FilterEval.eval(_,
+                JsonLineParser.parse(line, tableSchema, tableSchema, renameAliases),
+                tableSchema) == java.lang.Boolean.TRUE) => i
+          }
+          val merged = (dv ++ hits).sorted
+          if (merged.length == lines.size) {
+            // every physical row deleted: the file (and its vector) drops
+          } else {
+            keptFiles += f
+            keptRows += lines.size - merged.length
+            if (merged.nonEmpty) keptDvs += f -> merged.toArray
+          }
+        } else {
+          val collector = new GraftStats.Collector(tableSchema)
+          val kept = lines.zipWithIndex.collect { case (line, i) if !dead(i) => line }
+            .filter { line =>
+              val row = JsonLineParser.parse(line, tableSchema, tableSchema,
+                renameAliases)
+              val isDeleted = filters.forall(
+                FilterEval.eval(_, row, tableSchema) == java.lang.Boolean.TRUE)
+              if (!isDeleted) collector.observe(row)
+              !isDeleted
+            }
+          if (kept.size == lines.size) { // no hit, no vector: keep as-is
+            keptFiles += f
+            keptRows += lines.size
+          } else if (kept.size == lines.size - dv.length) {
+            // no predicate hit; the file only carries its prior vector
+            keptFiles += f
+            keptRows += kept.size
+            keptDvs += f -> dv
+          } else if (kept.nonEmpty) { // mixed: rewrite survivors
+            // the rewrite materializes the prior vector too — the new
+            // file holds only live rows and needs no vector entry
+            val nf = f"part-$writeId-rw$idx%05d.json"
+            Files.write(dir.resolve(nf),
+              (kept.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+            keptFiles += nf
+            keptRows += kept.size
+            newStats += nf -> collector.result()
+            rewriteLog += f -> nf
+          } // all live rows matched: file drops from the manifest entirely
         }
-        if (kept.size == lines.size) { // no hit after all: keep the file
-          keptFiles += f
-          keptRows += lines.size
-        } else if (kept.nonEmpty) { // mixed: rewrite survivors
-          val nf = f"part-$writeId-rw$idx%05d.json"
-          Files.write(dir.resolve(nf),
-            (kept.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-          keptFiles += nf
-          keptRows += kept.size
-          newStats += nf -> collector.result()
-          rewriteLog += f -> nf
-        } // all rows matched: file drops from the manifest entirely
       }
     }
     val manifest = new java.lang.StringBuilder()
       .append("{\"rows\":").append(keptRows)
       .append(",\"files\":[")
       .append(keptFiles.result().map(f => "\"" + f + "\"").sorted.mkString(","))
-      .append("]}\n").toString
+      .append("]")
+      .append(GraftDv.render(keptDvs))
+      .append(GraftJsonSink.renderTxn(GraftJsonSink.readTxn(dir)))
+      .append("}\n").toString
     val tmp = dir.resolve(GraftJsonSink.ManifestName + ".tmp")
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(GraftJsonSink.ManifestName),
@@ -751,11 +835,19 @@ private[sources] class GraftCatalogTable(
         // planInputPartitions (execution time) must see ONE committed
         // state — a concurrent commit between the two calls could
         // otherwise report n groups and deliver m
-        private lazy val keptFiles: Seq[String] = {
-          val (_, files) = version match {
-            case Some(v) => GraftJsonSink.readManifestVersion(dir, v)
-            case None => GraftJsonSink.readManifest(dir)
+        // files and deletion vectors parse from ONE manifest read: two
+        // reads could straddle a DV-materialize commit and pair an old
+        // file list with a manifest that no longer carries its vectors
+        private lazy val committedState: (Seq[String], Map[String, Array[Int]]) = {
+          val (_, files, dvMap) = version match {
+            case Some(v) => GraftJsonSink.readStateVersion(dir, v)
+            case None => GraftJsonSink.readState(dir)
           }
+          (files, dvMap)
+        }
+        private lazy val dvs: Map[String, Array[Int]] = committedState._2
+        private lazy val keptFiles: Seq[String] = {
+          val files = committedState._1
           if (skippingFilters.isEmpty) files
           else {
             // two advisory layers compose: min/max ranges answer the
@@ -828,7 +920,7 @@ private[sources] class GraftCatalogTable(
         override def description(): String =
           s"graft-json $tableName, skipping filters: [${skippingFilters.mkString(", ")}]"
         override def createReaderFactory(): PartitionReaderFactory =
-          new JsonFileReaderFactory(tableSchema, required, renameAliases)
+          new JsonFileReaderFactory(tableSchema, required, renameAliases, dvs)
       }
     }
 
@@ -853,7 +945,8 @@ private case class JsonFilesPartition(
 }
 
 private class JsonFileReaderFactory(fileSchema: StructType, required: StructType,
-    aliases: Map[String, Set[String]] = Map.empty)
+    aliases: Map[String, Set[String]] = Map.empty,
+    dvs: Map[String, Array[Int]] = Map.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -861,9 +954,18 @@ private class JsonFileReaderFactory(fileSchema: StructType, required: StructType
       case JsonFilePartition(p) => Seq(p)
       case JsonFilesPartition(ps, _, _) => ps
     }
-    val lines = paths.iterator.flatMap(p =>
-      Files.readAllLines(Paths.get(p), StandardCharsets.UTF_8).asScala.iterator)
-      .filter(_.nonEmpty)
+    // deletion vectors subtract by ordinal (a row's index among its
+    // file's non-empty lines) — the merge-on-read half of MOR deletes
+    val lines = paths.iterator.flatMap { p =>
+      val all = Files.readAllLines(Paths.get(p), StandardCharsets.UTF_8)
+        .asScala.iterator.filter(_.nonEmpty)
+      dvs.get(Paths.get(p).getFileName.toString) match {
+        case None | Some(Array()) => all
+        case Some(dv) =>
+          val dead = dv.toSet
+          all.zipWithIndex.collect { case (l, i) if !dead(i) => l }
+      }
+    }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean = {

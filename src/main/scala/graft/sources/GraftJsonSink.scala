@@ -69,6 +69,29 @@ object GraftJsonSink {
     parseManifest(m)
   }
 
+  /** (live rows, files, deletion vectors) parsed from ONE read of the
+    * manifest — scans must plan their file list and the vectors that
+    * apply to it from the same committed state; two separate reads could
+    * straddle a materialize commit and resurrect deleted rows.
+    */
+  def readState(dir: Path): (Long, Seq[String], Map[String, Array[Int]]) =
+    parseState(dir.resolve(ManifestName))
+
+  /** readState as of snapshot `version`. */
+  def readStateVersion(dir: Path, version: Long): (Long, Seq[String], Map[String, Array[Int]]) = {
+    val m = dir.resolve(s"$SnapshotPrefix$version.json")
+    require(Files.exists(m),
+      s"no snapshot version $version in $dir (have: ${listSnapshots(dir).mkString(",")})")
+    parseState(m)
+  }
+
+  private def parseState(m: Path): (Long, Seq[String], Map[String, Array[Int]]) = {
+    if (!Files.exists(m)) return (0L, Nil, Map.empty)
+    val text = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    val (rows, files) = parseManifestText(text)
+    (rows, files, GraftDv.parse(text))
+  }
+
   /** Snapshot versions present, ascending. */
   def listSnapshots(dir: Path): Seq[Long] = {
     if (!Files.isDirectory(dir)) return Nil
@@ -215,9 +238,17 @@ object GraftJsonSink {
 
   private def parseManifest(m: Path): (Long, Seq[String]) = {
     if (!Files.exists(m)) return (0L, Nil)
-    val text = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    parseManifestText(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+  }
+
+  private def parseManifestText(text: String): (Long, Seq[String]) = {
     val rows = "\"rows\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
-    val files = "\"(part-[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1)).toSeq
+    // scope to the files array: deletion-vector entries ("dvs") key on
+    // the same part-* names, and a whole-text match would read them as
+    // extra data files
+    val filesSection = "\"files\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+    val files = "\"(part-[^\"]+)\"".r.findAllMatchIn(filesSection).map(_.group(1)).toSeq
     (rows, files)
   }
 
@@ -397,13 +428,20 @@ private[sources] class GraftJsonBatchWrite(
       if (truncateFirst && !replaceMode) Map.empty[String, Long]
       else GraftJsonSink.readTxn(dir)
     val txnJson = GraftJsonSink.renderTxn(prevTxn ++ txn.toMap)
+    // deletion vectors survive appends (their files stay committed);
+    // truncate and replace drop every prior file from the manifest, and
+    // a vector keyed on an absent file has no meaning — filter to kept
+    val keptFileSet = prevFiles.toSet
+    val dvJson =
+      if (truncateFirst) ""
+      else GraftDv.render(GraftDv.read(dir).filter { case (f, _) => keptFileSet(f) })
     // manifest last, via atomic rename: the commit point
     val manifest = new java.lang.StringBuilder()
       .append("{\"rows\":").append(prevRows + published.map(_._2).sum)
       .append(",\"files\":[")
       .append((prevFiles ++ published.map(_._1)).map(f => "\"" + f + "\"")
         .sorted.mkString(","))
-      .append("]").append(txnJson).append("}\n").toString
+      .append("]").append(dvJson).append(txnJson).append("}\n").toString
     val tmpManifest = dir.resolve(GraftJsonSink.ManifestName + ".tmp")
     Files.write(tmpManifest, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmpManifest, dir.resolve(GraftJsonSink.ManifestName),

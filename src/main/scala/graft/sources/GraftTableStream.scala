@@ -43,8 +43,9 @@ private[sources] class GraftTableStream(
     o.v
   }
 
-  private def filesAt(v: Long): Seq[String] =
-    if (v <= 0L) Nil else GraftJsonSink.readManifestVersion(dir, v)._2
+  private def stateAt(v: Long): (Seq[String], Map[String, Array[Int]]) =
+    if (v <= 0L) (Nil, Map.empty)
+    else { val (_, fs, dvs) = GraftJsonSink.readStateVersion(dir, v); (fs, dvs) }
 
   override def initialOffset(): Offset = SnapshotOffset(epoch, 0L)
 
@@ -61,13 +62,26 @@ private[sources] class GraftTableStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = checkEpoch(start.asInstanceOf[SnapshotOffset])
     val e = checkEpoch(end.asInstanceOf[SnapshotOffset])
-    val before = filesAt(s)
-    val after = filesAt(e)
+    val (before, dvBefore) = stateAt(s)
+    val (after, dvAfter) = stateAt(e)
     val removed = before.toSet.diff(after.toSet)
     require(removed.isEmpty,
       s"streaming source requires append-only commits, but snapshots " +
         s"$s..$e removed files: ${removed.take(3).mkString(", ")} — " +
         "restart the stream from a fresh checkpoint after compaction/rewrites")
+    // deletion vectors are row-level deletes: one appearing or growing in
+    // the range means rows this stream may already have emitted were
+    // deleted — not expressible as an append, so fail loudly (the same
+    // contract as file removals)
+    val dvChanged = (dvBefore.keySet ++ dvAfter.keySet).filter { f =>
+      !java.util.Arrays.equals(
+        dvBefore.getOrElse(f, Array.empty[Int]),
+        dvAfter.getOrElse(f, Array.empty[Int]))
+    }
+    require(dvChanged.isEmpty,
+      s"streaming source requires append-only commits, but snapshots " +
+        s"$s..$e changed deletion vectors on: ${dvChanged.take(3).mkString(", ")} — " +
+        "restart the stream from a fresh checkpoint after row-level deletes")
     after.filterNot(before.toSet)
       .map(f => JsonFilePartition(dir.resolve(f).toString): InputPartition)
       .toArray

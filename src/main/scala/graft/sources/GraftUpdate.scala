@@ -52,7 +52,21 @@ object GraftUpdate {
     // between our manifest read and our manifest swap would be dropped
     // by the rewrite otherwise (row-level ops serialize with appends)
     GraftJsonSink.withCommitLock(dir) {
-    val (_, files) = GraftJsonSink.readManifest(dir)
+    // materialize deletion vectors on files this update may rewrite
+    // FIRST: the staging read below goes through Spark's by-name JSON
+    // reader, which has no row ordinals — without materializing, a
+    // MOR-deleted row would resurrect into the rewritten file
+    locally {
+      val (_, files0, dvs0) = GraftJsonSink.readState(dir)
+      if (dvs0.nonEmpty) {
+        val stats0 = GraftStats.read(dir, schema)
+        GraftDv.materialize(dir, schema, files0.filter { f =>
+          dvs0.contains(f) && stats0.get(f).forall(fs =>
+            skipFilters.forall(GraftStats.mayMatch(_, fs, schema)))
+        })
+      }
+    }
+    val (_, files, dvs) = GraftJsonSink.readState(dir)
     val stats = GraftStats.read(dir, schema)
     // a file is touched unless its stats PROVE no row matches; files
     // without stats always count as touched (sound, never lossy)
@@ -106,14 +120,20 @@ object GraftUpdate {
           .asScala.count(_.nonEmpty).toLong
       }
       val allFiles = (untouched ++ newFiles).sorted
-      val keptRows = allFiles.map(fileRows).sum
+      // untouched files may still carry deletion vectors (touched ones
+      // were materialized above): their vectors survive the commit and
+      // their live count subtracts the vector
+      val keptRows = allFiles.map(f =>
+        fileRows(f) - dvs.get(f).map(_.length.toLong).getOrElse(0L)).sum
       // streaming-txn markers survive row-level rewrites (same contract
       // as the sink's replace commit)
       val manifest = new java.lang.StringBuilder()
         .append("{\"rows\":").append(keptRows)
         .append(",\"files\":[")
         .append(allFiles.map(f => "\"" + f + "\"").mkString(","))
-        .append("]").append(GraftJsonSink.renderTxn(GraftJsonSink.readTxn(dir)))
+        .append("]")
+        .append(GraftDv.render(dvs.filter { case (f, _) => untouched.contains(f) }))
+        .append(GraftJsonSink.renderTxn(GraftJsonSink.readTxn(dir)))
         .append("}\n").toString
       val tmp = dir.resolve(GraftJsonSink.ManifestName + ".tmp")
       Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
