@@ -520,7 +520,12 @@ object SourceRoundtrip {
         // order-dependent. The conf is read at planning: resolve the
         // DataFrame eagerly, then restore.
         val prevBkt = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        // the scan now reports real statistics, so these small tables
+        // would auto-broadcast and bypass the SPJ path this gate exists
+        // to exercise — disable broadcast for this plan only
+        val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try {
           val joined = s.table(s"$cat.g.cust")
             .join(s.table(s"$cat.g.supp"),
@@ -531,9 +536,12 @@ object SourceRoundtrip {
               sum(col("s_acctbal").cast(dec6)).cast(DoubleType).as("bal_sum"))
           joined.queryExecution.executedPlan // force planning under the conf
           joined
-        } finally prevBkt match {
-          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
-          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+          prevBkt match {
+            case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+            case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          }
         }
       },
       Some("SELECT c_nationkey, count(*) AS n_pairs, " +
@@ -642,5 +650,102 @@ object SourceRoundtrip {
       Some("SELECT o_orderstatus, count(*) AS n, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
         "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders " +
-        "WHERE o_orderkey < 6000 GROUP BY o_orderstatus")))
+        "WHERE o_orderkey < 6000 GROUP BY o_orderstatus")),
+
+    // Manifest-derived scan statistics under the gate: a 25-row dimension
+    // stored as a graft table joins customer parquet with NO hint, and
+    // the cost-based planner must pick BroadcastHashJoin with the GRAFT
+    // side as the build side — possible only because the scan reports
+    // real size/rows (SupportsReportStatistics); without them the table
+    // prices at defaultSizeInBytes and the parquet side would build (or
+    // the join would sort-merge). The build-side check walks the executed
+    // plan; its boolean lands as a verdict cell next to the join values
+    // the oracle replays from parquet.
+    GraftQuery(
+      "src_stats_broadcast",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_stats_bc").toString
+        val cat = s"sb${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.nat (n_nationkey BIGINT, n_name STRING)")
+        Tables.table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+          .coalesce(1).writeTo(s"$cat.g.nat").append()
+        val joined = Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+          .join(s.table(s"$cat.g.nat"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("c_acctbal").cast(dec6)).cast(DoubleType).as("bal_sum"))
+        joined.collect() // finalize the adaptive plan before walking it
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        def containsGraftScan(p: SparkPlan): Boolean = p match {
+          case a: AdaptiveSparkPlanExec => containsGraftScan(a.executedPlan)
+          case q: QueryStageExec => containsGraftScan(q.plan)
+          case b: BatchScanExec => b.scan.description().contains("graft-json")
+          case other => other.children.exists(containsGraftScan)
+        }
+        def graftBuilds(p: SparkPlan): Boolean = p match {
+          case a: AdaptiveSparkPlanExec => graftBuilds(a.executedPlan)
+          case q: QueryStageExec => graftBuilds(q.plan)
+          case b: BroadcastHashJoinExec =>
+            val build = b.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+              case _ => b.right
+            }
+            containsGraftScan(build) || b.children.exists(graftBuilds)
+          case other => other.children.exists(graftBuilds)
+        }
+        val ok = graftBuilds(joined.queryExecution.executedPlan)
+        joined.select(col("n_name"), col("n_cust"), col("bal_sum"),
+          lit(ok).as("graft_broadcast"))
+      },
+      Some("SELECT n_name, count(*) AS n_cust, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_sum, " +
+        "TRUE AS graft_broadcast " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name")),
+
+    // Aggregate pushdown under the gate: global count/min/max over a
+    // multi-file graft table must be answered from the manifest + stats
+    // sidecar — the executed plan's scan says "pushed aggregation" and
+    // that boolean lands as a verdict cell; the VALUES are replayed by
+    // the oracle straight from parquet, so a wrong fold (null handling,
+    // byte-order string extremes, double exactness) mismatches even
+    // though no data file was opened on the Spark side.
+    GraftQuery(
+      "src_agg_pushdown",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_aggp_gate").toString
+        val cat = s"ap${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.t " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+        Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .filter(col("o_orderkey") < 6000)
+          .repartitionByRange(4, col("o_orderkey"))
+          .writeTo(s"$cat.g.t").append()
+        val agg = s.sql("SELECT count(*) AS n, " +
+          "min(o_orderkey) AS k_min, max(o_orderkey) AS k_max, " +
+          "count(o_orderstatus) AS n_status, " +
+          "min(o_orderstatus) AS s_min, max(o_orderstatus) AS s_max, " +
+          "min(o_totalprice) AS p_min, max(o_totalprice) AS p_max " +
+          s"FROM $cat.g.t")
+        val pushed = agg.queryExecution.executedPlan.toString
+          .contains("pushed aggregation")
+        agg.select(col("*"), lit(pushed).as("agg_pushed"))
+      },
+      Some("SELECT count(*) AS n, " +
+        "min(o_orderkey) AS k_min, max(o_orderkey) AS k_max, " +
+        "count(o_orderstatus) AS n_status, " +
+        "min(o_orderstatus) AS s_min, max(o_orderstatus) AS s_max, " +
+        "min(o_totalprice) AS p_min, max(o_totalprice) AS p_max, " +
+        "TRUE AS agg_pushed FROM orders WHERE o_orderkey < 6000")))
 }

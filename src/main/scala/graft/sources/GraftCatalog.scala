@@ -815,9 +815,12 @@ private[sources] class GraftCatalogTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
-        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var required: StructType = tableSchema
       private var skippingFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      private var hadFilters = false
+      private var aggResult: Option[GraftAggPushdown.Result] = None
       override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
       // Stats-based skipping only: we remember the filters we can evaluate
       // against file min/max ranges but return EVERY filter as a residual,
@@ -825,12 +828,42 @@ private[sources] class GraftCatalogTable(
       // that provably hold no matching row, never change results.
       override def pushFilters(
           filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+        hadFilters = filters.nonEmpty
         skippingFilters = GraftStats.understood(filters)
         filters
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = skippingFilters
-      override def build(): Scan = new Scan with Batch
-          with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+      // Global count/min/max answered straight from the manifest + stats
+      // sidecar (see [[GraftAggPushdown]]): exact or refused, and refused
+      // whenever any filter is present — every filter of ours is a
+      // residual, so aggregating pre-filter rows would be wrong.
+      private def tryAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
+          Option[GraftAggPushdown.Result] =
+        if (hadFilters) None
+        else {
+          val (_, files, dvMap) = version match {
+            case Some(v) => GraftJsonSink.readStateVersion(dir, v)
+            case None => GraftJsonSink.readState(dir)
+          }
+          GraftAggPushdown.compute(agg, dir, tableSchema, files, dvMap)
+        }
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        tryAgg(agg).isDefined
+      // always recompute from the argument — Spark may probe complete
+      // pushdown with one aggregation and push a different one
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        aggResult = tryAgg(agg)
+        aggResult.isDefined
+      }
+      override def build(): Scan = aggResult match {
+        case Some(r) => new GraftAggScan(tableName, r)
+        case None => buildFileScan()
+      }
+      private def buildFileScan(): Scan = new Scan with Batch
+          with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         // lazy vals, not defs: outputPartitioning (plan time) and
         // planInputPartitions (execution time) must see ONE committed
         // state — a concurrent commit between the two calls could
@@ -917,6 +950,43 @@ private[sources] class GraftCatalogTable(
             case None =>
               new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
           }
+        // Manifest-derived table statistics, reported AFTER file skipping:
+        // without this Spark assumes defaultSizeInBytes (effectively
+        // "huge") for a V2 relation and never auto-broadcasts a graft
+        // table — every join against one degrades to sort-merge no matter
+        // how small the dimension is. Bytes are the on-disk size of the
+        // kept files (an over-estimate of row-data size, so broadcast
+        // decisions stay conservative); rows come from the stats sidecar
+        // minus deletion-vector holes, omitted unless every kept file is
+        // covered. O(kept files) metadata calls, no data read.
+        private lazy val reportedStats:
+            org.apache.spark.sql.connector.read.Statistics = {
+          val files = keptFiles
+          var bytes = 0L
+          files.foreach { f =>
+            try bytes += Files.size(dir.resolve(f))
+            catch { case _: java.io.IOException => () }
+          }
+          val sidecar = GraftStats.read(dir, tableSchema)
+          val rowsKnown = files.forall(sidecar.contains)
+          val rows =
+            if (rowsKnown)
+              files.iterator
+                .map(f => sidecar(f).rows -
+                  dvs.getOrElse(f, Array.empty[Int]).length)
+                .sum
+            else 0L
+          val sizeFinal = bytes
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(sizeFinal)
+            override def numRows(): java.util.OptionalLong =
+              if (rowsKnown) java.util.OptionalLong.of(rows)
+              else java.util.OptionalLong.empty()
+          }
+        }
+        override def estimateStatistics():
+            org.apache.spark.sql.connector.read.Statistics = reportedStats
         override def description(): String =
           s"graft-json $tableName, skipping filters: [${skippingFilters.mkString(", ")}]"
         override def createReaderFactory(): PartitionReaderFactory =
@@ -929,6 +999,40 @@ private[sources] class GraftCatalogTable(
     new GraftJsonWriteBuilder(dir.toString, tableSchema, None,
       partitionCol = partitionCol)
   }
+}
+
+/** The scan a completely-pushed aggregation plans to: one partition, one
+  * pre-computed row, zero data files opened. The values were folded from
+  * the manifest + stats sidecar at pushdown time against ONE committed
+  * state, so the row is consistent even if a writer commits before
+  * execution (same snapshot-isolation contract as a normal scan).
+  */
+private class GraftAggScan(tableName: String, result: GraftAggPushdown.Result)
+    extends Scan with Batch {
+  override def readSchema(): StructType = result.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AggRowPartition(result.values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AggRowReaderFactory
+  override def description(): String =
+    s"graft-json $tableName, pushed aggregation -> " +
+      result.schema.fieldNames.mkString("[", ", ", "]")
+}
+
+private case class AggRowPartition(values: Array[Any]) extends InputPartition
+
+private class AggRowReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private val row =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          p.asInstanceOf[AggRowPartition].values)
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 private case class JsonFilePartition(path: String) extends InputPartition
