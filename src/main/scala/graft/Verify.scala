@@ -2,7 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Loud-gate invariant: EVERY registered query produces an output
+  * directory. A query that throws (plan-time or execution) gets a
+  * one-row placeholder with a single `err` column carrying the message —
+  * the driver's comparator then reports a schema/row mismatch for that
+  * name instead of silently dropping it from the artifact (the r7
+  * failure mode: 12 erroring queries simply vanished). The final
+  * emitted-vs-registered count is asserted and printed.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -19,13 +28,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    var ok = 0
+    var failed = List.empty[String]
+    selected.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        ok += 1
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        // loud placeholder: one row, one `err` column — guarantees the
+        // driver reports this name as a mismatch rather than omitting it
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("err").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case inner: Throwable =>
+          System.err.println(s"[verify] $name: placeholder write also failed: ${inner.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +67,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[verify] emitted ${ok + failed.size}/${selected.size} outputs " +
+      s"($ok ok, ${failed.size} failed${if (failed.nonEmpty) ": " + failed.sorted.mkString(", ") else ""})")
+    require(ok + failed.size == selected.size,
+      s"verify emitted ${ok + failed.size} outputs for ${selected.size} registered queries")
     spark.stop()
+    // a failed query must not fail the whole artifact (the driver treats
+    // rc!=0 as a dead round) — the placeholder rows carry the signal
   }
 }

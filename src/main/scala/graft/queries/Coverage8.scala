@@ -47,7 +47,8 @@ object Coverage8 {
     GraftQuery(
       "q_window_count_distinct",
       (s, dir) => {
-        // raw table: `ts` is the INT64 nanos column (nanosAsLong read)
+        // raw table: ordering on `ts` is vintage-independent (epoch
+        // nanos and timestamp[us] sort identically)
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -97,9 +98,9 @@ object Coverage8 {
     // on a fixed [0,100) domain), so the cells match exactly.
     GraftQuery(
       "q_histogram_2d",
-      (s, dir) => Tables.table(s, dir, "events")
+      (s, dir) => Tables.events(s, dir)
         .groupBy(
-          expr("(ts div 3600000000000) % 24").as("hour_of_day"),
+          expr("(ts_ns div 3600000000000) % 24").as("hour_of_day"),
           expr("width_bucket(value, 0, 100, 10)").as("value_decile"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec6)).cast(DoubleType).as("v_sum")),

@@ -477,8 +477,7 @@ object Dedup {
         "FROM t, unnest(range(1, len(toks) - 7 + 1)) AS g(i)) " +
         "SELECT span, count(*) AS n_occurrences, " +
         "count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc " +
-        "FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2"),
-      bench = true),
+        "FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2")),
 
     // Streaming dedup against a PERSISTED store (DedupStoreStream): the
     // document feed drives to completion through foreachBatch, each
@@ -542,7 +541,10 @@ object Dedup {
         "FROM t, unnest(range(1, len(toks) - 7 + 1)) AS g(i)) " +
         "SELECT span_h, count(*) AS n_occurrences, " +
         "count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc " +
-        "FROM w GROUP BY span_h HAVING count(DISTINCT doc_id) >= 2")),
+        "FROM w GROUP BY span_h HAVING count(DISTINCT doc_id) >= 2"),
+      // bench headliner (replacing text-keyed dd_span_dupes): this IS the
+      // production shape — the shuffle carries 16-byte digests, not spans
+      bench = true),
 
     // Test-set decontamination (the GPT-3-style n-gram overlap pass):
     // flag corpus documents sharing >= 2 distinct token spans with any

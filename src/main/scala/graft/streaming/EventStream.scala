@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Tables
 
 /** Structured Streaming over the `events` table: the same hourly windowed
   * aggregation the batch path computes, expressed as
@@ -11,26 +12,46 @@ import org.apache.spark.sql.types._
   * here the finite parquet directory drives it to completion so batch and
   * stream results can be compared exactly (EventStreamSpec + the
   * `ev_hourly_stream` query).
+  *
+  * The file source requires an explicit schema, and the fixture's `ts`
+  * column has shipped both as INT64 nanos and as timestamp[us]
+  * (see [[graft.Tables]]) — so the schema is sniffed from the parquet
+  * footer at stream start ([[storedSchema]]) and every event-time
+  * derivation goes through [[withEventTs]], which adapts to whichever
+  * type `ts` arrived as. A fixture regeneration changes neither results
+  * nor code.
   */
 object EventStream {
 
-  /** events schema as stored (ts = INT64 nanos via nanosAsLong). */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema exactly as stored, read from the parquet footer (a
+    * driver-side metadata read, not a data scan).
+    */
+  def storedSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+  }
+
+  /** readStream over `events.parquet` with the stored schema. */
+  def readRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(storedSchema(spark, dir))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+
+  /** Append `event_ts` (TimestampType, microsecond resolution) derived
+    * from whatever shape `ts` arrived in — works on batch and streaming
+    * DataFrames alike.
+    */
+  def withEventTs(df: DataFrame): DataFrame =
+    df.withColumn("event_ts",
+      timestamp_micros(Tables.eventTsMicros(df.schema("ts").dataType)))
 
   /** The shared aggregation: tumbling 1h windows per event_type.
     * Works on both batch and streaming DataFrames (same code path —
     * that's the point of the Dataset API).
     */
   def hourlyAgg(events: DataFrame): DataFrame =
-    events
-      // integral div: double division rounds at 2^53, nanos are ~2^60
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    withEventTs(events)
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
       .agg(
@@ -49,14 +70,9 @@ object EventStream {
     * grow without bound on an unbounded stream.
     */
   def dedupStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = readRaw(spark, dir)
     val name = s"ev_dedup_${System.nanoTime()}"
-    val q = stream
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val q = withEventTs(stream)
       .withWatermark("event_ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"))
@@ -83,14 +99,9 @@ object EventStream {
     * batch DISTINCT of the single-copy table.
     */
   def dedupUnionStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def src = readRaw(spark, dir)
     val name = s"ev_dedup_union_${System.nanoTime()}"
-    val q = src.union(src)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val q = withEventTs(src.union(src))
       .withWatermark("event_ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"), col("value"))
@@ -115,13 +126,8 @@ object EventStream {
     * foreachBatch pattern for sinks without native streaming support.
     */
   def dedupToJsonSink(spark: SparkSession, dir: String, out: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val q = stream
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val stream = readRaw(spark, dir)
+    val q = withEventTs(stream)
       .withWatermark("event_ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"))
@@ -146,11 +152,7 @@ object EventStream {
     * production would window + watermark as in hourlyAgg.
     */
   def enrichedAgg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = readRaw(spark, dir)
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
     val name = s"ev_enrich_${System.nanoTime()}"
@@ -200,14 +202,9 @@ object EventStream {
     * SessionWindowStreamSpec.
     */
   def sessionWindowStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = readRaw(spark, dir)
     val name = s"ev_sess_${System.nanoTime()}"
-    val q = stream
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val q = withEventTs(stream)
       .withWatermark("event_ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("event_ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
@@ -233,12 +230,7 @@ object EventStream {
     * stream consumes every file, then the in-memory table is the answer.
     */
   def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the file source wants a directory; select just the events file
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = readRaw(spark, dir)
     val name = s"ev_stream_${System.nanoTime()}"
     val q = hourlyAgg(stream).writeStream
       .outputMode("complete")
@@ -260,8 +252,7 @@ object EventStream {
     * each of the four open windows stays in state.
     */
   def slidingAgg(events: DataFrame): DataFrame =
-    events
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    withEventTs(events)
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(
@@ -273,11 +264,7 @@ object EventStream {
 
   /** `slidingAgg` driven through Structured Streaming to completion. */
   def runSlidingToCompletion(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = readRaw(spark, dir)
     val name = s"ev_slide_${System.nanoTime()}"
     val q = slidingAgg(stream).writeStream
       .outputMode("complete")

@@ -78,17 +78,15 @@ object SessionTimerStream {
   /** Drive over the finite events fixture; returns all emitted sessions. */
   def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val name = s"ev_timer_${System.nanoTime()}"
-    val q = spark.readStream
-      .schema(EventStream.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts_evt", timestamp_micros(expr("ts div 1000")))
+    val raw = EventStream.readRaw(spark, dir)
+    val tsType = raw.schema("ts").dataType
+    val q = raw
+      .withColumn("ts_evt", timestamp_micros(graft.Tables.eventTsMicros(tsType)))
       .withWatermark("ts_evt", "1 second")
-      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"))
+      .select(col("user_id"), graft.Tables.eventTsMillis(tsType).as("ts_ms"))
       .as[EvIn]
       .groupByKey(_.user_id)
       .transformWithState(new TimerSessionProcessor,

@@ -44,12 +44,11 @@ object SessionizeStream {
     */
   def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(EventStream.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+    val raw = EventStream.readRaw(spark, dir)
+    val stream = raw
+      .select(col("user_id"),
+        graft.Tables.eventTsMicros(raw.schema("ts").dataType).as("ts_us"),
+        col("event_id"))
       .as[UserEvent]
     val name = s"sessionize_${System.nanoTime()}"
     val q = stream

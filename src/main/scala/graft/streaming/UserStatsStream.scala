@@ -45,13 +45,9 @@ object UserStatsStream {
     */
   def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val stream = spark.readStream
-      .schema(EventStream.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = EventStream.readRaw(spark, dir)
     val name = s"ev_tws_${System.nanoTime()}"
     val q = stream
       .select(col("user_id"), col("value"))

@@ -21,10 +21,7 @@ class FileSinkCheckpointSpec extends AnyFunSuite {
     val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
 
     def runOnce(): Unit = {
-      val q = spark.readStream
-        .schema(EventStream.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val q = EventStream.readRaw(spark, dir)
         .select(col("event_id"), col("event_type"), col("value"))
         .writeStream
         .format("parquet")

@@ -17,12 +17,12 @@ class StreamStreamJoinSpec extends AnyFunSuite {
   test("stream-stream interval join equals the batch range join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    def side(kind: String) = spark.readStream
-      .schema(EventStream.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .filter(col("event_type") === kind)
-      .withColumn("ts_evt", timestamp_micros(expr("ts div 1000")))
+    def side(kind: String) = {
+      val raw = EventStream.readRaw(spark, dir)
+      raw.filter(col("event_type") === kind)
+        .withColumn("ts_evt",
+          timestamp_micros(Tables.eventTsMicros(raw.schema("ts").dataType)))
+    }
 
     val purchases = side("purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
@@ -64,12 +64,12 @@ class StreamStreamJoinSpec extends AnyFunSuite {
   test("stream-stream LEFT OUTER interval join emits null-padded unmatched rows") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    def side(kind: String) = spark.readStream
-      .schema(EventStream.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .filter(col("event_type") === kind)
-      .withColumn("ts_evt", timestamp_micros(expr("ts div 1000")))
+    def side(kind: String) = {
+      val raw = EventStream.readRaw(spark, dir)
+      raw.filter(col("event_type") === kind)
+        .withColumn("ts_evt",
+          timestamp_micros(Tables.eventTsMicros(raw.schema("ts").dataType)))
+    }
 
     val purchases = side("purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
