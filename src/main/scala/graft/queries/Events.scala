@@ -218,5 +218,110 @@ object Events {
         "f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id) " +
         "SELECT f.cohort_day, e.day - f.cohort_day AS day_offset, " +
         "count(DISTINCT e.user_id) AS n_users " +
-        "FROM e JOIN f USING (user_id) GROUP BY 1, 2")))
+        "FROM e JOIN f USING (user_id) GROUP BY 1, 2")),
+
+    // Streaming session windows in APPEND mode: a session is emitted
+    // only once the watermark (max event time − 1h) passes its end — the
+    // open tail stays in state, which is the correct unbounded-stream
+    // semantics. The oracle replays the gap-island algorithm and applies
+    // the same emission horizon, so the hash match checks both the
+    // session arithmetic AND the append-mode emission contract.
+    GraftQuery(
+      "ev_session_window_stream",
+      (s, dir) => EventStream.sessionWindowStream(s, dir),
+      Some("WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM events), " +
+        "s2 AS (SELECT user_id, ts_us, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g), " +
+        "sess AS (SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 1800000000 AS end_us, " +
+        "count(*) AS n_events FROM s2 GROUP BY user_id, sid), " +
+        "h AS (SELECT max(epoch_us(ts)) - 3600000000 AS horizon FROM events) " +
+        "SELECT user_id, start_us, end_us, n_events FROM sess, h WHERE end_us < horizon")),
+
+    // Custom stateful streaming (flatMapGroupsWithState): per-user
+    // session counting with explicit state across micro-batches — the
+    // arbitrary-state-machine path the declarative window operators
+    // can't express. Final per-user summaries equal the batch gap-island
+    // algorithm exactly.
+    GraftQuery(
+      "ev_sessionize_stream",
+      (s, dir) => graft.streaming.SessionizeStream.runToCompletion(s, dir),
+      Some("WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, " +
+        "lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_ts " +
+        "FROM events) " +
+        "SELECT user_id, " +
+        "CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, " +
+        "count(*) AS n_events FROM g GROUP BY user_id")),
+
+    // transformWithState (Spark 4's arbitrary stateful processing,
+    // RocksDB-backed typed state): per-user running totals; the final
+    // emission per user equals the batch aggregate. Gate checks the
+    // deterministic count column (the double total is order-dependent
+    // by construction and is asserted with tolerance in
+    // UserStatsStreamSpec).
+    GraftQuery(
+      "ev_user_stats_stream",
+      (s, dir) => graft.streaming.UserStatsStream.runToCompletion(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events")),
+      Some("SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id")),
+
+    // Event-time TIMER sessionization (transformWithState): sessions a
+    // later event closes emit inline; each user's trailing session is
+    // parked with a timer at (end + gap) and emitted by the WATERMARK,
+    // not by input. The gate keeps the deterministic region — sessions
+    // whose timer provably expired before the terminal watermark (2 s
+    // margin for the engine's internal ms rounding); the boundary tail
+    // is asserted subset-wise in SessionTimerStreamSpec.
+    GraftQuery(
+      "ev_session_timer_stream",
+      (s, dir) => {
+        val streamed = graft.streaming.SessionTimerStream.runToCompletion(s, dir)
+        val horizon = Tables.events(s, dir)
+          .agg((max(expr("ts_ns div 1000000")) - lit(2000L) -
+            lit(graft.streaming.SessionTimerStream.GapMs)).as("horizon"))
+        streamed.crossJoin(broadcast(horizon))
+          .filter(col("end_ms") < col("horizon"))
+          .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+      },
+      Some("WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events), " +
+        "g AS (SELECT user_id, t, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000 " +
+        "THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)), " +
+        "s2 AS (SELECT user_id, t, SUM(ns) OVER (PARTITION BY user_id ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g), " +
+        "sess AS (SELECT user_id, min(t) AS start_ms, max(t) AS end_ms, count(*) AS n_events " +
+        "FROM s2 GROUP BY user_id, sid), " +
+        "h AS (SELECT max(t) - 2000 - 1800000 AS horizon FROM e) " +
+        "SELECT user_id, start_ms, end_ms, n_events FROM sess, h WHERE end_ms < horizon")),
+
+    // Stream-static enrichment: each micro-batch joins a broadcast
+    // static dimension (customer segment) before aggregating — the
+    // streaming side never shuffles for the join; only the dimension
+    // moves. Decimal-exact value sums make the result
+    // partitioning-independent, so it hash-matches the batch oracle.
+    GraftQuery(
+      "ev_enriched_stream",
+      (s, dir) => EventStream.enrichedAgg(s, dir),
+      Some("SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment, e.event_type, " +
+        "count(*) AS n_events, " +
+        "CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value " +
+        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey " +
+        "GROUP BY 1, 2")),
+
+    // Stream-stream interval join, both sides streaming with 1h
+    // watermarks: purchases × clicks of the same user within the
+    // preceding 30 minutes. On the finite input every pair is emitted
+    // exactly once (inner join emits eagerly; state eviction only drops
+    // candidates the watermark has already excluded), so the result
+    // equals the batch range join the oracle states.
+    GraftQuery(
+      "ev_stream_join",
+      (s, dir) => EventStream.intervalJoinStream(s, dir),
+      Some("SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
+        "FROM events p JOIN events c ON p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
+        "AND epoch_us(c.ts) <= epoch_us(p.ts) " +
+        "AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000")))
 }

@@ -541,6 +541,43 @@ object Pipeline {
       Some("SELECT source, doc_id FROM (" +
         "SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
         "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota') ASC, doc_id ASC) AS rn " +
-        "FROM documents) WHERE rn <= 10"))
-  )
+        "FROM documents) WHERE rn <= 10")),
+
+    // Dataset card / datasheet: the one-row corpus summary a training-
+    // data pipeline publishes alongside the data — sizes, language and
+    // source coverage, exact-duplicate rate, token-count distribution.
+    // One pass over the corpus: the narrow per-doc projection (token
+    // count + content hash) feeds a single global aggregate; the
+    // count-distincts are the only expand, and every statistic is exact
+    // integer arithmetic (the dup ratio is one final IEEE division).
+    GraftQuery(
+      "pipe_dataset_card",
+      (s, dir) => {
+        val perDoc = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"),
+            md5(col("text")).as("sig"))
+        perDoc.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("sig")).as("n_unique_texts"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_toks")).as("total_tokens"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_toks)").as("p50_toks"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+          .withColumn("dup_ratio",
+            (col("n_docs") - col("n_unique_texts")).cast("double") /
+              col("n_docs").cast("double"))
+      },
+      Some("SELECT count(*) AS n_docs, " +
+        "count(DISTINCT md5(text)) AS n_unique_texts, " +
+        "count(DISTINCT lang) AS n_langs, " +
+        "count(DISTINCT source) AS n_sources, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
+        "quantile_disc(CAST(len(string_split(text, ' ')) AS BIGINT), 0.5) AS p50_toks, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+        "CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio " +
+        "FROM documents")
+  ))
 }

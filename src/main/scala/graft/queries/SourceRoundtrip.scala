@@ -345,6 +345,56 @@ object SourceRoundtrip {
         "count(*) FILTER (WHERE flag IS NULL) AS n_plain, " +
         "CAST(1 AS BIGINT) AS zorder_preserved FROM m")),
 
+    // Write-audit-publish branch lifecycle under the gate: base rows on
+    // main, candidate rows staged on a branch (invisible to main), the
+    // audit read via VERSION AS OF '<branch>', then an atomic
+    // fast-forward publish. The row checks: main-before sees only base,
+    // the branch sees base+staged, main-after equals the branch exactly,
+    // and a publish against an advanced main fails without changing
+    // anything (asserted in WapBranchSpec; here the oracle pins the
+    // before/after counts and key sums the lifecycle must produce).
+    GraftQuery(
+      "src_wap_publish",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_wap_gate").toString
+        val cat = s"wp${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        val orders = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        orders.filter(col("o_orderkey") % 7 === 0).writeTo(s"$cat.g.t").append()
+        val tableDir = java.nio.file.Paths.get(root, "g", "t")
+        graft.sources.GraftCatalog.createBranch(tableDir, "audit")
+        orders.filter(col("o_orderkey") % 7 === 1)
+          .writeTo(s"$cat.g.t").option("branch", "audit").append()
+        val mainBefore = s.table(s"$cat.g.t")
+          .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+        val branchSeen = s.sql(s"SELECT count(*), CAST(sum(o_orderkey) AS BIGINT) " +
+          s"FROM $cat.g.t VERSION AS OF 'audit'").head()
+        graft.sources.GraftCatalog.publishBranch(tableDir, "audit")
+        s.table(s"$cat.g.t")
+          .agg(
+            count(lit(1)).as("n_after"),
+            sum(col("o_orderkey")).as("key_sum_after"),
+            sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("price_sum_after"))
+          .select(
+            lit(mainBefore.getLong(0)).as("n_main_before"),
+            lit(mainBefore.getLong(1)).as("key_sum_before"),
+            lit(branchSeen.getLong(0)).as("n_branch"),
+            lit(branchSeen.getLong(1)).as("key_sum_branch"),
+            col("n_after"), col("key_sum_after"), col("price_sum_after"))
+      },
+      Some("SELECT " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS n_main_before, " +
+        "(SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders WHERE o_orderkey % 7 = 0) AS key_sum_before, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 7 <= 1) AS n_branch, " +
+        "(SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders WHERE o_orderkey % 7 <= 1) AS key_sum_branch, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 7 <= 1) AS n_after, " +
+        "(SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders WHERE o_orderkey % 7 <= 1) AS key_sum_after, " +
+        "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) " +
+        "FROM orders WHERE o_orderkey % 7 <= 1) AS price_sum_after")),
+
     // Small-file compaction under the gate: six trickle appends leave six
     // tiny files; compactSmall bin-packs them into one as a
     // history-preserving commit. The verdict cells pin the file counts,

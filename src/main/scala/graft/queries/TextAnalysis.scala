@@ -311,5 +311,112 @@ object TextAnalysis {
         "FROM documents) " +
         "SELECT term, count(*) AS df, " +
         "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings " +
-        "FROM pairs GROUP BY term")))
+        "FROM pairs GROUP BY term")),
+
+    // Unigram language-model quality score: per-document average corpus
+    // probability of its tokens — the cheap LM-based filter that ranks
+    // natural prose above keyboard mash / boilerplate (the perplexity
+    // filter family, without the log: the score is a single division of
+    // two exact integer sums, so it is bit-identical cross-engine where
+    // a sum of per-token log-probs would be order- and libm-dependent).
+    // Dataflow: token counts (one shuffle, map-side combined), join the
+    // tokens back to their counts, per-doc integer mass; the count table
+    // is vocabulary-sized so at 100 TB it broadcasts (or bloom-prunes
+    // the hapax tail first); the corpus total rides a 1-row broadcast.
+    GraftQuery(
+      "txt_unigram_score",
+      (s, dir) => {
+        val toks = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        val total = tf.agg(sum(col("tf")).as("corpus_total"))
+        toks.join(tf, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("tf")).as("mass"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("n_toks"),
+            (col("mass").cast("double") /
+              (col("n_toks") * col("corpus_total")).cast("double"))
+              .as("avg_unigram_p"))
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok), " +
+        "tot AS (SELECT CAST(sum(tf) AS BIGINT) AS corpus_total FROM tf), " +
+        "d AS (SELECT t.doc_id, count(*) AS n_toks, CAST(sum(f.tf) AS BIGINT) AS mass " +
+        "FROM toks t JOIN tf f USING (tok) GROUP BY t.doc_id) " +
+        "SELECT doc_id, n_toks, " +
+        "CAST(mass AS DOUBLE) / CAST(n_toks * corpus_total AS DOUBLE) AS avg_unigram_p " +
+        "FROM d, tot")),
+
+    // Intra-document repetition ratio (a Gopher repetition signal):
+    // fraction of a document's 3-gram windows that are repeats of an
+    // earlier window — boilerplate and template spam score high, prose
+    // low. Pure per-row array work (no shuffle at all: explode happens
+    // inside a lateral view and re-groups on the same doc_id — AQE keeps
+    // it partition-local); one exact integer division at the end.
+    GraftQuery(
+      "txt_repetition_ratio",
+      (s, dir) => {
+        val k = 3
+        val toks = split(col("text"), " ")
+        val grams = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+          .otherwise(array().cast("array<int>"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            transform(grams, i => array_join(slice(toks, i, lit(k)), " ")).as("w"))
+          .select(col("doc_id"), size(col("w")).cast("long").as("n_grams"),
+            size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+          .withColumn("rep_ratio",
+            when(col("n_grams") > 0,
+              (col("n_grams") - col("n_distinct")).cast("double") /
+                col("n_grams").cast("double")).otherwise(lit(0.0d)))
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "w AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN " +
+        "[array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] " +
+        "ELSE [] END AS grams FROM t) " +
+        "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, " +
+        "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct, " +
+        "CASE WHEN len(grams) > 0 THEN " +
+        "CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) " +
+        "ELSE 0.0 END AS rep_ratio FROM w")),
+
+    // Character-diversity score (Gini–Simpson over the character
+    // distribution): 1 − Σ cᵢ²/n² per document — keyboard mash and
+    // single-char runs score near 0 diversity without the cross-engine
+    // libm hazard of an entropy log. All integer sums (cᵢ, n exact),
+    // one IEEE division + subtraction at the end — bit-identical on
+    // both engines. The (doc, char) aggregate map-side combines to at
+    // most |alphabet| rows per doc before its one shuffle; both
+    // aggregations key on doc_id so AQE coalesces them into one
+    // exchange.
+    GraftQuery(
+      "txt_char_diversity",
+      (s, dir) => {
+        val perChar = Tables.table(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .groupBy(col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt") * col("cnt")).as("sum_sq"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+          .join(perChar, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("sum_sq"), lit(0L)).as("sum_sq"))
+          .withColumn("diversity",
+            when(col("n_chars") > 0,
+              lit(1.0d) - col("sum_sq").cast("double") /
+                (col("n_chars") * col("n_chars")).cast("double"))
+              .otherwise(lit(0.0d)))
+      },
+      Some("WITH c AS (SELECT doc_id, len(text) AS n_chars, " +
+        "CASE WHEN len(text) > 0 THEN " +
+        "(SELECT CAST(sum(cnt * cnt) AS BIGINT) FROM " +
+        "(SELECT count(*) AS cnt FROM unnest(string_split(text, '')) AS u(ch) GROUP BY ch)) " +
+        "ELSE 0 END AS sum_sq FROM documents) " +
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, sum_sq, " +
+        "CASE WHEN n_chars > 0 THEN 1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_chars * n_chars AS DOUBLE) " +
+        "ELSE 0.0 END AS diversity FROM c")))
 }

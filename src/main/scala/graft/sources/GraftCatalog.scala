@@ -88,22 +88,30 @@ class GraftCatalog extends TableCatalog {
     * manifest snapshot the n-th commit published. Appends and compactions
     * extend history; INSERT OVERWRITE resets it (the format's contract —
     * overwrite deletes data files, so prior snapshots would dangle).
+    *
+    * A non-numeric version is a BRANCH name (the Iceberg ref contract):
+    * `SELECT ... FROM t VERSION AS OF 'audit'` reads the branch head —
+    * the write-audit-publish audit path.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val f = schemaFile(ident)
     if (!Files.exists(f)) throw new NoSuchTableException(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"graft table versions are commit numbers, got '$version'")
-    }
     val dir = dirFor(ident)
-    require(GraftJsonSink.listSnapshots(dir).contains(v),
-      s"table $ident has no version $v " +
-        s"(history: ${GraftJsonSink.listSnapshots(dir).mkString(", ")})")
     val schema = DataType.fromJson(
       new String(Files.readAllBytes(f), StandardCharsets.UTF_8)).asInstanceOf[StructType]
-    new GraftCatalogTable(s"$ident@v$v", dir, schema, Some(v), partitionColOf(ident))
+    version.toLongOption match {
+      case Some(v) =>
+        require(GraftJsonSink.listSnapshots(dir).contains(v),
+          s"table $ident has no version $v " +
+            s"(history: ${GraftJsonSink.listSnapshots(dir).mkString(", ")})")
+        new GraftCatalogTable(s"$ident@v$v", dir, schema, Some(v), partitionColOf(ident))
+      case None =>
+        require(Files.exists(dir.resolve(GraftJsonSink.branchManifest(version))),
+          s"table $ident has no version or branch '$version' " +
+            s"(branches: ${GraftJsonSink.listBranches(dir).mkString(", ")})")
+        new GraftCatalogTable(s"$ident@$version", dir, schema, None,
+          partitionColOf(ident), branch = Some(version))
+    }
   }
 
   /** `TIMESTAMP AS OF t`: the latest snapshot committed at or before `t`
@@ -569,6 +577,68 @@ object GraftCatalog {
     *
     * Returns (expired versions, deleted orphan data files).
     */
+  /** Write-audit-publish: fork a branch at the current main head. Writers
+    * stage onto it with `df.writeTo(t).option("branch", name).append()`,
+    * auditors read it with `VERSION AS OF '<name>'`, and [[publishBranch]]
+    * fast-forwards main to the audited state — main readers never observe
+    * a staged-but-unpublished row. The fork manifest is kept verbatim so
+    * publish can prove main has not advanced since the fork.
+    */
+  def createBranch(tableDir: Path, branch: String): Unit = {
+    GraftJsonSink.requireBranchName(branch)
+    GraftJsonSink.withCommitLock(tableDir) {
+      val head = tableDir.resolve(GraftJsonSink.ManifestName)
+      val bm = tableDir.resolve(GraftJsonSink.branchManifest(branch))
+      require(!Files.exists(bm), s"branch '$branch' already exists in $tableDir")
+      val forkState =
+        if (Files.exists(head)) Files.readAllBytes(head)
+        else "{\"rows\":0,\"files\":[]}\n".getBytes(StandardCharsets.UTF_8)
+      Files.write(bm, forkState)
+      Files.write(tableDir.resolve(GraftJsonSink.branchFork(branch)), forkState)
+    }
+  }
+
+  /** Publish: atomically fast-forward main to the branch head. Fails —
+    * with nothing changed — when main advanced since the fork (a
+    * concurrent commit landed; the branch must be re-staged against the
+    * new head), the WAP contract that makes audit results trustworthy:
+    * what was audited is exactly what main becomes. Returns the snapshot
+    * version the publish recorded. The branch is consumed.
+    */
+  def publishBranch(tableDir: Path, branch: String): Long =
+    GraftJsonSink.withCommitLock(tableDir) {
+      val head = tableDir.resolve(GraftJsonSink.ManifestName)
+      val bm = tableDir.resolve(GraftJsonSink.branchManifest(branch))
+      val fork = tableDir.resolve(GraftJsonSink.branchFork(branch))
+      require(Files.exists(bm),
+        s"no branch '$branch' in $tableDir " +
+          s"(have: ${GraftJsonSink.listBranches(tableDir).mkString(", ")})")
+      val headNow =
+        if (Files.exists(head)) new String(Files.readAllBytes(head), StandardCharsets.UTF_8)
+        else "{\"rows\":0,\"files\":[]}\n"
+      val atFork =
+        if (Files.exists(fork)) new String(Files.readAllBytes(fork), StandardCharsets.UTF_8)
+        else "{\"rows\":0,\"files\":[]}\n"
+      require(headNow == atFork,
+        s"cannot publish branch '$branch': main advanced since the fork " +
+          "(concurrent commit) — re-create the branch from the new head and re-stage")
+      Files.move(bm, head,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.deleteIfExists(fork)
+      GraftJsonSink.snapshotManifest(tableDir)
+    }
+
+  /** Drop an unpublished branch; its staged data files become orphans
+    * that [[expireSnapshots]] sweeps once their snapshots age out.
+    */
+  def dropBranch(tableDir: Path, branch: String): Unit =
+    GraftJsonSink.withCommitLock(tableDir) {
+      Files.deleteIfExists(tableDir.resolve(GraftJsonSink.branchManifest(branch)))
+      Files.deleteIfExists(tableDir.resolve(GraftJsonSink.branchFork(branch)))
+      ()
+    }
+
   def expireSnapshots(tableDir: Path, olderThanMillis: Long): (Seq[Long], Seq[String]) =
     GraftJsonSink.withCommitLock(tableDir) {
       val cutoff = System.currentTimeMillis() - olderThanMillis
@@ -580,8 +650,13 @@ object GraftCatalog {
       expired.foreach(v =>
         Files.deleteIfExists(tableDir.resolve(s"${GraftJsonSink.SnapshotPrefix}$v.json")))
       // sweep data files only history kept alive: referenced-by-nothing =
-      // not in the live manifest and not in any retained snapshot
+      // not in the live manifest, not in any retained snapshot, and not
+      // staged on any live branch head (an unpublished branch's files
+      // must survive however old its snapshots are)
       val referenced = (GraftJsonSink.readManifest(tableDir)._2 ++
+        GraftJsonSink.listBranches(tableDir)
+          .flatMap(b => GraftJsonSink.readManifestAt(
+            tableDir, GraftJsonSink.branchManifest(b))._2) ++
         GraftJsonSink.listSnapshots(tableDir)
           .flatMap(v => GraftJsonSink.readManifestVersion(tableDir, v)._2)).toSet
       val files = Files.list(tableDir)
@@ -669,7 +744,8 @@ object GraftCatalog {
 private[sources] class GraftCatalogTable(
     tableName: String, dir: Path, tableSchema: StructType,
     version: Option[Long] = None,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -688,7 +764,8 @@ private[sources] class GraftCatalogTable(
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    version.isEmpty && filters.forall(FilterEval.evaluable(_, tableSchema))
+    version.isEmpty && branch.isEmpty &&
+      filters.forall(FilterEval.evaluable(_, tableSchema))
 
   /** SQL `DELETE FROM t WHERE p` as a copy-on-write commit: files whose
     * stats prove no row can match survive untouched (the skip layer
@@ -703,6 +780,7 @@ private[sources] class GraftCatalogTable(
     */
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(version.isEmpty, s"cannot delete from a historical version of $tableName")
+    require(branch.isEmpty, s"cannot delete from a branch of $tableName")
     // merge-on-read mode: record deleted ordinals in the manifest instead
     // of rewriting data files — see [[GraftDv]]. At 100 TB this turns a
     // terabyte of copy-on-write rewrite into a few KB of manifest.
@@ -841,9 +919,11 @@ private[sources] class GraftCatalogTable(
           Option[GraftAggPushdown.Result] =
         if (hadFilters) None
         else {
-          val (_, files, dvMap) = version match {
-            case Some(v) => GraftJsonSink.readStateVersion(dir, v)
-            case None => GraftJsonSink.readState(dir)
+          val (_, files, dvMap) = (branch, version) match {
+            case (Some(b), _) =>
+              GraftJsonSink.readStateAt(dir, GraftJsonSink.branchManifest(b))
+            case (None, Some(v)) => GraftJsonSink.readStateVersion(dir, v)
+            case (None, None) => GraftJsonSink.readState(dir)
           }
           GraftAggPushdown.compute(agg, dir, tableSchema, files, dvMap)
         }
@@ -872,9 +952,11 @@ private[sources] class GraftCatalogTable(
         // reads could straddle a DV-materialize commit and pair an old
         // file list with a manifest that no longer carries its vectors
         private lazy val committedState: (Seq[String], Map[String, Array[Int]]) = {
-          val (_, files, dvMap) = version match {
-            case Some(v) => GraftJsonSink.readStateVersion(dir, v)
-            case None => GraftJsonSink.readState(dir)
+          val (_, files, dvMap) = (branch, version) match {
+            case (Some(b), _) =>
+              GraftJsonSink.readStateAt(dir, GraftJsonSink.branchManifest(b))
+            case (None, Some(v)) => GraftJsonSink.readStateVersion(dir, v)
+            case (None, None) => GraftJsonSink.readState(dir)
           }
           (files, dvMap)
         }
@@ -923,6 +1005,8 @@ private[sources] class GraftCatalogTable(
             org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
           require(version.isEmpty,
             s"cannot stream from a historical version of $tableName")
+          require(branch.isEmpty,
+            s"cannot stream from a branch of $tableName — publish it first")
           new GraftTableStream(dir, tableSchema, required)
         }
         override def planInputPartitions(): Array[InputPartition] =
@@ -996,8 +1080,14 @@ private[sources] class GraftCatalogTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty, s"cannot write to a historical version of $tableName")
+    require(branch.isEmpty,
+      s"write to a branch via .option(\"branch\", ...) on the main table handle")
+    // write-audit-publish staging: df.writeTo(t).option("branch", b).append()
+    // commits to the branch head only — invisible to main readers until
+    // GraftCatalog.publishBranch fast-forwards main to the audited state
+    val writeBranch = Option(info.options.get("branch"))
     new GraftJsonWriteBuilder(dir.toString, tableSchema, None,
-      partitionCol = partitionCol)
+      partitionCol = partitionCol, branch = writeBranch)
   }
 }
 

@@ -56,10 +56,51 @@ object GraftJsonSink {
 
   val ManifestName = "_graft_manifest.json"
   val SnapshotPrefix = "_graft_manifest.v"
+  val BranchPrefix = "_graft_branch_"
+
+  /** Branch head manifest (write-audit-publish). A branch is a named
+    * manifest alongside the main one: branch commits fold into it and
+    * snapshot into the SHARED version sequence, so branch states time-
+    * travel like any commit; main readers never consult it. See
+    * [[GraftCatalog.createBranch]] / `publishBranch`.
+    */
+  def branchManifest(branch: String): String = s"$BranchPrefix$branch.json"
+
+  /** Frozen copy of the main manifest at branch-fork time — publish
+    * compares it against the then-current main head to enforce
+    * fast-forward-only publication.
+    */
+  def branchFork(branch: String): String = s"$BranchPrefix$branch.fork.json"
+
+  private[sources] def requireBranchName(branch: String): Unit =
+    require(branch.nonEmpty &&
+      branch.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"branch name must be [A-Za-z0-9_-]+, got '$branch'")
+
+  /** Branches present on the table, by their head-manifest files. */
+  def listBranches(dir: Path): Seq[String] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith(BranchPrefix) && n.endsWith(".json") &&
+        !n.endsWith(".fork.json"))
+      .map(n => n.substring(BranchPrefix.length, n.length - 5))
+      .toSeq.sorted
+    finally s.close()
+  }
 
   /** (total rows, file names) of the committed state; (0, Nil) if none. */
   def readManifest(dir: Path): (Long, Seq[String]) =
     parseManifest(dir.resolve(ManifestName))
+
+  /** readManifest of an arbitrary manifest file (branch heads). */
+  def readManifestAt(dir: Path, manifestName: String): (Long, Seq[String]) =
+    parseManifest(dir.resolve(manifestName))
+
+  /** readState of an arbitrary manifest file (branch heads). */
+  def readStateAt(dir: Path, manifestName: String): (Long, Seq[String], Map[String, Array[Int]]) =
+    parseState(dir.resolve(manifestName))
 
   /** The committed state as of snapshot `version`. */
   def readManifestVersion(dir: Path, version: Long): (Long, Seq[String]) = {
@@ -206,9 +247,16 @@ object GraftJsonSink {
     Files.deleteIfExists(p)
   }
 
-  private[sources] def snapshotManifest(dir: Path): Long = {
+  private[sources] def snapshotManifest(dir: Path): Long =
+    snapshotManifest(dir, ManifestName)
+
+  /** Snapshot `sourceName`'s current content into the shared version
+    * sequence (main and branch commits share one history — a branch
+    * state is as immutable and time-travelable as any other).
+    */
+  private[sources] def snapshotManifest(dir: Path, sourceName: String): Long = {
     val next = listSnapshots(dir).lastOption.getOrElse(0L) + 1
-    Files.copy(dir.resolve(ManifestName),
+    Files.copy(dir.resolve(sourceName),
       dir.resolve(s"$SnapshotPrefix$next.json"),
       StandardCopyOption.REPLACE_EXISTING)
     next
@@ -219,8 +267,11 @@ object GraftJsonSink {
     * Readers use this to make micro-batch re-delivery after a crash
     * idempotent — see [[graft.streaming.CdcMergeStream]].
     */
-  private[graft] def readTxn(dir: Path): Map[String, Long] = {
-    val m = dir.resolve(ManifestName)
+  private[graft] def readTxn(dir: Path): Map[String, Long] =
+    readTxnAt(dir, ManifestName)
+
+  private[graft] def readTxnAt(dir: Path, manifestName: String): Map[String, Long] = {
+    val m = dir.resolve(manifestName)
     if (!Files.exists(m)) return Map.empty
     val text = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
     "\"txn\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)
@@ -318,9 +369,11 @@ private[sources] class GraftJsonWriteBuilder(
     failPartitionOnce: Option[Int],
     replaceMode: Boolean = false,
     partitionCol: Option[String] = None,
-    txn: Option[(String, Long)] = None) extends WriteBuilder with SupportsTruncate {
+    txn: Option[(String, Long)] = None,
+    branch: Option[String] = None) extends WriteBuilder with SupportsTruncate {
 
   require(path != null && path.nonEmpty, "graft-json requires a path")
+  branch.foreach(GraftJsonSink.requireBranchName)
   txn.foreach { case (appId, _) =>
     require(appId.nonEmpty && appId.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
       && !appId.contains("part-"),
@@ -332,7 +385,8 @@ private[sources] class GraftJsonWriteBuilder(
 
   override def build(): Write = {
     def batchWrite = new GraftJsonBatchWrite(
-      path, schema, truncateFirst, replaceMode, failPartitionOnce, partitionCol, txn)
+      path, schema, truncateFirst, replaceMode, failPartitionOnce, partitionCol, txn,
+      branch)
     partitionCol match {
       case Some(colName) =>
         // identity-partitioned writes declare a clustered distribution on
@@ -376,7 +430,12 @@ private[sources] class GraftJsonBatchWrite(
     replaceMode: Boolean,
     failPartitionOnce: Option[Int],
     partitionCol: Option[String] = None,
-    txn: Option[(String, Long)] = None) extends BatchWrite {
+    txn: Option[(String, Long)] = None,
+    branch: Option[String] = None) extends BatchWrite {
+
+  branch.foreach(GraftJsonSink.requireBranchName)
+  require(branch.isEmpty || !(truncateFirst || replaceMode),
+    "branch writes are append-only: stage rows on the branch, audit, then publish")
 
   // unique per write: filenames never collide across commits to one dir
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
@@ -404,11 +463,20 @@ private[sources] class GraftJsonBatchWrite(
     // manifest lists only this write's files, but superseded data files
     // and prior snapshots stay on disk, so VERSION AS OF keeps serving
     // pre-merge states until compact() vacuums them.
+    // branch commits fold into and swap the BRANCH head manifest — the
+    // main head is untouched, so main readers cannot observe staged rows
+    val manifestTarget = branch.map(GraftJsonSink.branchManifest)
+      .getOrElse(GraftJsonSink.ManifestName)
+    branch.foreach { b =>
+      require(Files.exists(dir.resolve(manifestTarget)),
+        s"no branch '$b' on this table — call createBranch first " +
+          s"(have: ${GraftJsonSink.listBranches(dir).mkString(", ")})")
+    }
     // append semantics: fold the previous committed state into the new
     // manifest (the manifest swap below is still the single commit point)
     val (prevRows, prevFiles) =
       if (truncateFirst) (0L, Seq.empty[String])
-      else GraftJsonSink.readManifest(dir)
+      else GraftJsonSink.readManifestAt(dir, manifestTarget)
     // publish exactly the committed attempts' files
     val published = messages.flatMap { case m: GraftJsonCommitMessage =>
       m.entries.zipWithIndex.map { case (e, i) =>
@@ -426,7 +494,7 @@ private[sources] class GraftJsonBatchWrite(
     // resets them with the rest of history.
     val prevTxn =
       if (truncateFirst && !replaceMode) Map.empty[String, Long]
-      else GraftJsonSink.readTxn(dir)
+      else GraftJsonSink.readTxnAt(dir, manifestTarget)
     val txnJson = GraftJsonSink.renderTxn(prevTxn ++ txn.toMap)
     // deletion vectors survive appends (their files stay committed);
     // truncate and replace drop every prior file from the manifest, and
@@ -434,7 +502,9 @@ private[sources] class GraftJsonBatchWrite(
     val keptFileSet = prevFiles.toSet
     val dvJson =
       if (truncateFirst) ""
-      else GraftDv.render(GraftDv.read(dir).filter { case (f, _) => keptFileSet(f) })
+      else GraftDv.render(
+        GraftJsonSink.readStateAt(dir, manifestTarget)._3
+          .filter { case (f, _) => keptFileSet(f) })
     // manifest last, via atomic rename: the commit point
     val manifest = new java.lang.StringBuilder()
       .append("{\"rows\":").append(prevRows + published.map(_._2).sum)
@@ -442,11 +512,13 @@ private[sources] class GraftJsonBatchWrite(
       .append((prevFiles ++ published.map(_._1)).map(f => "\"" + f + "\"")
         .sorted.mkString(","))
       .append("]").append(dvJson).append(txnJson).append("}\n").toString
-    val tmpManifest = dir.resolve(GraftJsonSink.ManifestName + ".tmp")
+    val tmpManifest = dir.resolve(manifestTarget + ".tmp")
     Files.write(tmpManifest, manifest.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmpManifest, dir.resolve(GraftJsonSink.ManifestName),
+    Files.move(tmpManifest, dir.resolve(manifestTarget),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    GraftJsonSink.snapshotManifest(dir) // history entry for VERSION AS OF
+    // history entry for VERSION AS OF (branch states snapshot into the
+    // same sequence — they are as immutable as any main commit)
+    GraftJsonSink.snapshotManifest(dir, manifestTarget)
     // stats sidecar AFTER the commit point: advisory skipping metadata —
     // prior entries are kept (filenames are write-unique; replace-mode
     // leaves superseded files on disk for VERSION AS OF reads, and their

@@ -225,6 +225,47 @@ object EventStream {
     out
   }
 
+  /** Stream-stream interval join: purchases joined to clicks of the
+    * same user within the preceding 30 minutes — BOTH sides streaming,
+    * state bounded by the two watermarks plus the join's time range (the
+    * engine evicts click state once the purchase-side watermark passes
+    * its 30-minute relevance window). The canonical two-firehose
+    * correlation; at scale each side shuffles once on user_id and the
+    * state store holds only the watermark-bounded window.
+    */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    def side(kind: String) = {
+      val raw = readRaw(spark, dir)
+      raw.filter(col("event_type") === kind)
+        .withColumn("ts_evt",
+          timestamp_micros(Tables.eventTsMicros(raw.schema("ts").dataType)))
+    }
+    val purchases = side("purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_evt").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_evt").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val name = s"ev_ssj_${System.nanoTime()}"
+    val q = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
+
   /** Run the streaming flavor to completion over the finite input and
     * return the materialized result. availableNow + memory sink: the
     * stream consumes every file, then the in-memory table is the answer.
