@@ -232,4 +232,32 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(exchanges <= clusterExchanges + 2,
       s"split added ${exchanges - clusterExchanges} exchanges over the cluster pipeline:\n" + p)
   }
+
+  test("txt_unigram_score: token counts broadcast back; corpus total rides a 1-row broadcast") {
+    val p = plan("txt_unigram_score")
+    // tokens ⋈ tf is a broadcast hash join (vocabulary-sized build side)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the scalar total attaches via a broadcast nested loop over ONE row,
+    // never a shuffled cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("txt_repetition_ratio: shuffle-free — per-row array work only") {
+    val p = plan("txt_repetition_ratio")
+    assert(!p.contains("Exchange"), "repetition ratio must not shuffle:\n" + p)
+  }
+
+  test("txt_char_diversity: per-char aggregate broadcasts back to the doc table") {
+    val p = plan("txt_char_diversity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pipe_dataset_card: one corpus scan feeding a single global aggregate") {
+    val p = plan("pipe_dataset_card")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "dataset card must read the corpus once:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
 }
