@@ -365,5 +365,138 @@ object Similarity {
         "SELECT a.cluster AS cluster, a.vec_id AS id_a, b.vec_id AS id_b, " +
         s"$cosineSql AS cosine " +
         "FROM c a JOIN c b ON a.cluster = b.cluster AND a.vec_id < b.vec_id " +
-        s"WHERE $cosineSql >= 0.4")))
+        s"WHERE $cosineSql >= 0.4")),
+
+    // k-NN label classification: predict each query vector's label by
+    // majority vote over its 10 nearest neighbors (cosine), ties broken
+    // toward the smaller label — the embedding-space auto-labeling /
+    // label-propagation primitive (weak supervision from a labeled
+    // subset). This is the exact ground-truth flavor: queries broadcast
+    // against one corpus scan (O(n·q), no self-shuffle); at scale the
+    // neighbor set comes from the IVF index (sim_ivf_ann) and the vote
+    // is unchanged. Both the rank and the vote argmax are fully
+    // deterministic (cosine 6 dp → neighbor_id, votes → label).
+    GraftQuery(
+      "sim_knn_label",
+      (s, dir) => {
+        val e = corpus(s, dir)
+        val q = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("norm2").as("qn"), col("label").as("true_label"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        val topk = e.select(col("vec_id").as("neighbor_id"), col("label"),
+            col("v"), col("norm2"))
+          .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("true_label"), col("label"),
+            cosine(col("qv"), col("v"), col("qn"), col("norm2")).as("cosine"),
+            col("neighbor_id"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+        val wv = Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("label").asc)
+        topk.groupBy(col("query_id"), col("true_label"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("rn", row_number().over(wv))
+          .filter(col("rn") === 1)
+          .select(col("query_id"),
+            col("label").cast("long").as("predicted_label"),
+            col("true_label").cast("long").as("true_label"),
+            col("votes"))
+      },
+      Some("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "scored AS (SELECT a.vec_id AS query_id, a.label AS true_label, " +
+        "b.vec_id AS neighbor_id, b.label AS nl, " +
+        s"$cosineSql AS cosine " +
+        "FROM e a JOIN e b ON a.vec_id < 50 AND b.vec_id <> a.vec_id), " +
+        "topk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 10), " +
+        "votes AS (SELECT query_id, true_label, nl, count(*) AS votes " +
+        "FROM topk GROUP BY 1, 2, 3) " +
+        "SELECT query_id, CAST(nl AS BIGINT) AS predicted_label, " +
+        "CAST(true_label AS BIGINT) AS true_label, votes FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY votes DESC, nl ASC) AS rn FROM votes) WHERE rn = 1")),
+
+    // Product quantization + asymmetric-distance scoring (the
+    // IVF-PQ compression path): 64 dims split into 8 subspaces of 8;
+    // each subvector is encoded as the nearest of 16 codebook entries
+    // (codebook = the first 16 corpus vectors' subvectors — a
+    // deterministic stand-in for per-subspace k-means, which is what
+    // production trains; the dataflow is identical). A vector is then 8
+    // small codes (~4 GB per BILLION vectors at 8×4 bits vs 256 GB raw
+    // float32), and queries score against the RECONSTRUCTION
+    // (codebook lookup + concat) — the scan reads codes, not vectors.
+    // Encode is pure per-row expression work (128 8-dim dot products,
+    // whole-stage codegen, zero shuffle); scoring broadcasts the 10
+    // queries; argmin ties break toward the smaller code on both
+    // engines (array_position / list_indexof both return the first hit).
+    GraftQuery(
+      "sim_pq_adc",
+      (s, dir) => {
+        val e = corpus(s, dir)
+        val sub = 8 // subspaces
+        val dim = 8 // dims per subspace
+        val nCodes = 16
+        // codebook: subvectors of vec_id < 16, collected driver-side
+        // (bounded: 16×64 doubles — the IVF-centroid pattern)
+        val cb: Map[Long, Seq[Double]] = e.filter(col("vec_id") < nCodes)
+          .select(col("vec_id"), col("v")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+        def cbSlice(c: Int, sp: Int): Seq[Double] =
+          cb(c.toLong).slice(sp * dim, (sp + 1) * dim)
+        // per-subspace code: argmin over the 16 entries of
+        // ||x_s − c_s||² = x·x − 2 x·c + c·c, first-minimum tie-break
+        def codeCol(sp: Int): Column = {
+          val xs = slice(col("v"), sp * dim + 1, dim)
+          val dists = array((0 until nCodes).map { c =>
+            val cs = typedlit(cbSlice(c, sp))
+            dot(xs, xs) - lit(2.0d) * dot(xs, cs) + dot(cs, cs)
+          }: _*)
+          array_position(dists, array_min(dists))
+        }
+        // reconstruction: codebook subvectors concatenated in subspace
+        // order (1-based codes index the per-subspace codebook literal)
+        def reconCol: Column = concat((0 until sub).map { sp =>
+          element_at(typedlit((0 until nCodes).map(c => cbSlice(c, sp))),
+            codeCol(sp).cast("int"))
+        }: _*)
+        val coded = e.select(col("vec_id").as("neighbor_id"),
+          reconCol.as("recon"))
+          .withColumn("rn2", dot(col("recon"), col("recon")))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("norm2").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)
+        coded.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(col("qv"), col("recon"), col("qn"), col("rn2")).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cb AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 16), " +
+        "sp AS (SELECT unnest(range(0, 8)) AS s), " +
+        // one row per (vector, subspace, codebook entry) with the exact
+        // same three-dot-product distance the engine computes
+        "d AS (SELECT e.vec_id, sp.s, cb.c, " +
+        "list_dot_product(e.v[sp.s*8+1 : sp.s*8+8], e.v[sp.s*8+1 : sp.s*8+8]) " +
+        "- 2 * list_dot_product(e.v[sp.s*8+1 : sp.s*8+8], cb.cv[sp.s*8+1 : sp.s*8+8]) " +
+        "+ list_dot_product(cb.cv[sp.s*8+1 : sp.s*8+8], cb.cv[sp.s*8+1 : sp.s*8+8]) AS dist " +
+        "FROM e, sp, cb), " +
+        // first-minimum tie-break = order by (dist, c)
+        "code AS (SELECT vec_id, s, c FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn FROM d) WHERE rn = 1), " +
+        "recon AS (SELECT code.vec_id AS neighbor_id, " +
+        "flatten(list(cb.cv[code.s*8+1 : code.s*8+8] ORDER BY code.s)) AS recon " +
+        "FROM code JOIN cb ON cb.c = code.c GROUP BY code.vec_id), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), " +
+        "scored AS (SELECT q.query_id, r.neighbor_id, " +
+        "round(list_dot_product(q.qv, r.recon) / " +
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(r.recon, r.recon))), 6) AS score " +
+        "FROM q JOIN recon r ON r.neighbor_id <> q.query_id) " +
+        "SELECT query_id, neighbor_id, score, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 5")))
 }

@@ -260,4 +260,24 @@ class PlanGuardSpec extends AnyFunSuite {
       "dataset card must read the corpus once:\n" + p)
     assert(!p.contains("Join"), p)
   }
+
+  test("sim_pq_adc: encode is shuffle-free per-row work; queries broadcast; rank pushed down") {
+    val p = plan("sim_pq_adc")
+    // the 10-query side broadcasts against the coded corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the ONLY shuffle is the per-query window; encode itself never
+    // exchanges (128 dot products inside whole-stage codegen)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    // rank<=5 is pushed into the shuffle as a group limit
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("sim_knn_label: neighbor scoring broadcasts the query side, never a shuffled cartesian") {
+    val p = plan("sim_knn_label")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
