@@ -306,6 +306,24 @@ object ScaleSmoke {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", plain)
     require(nSkewOn == nSkewOff,
       s"skew join diverged: $nSkewOn vs $nSkewOff")
+    // PQ encode throughput: nDocs synthetic 64-dim vectors through the
+    // 8×16 product quantizer — the ingest-time compression pass (128
+    // fused dot products per vector, whole-stage codegen, zero shuffle).
+    // The fold over the code array defeats column pruning, so every
+    // subspace is genuinely encoded.
+    graft.functions.GraftFunctions.register(spark)
+    val synthVecs = spark.range(nDocs).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> " +
+        "cast(pmod(xxhash64(id * 64 + i), 1000) as double) / 1000.0 - 0.5)").as("v"))
+    val pqCb: IndexedSeq[Seq[Double]] = synthVecs.filter(col("vec_id") < 16)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toSeq).toIndexedSeq
+    val (tPqEnc, pqCodeSum) = time {
+      synthVecs.select(
+          operators.PqEncoder.codes(col("v"), pqCb, sub = 8, dim = 8).as("codes"))
+        .agg(sum(expr("aggregate(codes, 0L, (a, c) -> a + c)")))
+        .head().getLong(0)
+    }
+    require(pqCodeSum > 0L, "pq encode produced no codes")
     println(
       s"""{"n_docs":$nDocs,"minhash_lsh_sec":$tDedup,"neardup_pairs":$nPairs,""" +
         s""""exact_dedup_sec":$tExact,"distinct_docs":$nGroups,"token_count_sec":$tTok,""" +
@@ -324,7 +342,8 @@ object ScaleSmoke {
         s""""join_plain_sec":$tJoinPlain,"join_plain_shuffle_mb":${bJoinPlain / 1048576},""" +
         s""""join_bucketed_sec":$tJoinBkt,"join_bucketed_shuffle_mb":${bJoinBkt / 1048576},""" +
         s""""fuzzy_join_sec":$tFuzzy,"fuzzy_pairs":$nFuzzy,""" +
-        s""""skew_max_task_ms_off":$msSkewOff,"skew_max_task_ms_on":$msSkewOn}""")
+        s""""skew_max_task_ms_off":$msSkewOff,"skew_max_task_ms_on":$msSkewOn,""" +
+        s""""pq_encode_sec":$tPqEnc,"pq_vectors":$nDocs}""")
     spark.stop()
   }
 }

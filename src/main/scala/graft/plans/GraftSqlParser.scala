@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *   OPTIMIZE cat.ns.t ZORDER BY (x, y) [INTO n FILES]
   *   OPTIMIZE cat.ns.t COMPACT SMALL FILES [MIN <bytes> TARGET <bytes>]
   *   VACUUM cat.ns.t RETAIN <n> HOURS
+  *   ALTER TABLE cat.ns.t CREATE BRANCH b   -- WAP fork
+  *   ALTER TABLE cat.ns.t PUBLISH BRANCH b  -- atomic fast-forward
+  *   ALTER TABLE cat.ns.t DROP BRANCH b
   *
   * Anything else delegates verbatim to the stock parser, so the
   * extension can never change the semantics of standard SQL.
@@ -51,6 +54,12 @@ object GraftSqlParser {
     """(?is)\s*OPTIMIZE\s+([\w.]+)\s+COMPACT\s+SMALL\s+FILES(?:\s+MIN\s+(\d+)\s+TARGET\s+(\d+))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*""".r
+  private val CreateBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+BRANCH\s+([\w-]+)\s*;?\s*""".r
+  private val PublishBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+PUBLISH\s+BRANCH\s+([\w-]+)\s*;?\s*""".r
+  private val DropBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+BRANCH\s+([\w-]+)\s*;?\s*""".r
 
   private def tableDir(s: SparkSession, fqn: String) = {
     val parts = fqn.split('.')
@@ -84,6 +93,21 @@ object GraftSqlParser {
           tableDir(s, fqn), olderThanMillis = hours.toLong * 3600L * 1000L)
         Seq(Row(expired.size.toLong, swept.size.toLong))
       }))
+    // write-audit-publish branch DDL (see GraftCatalog.createBranch):
+    // stage with writeTo(t).option("branch", b), audit with
+    // VERSION AS OF '<b>', then PUBLISH fast-forwards main atomically
+    case CreateBranch(fqn, branch) => Some(GraftMaintenance(
+      s"ALTER TABLE $fqn CREATE BRANCH $branch", out("ok"),
+      s => { graft.sources.GraftCatalog.createBranch(tableDir(s, fqn), branch)
+        Seq(Row(1L)) }))
+    case PublishBranch(fqn, branch) => Some(GraftMaintenance(
+      s"ALTER TABLE $fqn PUBLISH BRANCH $branch", out("snapshot_version"),
+      s => Seq(Row(
+        graft.sources.GraftCatalog.publishBranch(tableDir(s, fqn), branch)))))
+    case DropBranch(fqn, branch) => Some(GraftMaintenance(
+      s"ALTER TABLE $fqn DROP BRANCH $branch", out("ok"),
+      s => { graft.sources.GraftCatalog.dropBranch(tableDir(s, fqn), branch)
+        Seq(Row(1L)) }))
     case _ => None
   }
 }

@@ -438,31 +438,16 @@ object Similarity {
         val sub = 8 // subspaces
         val dim = 8 // dims per subspace
         val nCodes = 16
-        // codebook: subvectors of vec_id < 16, collected driver-side
+        // codebook: the first 16 corpus vectors, collected driver-side
         // (bounded: 16×64 doubles — the IVF-centroid pattern)
-        val cb: Map[Long, Seq[Double]] = e.filter(col("vec_id") < nCodes)
+        val cb: IndexedSeq[Seq[Double]] = e.filter(col("vec_id") < nCodes)
           .select(col("vec_id"), col("v")).collect()
-          .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
-        def cbSlice(c: Int, sp: Int): Seq[Double] =
-          cb(c.toLong).slice(sp * dim, (sp + 1) * dim)
-        // per-subspace code: argmin over the 16 entries of
-        // ||x_s − c_s||² = x·x − 2 x·c + c·c, first-minimum tie-break
-        def codeCol(sp: Int): Column = {
-          val xs = slice(col("v"), sp * dim + 1, dim)
-          val dists = array((0 until nCodes).map { c =>
-            val cs = typedlit(cbSlice(c, sp))
-            dot(xs, xs) - lit(2.0d) * dot(xs, cs) + dot(cs, cs)
-          }: _*)
-          array_position(dists, array_min(dists))
-        }
-        // reconstruction: codebook subvectors concatenated in subspace
-        // order (1-based codes index the per-subspace codebook literal)
-        def reconCol: Column = concat((0 until sub).map { sp =>
-          element_at(typedlit((0 until nCodes).map(c => cbSlice(c, sp))),
-            codeCol(sp).cast("int"))
-        }: _*)
+          .sortBy(_.getLong(0))
+          .map(_.getSeq[Double](1).toSeq).toIndexedSeq
         val coded = e.select(col("vec_id").as("neighbor_id"),
-          reconCol.as("recon"))
+            graft.operators.PqEncoder.reconstruct(
+              graft.operators.PqEncoder.codes(col("v"), cb, sub, dim),
+              cb, sub, dim).as("recon"))
           .withColumn("rn2", dot(col("recon"), col("recon")))
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),

@@ -62,4 +62,32 @@ class GraftSqlParserSpec extends AnyFunSuite {
       .head().getLong(0) == 10L)
     spark.sql("DROP TABLE sqlcat.ns.m")
   }
+
+  test("WAP branch DDL parses and runs the full create/stage/publish cycle") {
+    val sp = spark
+    import sp.implicits._
+    spark.sql("CREATE TABLE sqlcat.ns.w (id BIGINT, v DOUBLE)")
+    Seq((1L, 1.0)).toDF("id", "v").writeTo("sqlcat.ns.w").append()
+
+    run("ALTER TABLE sqlcat.ns.w CREATE BRANCH audit")
+    Seq((2L, 2.0)).toDF("id", "v")
+      .writeTo("sqlcat.ns.w").option("branch", "audit").append()
+    assert(spark.table("sqlcat.ns.w").count() == 1)
+    assert(spark.sql("SELECT count(*) FROM sqlcat.ns.w VERSION AS OF 'audit'")
+      .head().getLong(0) == 2)
+
+    val published = run("ALTER TABLE sqlcat.ns.w PUBLISH BRANCH audit")
+    assert(published.head.getLong(0) > 0, published.mkString(","))
+    assert(spark.table("sqlcat.ns.w").count() == 2)
+
+    run("ALTER TABLE sqlcat.ns.w CREATE BRANCH scratch")
+    run("ALTER TABLE sqlcat.ns.w DROP BRANCH scratch")
+    assert(graft.sources.GraftJsonSink.listBranches(
+      java.nio.file.Paths.get(root, "ns", "w")).isEmpty)
+
+    // plain ALTER TABLE statements still reach the stock parser
+    assert(GraftSqlParser.maintenance(
+      "ALTER TABLE sqlcat.ns.w ADD COLUMN extra BIGINT").isEmpty)
+    spark.sql("DROP TABLE sqlcat.ns.w")
+  }
 }
