@@ -395,6 +395,42 @@ object SourceRoundtrip {
         "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) " +
         "FROM orders WHERE o_orderkey % 7 <= 1) AS price_sum_after")),
 
+    // Row-level UPDATE under the gate (completing the DML family next
+    // to src_mor_delete and src_merge_lifecycle): copy-on-write rewrite
+    // of only the files whose stats admit matching rows; the SET
+    // expression evaluates against the pre-update row. The multiply is
+    // the same IEEE op on the same inputs in both engines, so the
+    // decimal-summed totals hash-match exactly.
+    GraftQuery(
+      "src_update_lifecycle",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_upd_gate").toString
+        val cat = s"up${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.t " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)")
+        Tables.table(s, dir, "orders")
+          .filter(col("o_orderkey") < 4000)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .writeTo(s"$cat.g.t").append()
+        graft.sources.GraftUpdate.update(s, s"$cat.g.t",
+          col("o_orderstatus") === "O",
+          Map("o_totalprice" -> (col("o_totalprice") * lit(1.1d))))
+        s.table(s"$cat.g.t")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("price_sum"),
+            count(when(col("o_orderstatus") === "O", 1)).as("n_open"))
+      },
+      Some("SELECT count(*) AS n_rows, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 " +
+        "ELSE o_totalprice END AS DECIMAL(38,6))) AS DOUBLE) AS price_sum, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open " +
+        "FROM orders WHERE o_orderkey < 4000")),
+
     // Small-file compaction under the gate: six trickle appends leave six
     // tiny files; compactSmall bin-packs them into one as a
     // history-preserving commit. The verdict cells pin the file counts,
