@@ -173,6 +173,69 @@ object Similarity {
       loadedCorpus, loadedCentroids, q, nprobe = 4, k = 5)
   }
 
+  /** IVF-PQ serve path: coarse cells prune the probe set AND the stored
+    * index holds PQ codes instead of vectors — the FAISS IVFPQ
+    * architecture. Index build: train k-means cells, assign, encode
+    * each vector to 8 one-byte codes, persist (centroids + codes) —
+    * the raw vectors never reach the serving store. Serve: probe the 4
+    * nearest cells per query, reconstruct candidates from the codebook,
+    * ADC-score, top-5. At 1B vectors this is ~a few GB of codes behind
+    * a cell-pruned scan instead of 256 GB of float32 behind a full one.
+    */
+  def ivfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir).cache()
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    val centroids = graft.operators.IvfIndex.train(
+      e.select(col("vec_id"), col("v")), "v", nlist = 16, iters = 2)
+    centroids.write.mode("overwrite").parquet(s"$idx/centroids")
+    // PQ codebooks TRAINED per subspace (k-means over the 8-dim slices
+    // — real product quantization; the recall verdict doesn't need an
+    // engine-external replay, so training is free to be iterative).
+    // A subspace cell can empty out during Lloyd iterations; pad by
+    // cycling so every codebook keeps 16 entries.
+    val nCodes = 64 // 6-bit codes; production uses 256 (8-bit), same shape
+    val cb: IndexedSeq[Seq[Double]] = {
+      val perSub = (0 until 8).map { sp =>
+        val trained = graft.operators.IvfIndex.train(
+          e.select(col("vec_id"), slice(col("v"), sp * 8 + 1, 8).as("vs")),
+          "vs", nlist = nCodes, iters = 2)
+          .collect()
+          .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toIndexedSeq)
+          .sortBy(_._1).map(_._2).toIndexedSeq
+        (0 until nCodes).map(c => trained(c % trained.size))
+      }
+      (0 until nCodes).map(c => (0 until 8).flatMap(sp => perSub(sp)(c)))
+    }
+    graft.operators.IvfIndex.assign(e, "v", centroids)
+      .select(col("vec_id"), col("centroid_id"),
+        graft.operators.PqEncoder.codes(col("v"), cb, sub = 8, dim = 8).as("codes"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$idx/codes")
+    // serve phase: ONLY the persisted compressed index is read
+    val loadedCentroids = s.read.parquet(s"$idx/centroids")
+    val cand = s.read.parquet(s"$idx/codes")
+      .select(col("vec_id"), col("centroid_id"),
+        graft.operators.PqEncoder.reconstruct(col("codes"), cb, sub = 8, dim = 8)
+          .as("rv"))
+      .withColumn("rn2", dot(col("rv"), col("rv")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("centroid_id").asc)
+    val probes = q.join(broadcast(loadedCentroids))
+      .withColumn("d2", graft.functions.GraftFunctions.l2_dist2(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 4)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    probes.join(cand, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("rv"), col("qn"), col("rn2")).as("score"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+  }
+
   def defs: Seq[GraftQuery] = Seq(
 
     // Brute-force exact cosine top-5 for the first 10 query vectors.
@@ -273,6 +336,20 @@ object Similarity {
       (s, dir) =>
         annVerdict(ivfPersistedAnn(s, dir), bruteTopK(corpus(s, dir), 5),
           minRecall = 0.7),
+      Some(annVerdictSql)),
+
+    // IVF-PQ: coarse cells prune the probe set AND the stored index
+    // holds trained PQ codes instead of vectors (the FAISS IVFPQ
+    // architecture — at 1B vectors, a few GB of codes behind a
+    // cell-pruned scan instead of 256 GB of float32 behind a full
+    // one). Same verdict contract as the other ANN rows: full top-5
+    // per query from the compressed artifacts, recall bounded against
+    // in-query brute force.
+    GraftQuery(
+      "sim_ivfpq_ann",
+      (s, dir) =>
+        annVerdict(ivfPqAnn(s, dir), bruteTopK(corpus(s, dir), 5),
+          minRecall = 0.2),
       Some(annVerdictSql)),
 
     // Int8 vector quantization (per-vector min/max scale): the storage/
