@@ -139,14 +139,29 @@ object Bench {
           .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString).map(m => (m.group(1).toInt, p)))
           .toSeq.sortBy(-_._1).headOption.map(_._2)
       }
-    prev.filter(Files.exists(_)).foreach { p =>
-      val text = new String(Files.readAllBytes(p), "UTF-8")
-      // the file nests the queries map twice (raw line + parsed echo);
-      // first occurrence is enough for a guard
-      val qBlock = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text).map(_.group(1))
+    prev.filter(Files.exists(_)).foreach { p0 =>
+      // a dead round's artifact (rc!=0, parsed:null — e.g. BENCH_r07)
+      // carries no queries block; fall back to the newest one that does,
+      // so the guard diffs against the last MEANINGFUL baseline
+      val candidates = p0 +: {
+        val repo = p0.getParent
+        val rx = "BENCH_r(\\d+)\\.json".r
+        import scala.jdk.CollectionConverters._
+        Files.list(repo).iterator.asScala
+          .flatMap(q => rx.findFirstMatchIn(q.getFileName.toString).map(m => (m.group(1).toInt, q)))
+          .toSeq.sortBy(-_._1).map(_._2).filterNot(_ == p0)
+      }
       val pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
-      val old = qBlock.map(b => pair.findAllMatchIn(b).map(m => m.group(1) -> m.group(2).toDouble).toMap)
-        .getOrElse(Map.empty)
+      val withQueries = candidates.iterator.map { q =>
+        val text = new String(Files.readAllBytes(q), "UTF-8")
+        // the file nests the queries map twice (raw line + parsed echo);
+        // first occurrence is enough for a guard
+        val qBlock = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text).map(_.group(1))
+        q -> qBlock.map(b => pair.findAllMatchIn(b).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+          .getOrElse(Map.empty)
+      }.find(_._2.nonEmpty)
+      val p = withQueries.map(_._1).getOrElse(p0)
+      val old = withQueries.map(_._2).getOrElse(Map.empty[String, Double])
       results.foreach { case (name, now) =>
         old.get(name).foreach { was =>
           val delta = (now - was) / was
