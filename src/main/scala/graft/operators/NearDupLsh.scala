@@ -30,6 +30,49 @@ object NearDupLsh {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Incremental flavor: near-dup pairs between a NEW batch and an
+    * existing corpus — the daily-crawl shape, where only (new × corpus)
+    * candidates are ever generated and old-old pairs cost nothing. Both
+    * sides' ids must be disjoint. Returns (new_id, old_id, jaccard).
+    * At production scale the corpus side reads its signatures from a
+    * PERSISTED index (signatures are append-only artifacts — the same
+    * lifecycle as IvfIndex), and the new batch's bands broadcast: the
+    * corpus never reshuffles for an incremental batch.
+    */
+  def pairsAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    GraftFunctions.register(spark)
+    def prep(df: DataFrame) = {
+      val p = df.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
+        .withColumn("sig", GraftFunctions.minhash_sig(col("sh")))
+        .cache()
+      p.count() // materialize once; two plan branches read each side
+      p
+    }
+    val pn = prep(newDocs)
+    val pc = prep(corpus)
+    def bands(df: DataFrame, idAs: String) = df.select(
+      col("doc_id").as(idAs),
+      posexplode(array((0 until Bands).map { j =>
+        hash((j * RowsPerBand until (j + 1) * RowsPerBand)
+          .map(i => col("sig")(i)): _*)
+      }: _*)).as(Seq("band", "band_hash")))
+    val candidates = bands(pn, "new_id")
+      .join(bands(pc, "old_id"), Seq("band", "band_hash"))
+      .select(col("new_id"), col("old_id"))
+      .dropDuplicates("new_id", "old_id")
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("new_id"), col("old_id"))
+    candidates
+      .join(pn.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
+      .join(pc.select(col("doc_id").as("old_id"), col("sh").as("sh_b")), Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-dup pairs (doc_a < doc_b, jaccard >= threshold). `docs` needs
     * columns (doc_id, text).
     */

@@ -381,6 +381,40 @@ object Dedup {
       oracle = Some(minhashLshOracle(0.5d)),
       bench = true),
 
+    // Incremental crawl dedup: today's batch (doc_id % 10 = 7) checked
+    // against the standing corpus via NearDupLsh.pairsAgainst — only
+    // (new × corpus) candidates are generated; old-old pairs cost
+    // nothing, which is what makes daily dedup affordable against a
+    // 100 TB history (the corpus side serves persisted signatures and
+    // the batch's bands broadcast). Output: per new doc, how many
+    // standing near-dups it has and the first one. The oracle replays
+    // the full HUGEINT LSH pipeline and keeps the mixed pairs — band
+    // collisions are per-document, so the two formulations produce the
+    // identical (new, old) pair set.
+    GraftQuery(
+      "dd_incremental_lsh",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val newDocs = docs.filter(col("doc_id") % 10 === 7)
+        val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+        val matches = graft.operators.NearDupLsh
+          .pairsAgainst(newDocs, oldDocs, threshold = 0.5d)
+        newDocs.select(col("doc_id").as("new_id"))
+          .join(matches.select(col("new_id"), col("old_id")), Seq("new_id"), "left")
+          .groupBy(col("new_id"))
+          .agg(count(col("old_id")).as("n_dups"), min(col("old_id")).as("first_dup"))
+      },
+      Some(s"WITH p AS (${minhashLshOracle(0.5d)}), " +
+        "mixed AS (SELECT " +
+        "CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS new_id, " +
+        "CASE WHEN doc_a % 10 = 7 THEN doc_b ELSE doc_a END AS old_id " +
+        "FROM p WHERE (doc_a % 10 = 7) <> (doc_b % 10 = 7)) " +
+        "SELECT d.doc_id AS new_id, count(m.old_id) AS n_dups, " +
+        "min(m.old_id) AS first_dup " +
+        "FROM documents d LEFT JOIN mixed m ON d.doc_id = m.new_id " +
+        "WHERE d.doc_id % 10 = 7 GROUP BY 1")),
+
     // SimHash fingerprint per document (native expression). The oracle
     // replays the exact bit-for-bit algorithm in DuckDB HUGEINT
     // arithmetic — see simhashCtes.
