@@ -560,5 +560,8 @@ object Similarity {
         "FROM q JOIN recon r ON r.neighbor_id <> q.query_id) " +
         "SELECT query_id, neighbor_id, score, rank FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 5")))
+        "ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 5"),
+      // bench headliner: the PQ encode+ADC serve pipeline's cost belongs
+      // in the per-round perf artifact alongside the dedup headliners
+      bench = true))
 }
