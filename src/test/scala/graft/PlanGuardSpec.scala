@@ -280,4 +280,17 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("dd_incremental_lsh: candidate generation is equi-joins on band keys, never cartesian") {
+    val p = plan("dd_incremental_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pipe_dedup_funnel: no cartesian anywhere in the three-stage pipeline") {
+    val p = plan("pipe_dedup_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is the 1-row stage-count attach
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
 }
