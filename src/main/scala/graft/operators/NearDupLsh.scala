@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -9,15 +9,38 @@ import graft.functions.GraftFunctions
   * ScaleSmoke harness.
   *
   * Pipeline: 3-gram shingles → k=32 native MinHash signature → b=8/r=4
-  * banding → band-bucket self-join over NARROW keys → exact Jaccard
-  * rescoring (sorted hashed shingles, merge-walk expression) only on
-  * candidates. The only shuffles are on (band, band_hash) int pairs and
-  * the candidate ids; document payloads never fan out.
+  * banding → candidate pairs generated INSIDE each (band, band_hash)
+  * bucket → exact Jaccard rescoring (sorted hashed shingles, merge-walk
+  * expression) only on candidates. The only shuffles are on narrow
+  * (band, band_hash) int keys and the candidate ids; document payloads
+  * never fan out.
+  *
+  * Nothing is cached: each consumer recomputes its input from scan (two
+  * corpus passes total — one for signatures/candidates, one for the
+  * rescore arrays). At 100 TB the shingle arrays would never fit in
+  * cache anyway — recompute-from-scan is the shape that survives scale
+  * (see PrefixFilterJoin's header note), and repeated invocations leak
+  * nothing in the block manager.
+  *
+  * Incremental lifecycle: `writeIndex` persists the signature relation
+  * as an append-only parquet artifact at corpus-build time (the
+  * IvfIndex train→persist→serve pattern); `pairsAgainstIndex` dedups a
+  * new batch against it with O(batch) compute — the corpus is only ever
+  * re-read as pruned columns, never re-shingled, and never reshuffled.
   */
 object NearDupLsh {
 
   val Bands = 8
   val RowsPerBand: Int = graft.functions.MinHashSig.K / Bands
+
+  /** Default per-(band, band_hash) bucket cap. A degenerate bucket of n
+    * docs emits n·(n−1)/2 candidates, so 4096 already means up to ~8M
+    * pairs from ONE hot key; corpora with heavy boilerplate tune lower.
+    * Small enough to bound the quadratic blowup, far above anything a
+    * non-degenerate corpus produces (a bucket this size means thousands
+    * of documents with identical minima in all 4 of the band's lanes).
+    */
+  val DefaultMaxBucket = 4096
 
   /** Word-3-gram shingle array of a text column. */
   def shingles(text: Column): Column = {
@@ -30,88 +53,149 @@ object NearDupLsh {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Incremental flavor: near-dup pairs between a NEW batch and an
-    * existing corpus — the daily-crawl shape, where only (new × corpus)
-    * candidates are ever generated and old-old pairs cost nothing. Both
-    * sides' ids must be disjoint. Returns (new_id, old_id, jaccard).
-    * At production scale the corpus side reads its signatures from a
-    * PERSISTED index (signatures are append-only artifacts — the same
-    * lifecycle as IvfIndex), and the new batch's bands broadcast: the
-    * corpus never reshuffles for an incremental batch.
+  /** The signature relation — also the persisted-index row schema:
+    * (doc_id, sh: sorted hashed shingles, bands: the 8 Murmur3 band
+    * hashes of the k=32 MinHash signature). Documents with fewer than 3
+    * tokens have no shingles, can never clear a Jaccard threshold, and
+    * would otherwise all collide in every band (one degenerate bucket),
+    * so they are dropped here.
     */
-  def pairsAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
-    val spark = newDocs.sparkSession
-    GraftFunctions.register(spark)
-    def prep(df: DataFrame) = {
-      val p = df.repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
-        .withColumn("sig", GraftFunctions.minhash_sig(col("sh")))
-        .cache()
-      p.count() // materialize once; two plan branches read each side
-      p
-    }
-    val pn = prep(newDocs)
-    val pc = prep(corpus)
-    def bands(df: DataFrame, idAs: String) = df.select(
-      col("doc_id").as(idAs),
-      posexplode(array((0 until Bands).map { j =>
+  def signatures(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", GraftFunctions.minhash_sig(col("sh")))
+      .withColumn("bands", array((0 until Bands).map { j =>
         hash((j * RowsPerBand until (j + 1) * RowsPerBand)
           .map(i => col("sig")(i)): _*)
-      }: _*)).as(Seq("band", "band_hash")))
-    val candidates = bands(pn, "new_id")
-      .join(bands(pc, "old_id"), Seq("band", "band_hash"))
+      }: _*))
+      .drop("sig")
+  }
+
+  /** Append a batch's signatures to the persisted index — an append-only
+    * parquet artifact (build once at corpus ingest, append each accepted
+    * batch, serve incremental dedup without rescanning history).
+    */
+  def writeIndex(docs: DataFrame, path: String): Unit =
+    signatures(docs).write.mode("append").parquet(path)
+
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Incremental near-dup pairs of a NEW batch against a PRE-COMPUTED
+    * signature relation (readIndex, or signatures() inline). Only the
+    * batch is shingled and hashed; the corpus side reads pruned index
+    * columns — (doc_id, bands) for candidates, (doc_id, sh) for the
+    * rescore — and NEVER reshuffles: the batch's bands and the candidate
+    * pairs broadcast against in-place corpus scans, which is what makes
+    * a daily crawl affordable against a 100 TB history. Both sides' ids
+    * must be disjoint. Returns (new_id, old_id, jaccard).
+    *
+    * No bucket cap here: capping would need per-bucket corpus counts,
+    * i.e. a corpus shuffle. Persist hot-bucket stats alongside the index
+    * if the corpus is boilerplate-heavy; `pairs` has the in-line guard.
+    */
+  def pairsAgainstIndex(newDocs: DataFrame, index: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    GraftFunctions.register(spark)
+    // def, not val: recomputed per consumer (bands + rescore) — O(batch)
+    // compute twice beats materializing anything on the serve path
+    def newSigs = signatures(newDocs)
+    val newBands = newSigs.select(col("doc_id").as("new_id"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val corpusBands = index.select(col("doc_id").as("old_id"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val candidates = corpusBands
+      .join(broadcast(newBands), Seq("band", "band_hash"))
       .select(col("new_id"), col("old_id"))
       .dropDuplicates("new_id", "old_id")
-      .repartition(spark.sparkContext.defaultParallelism,
-        col("new_id"), col("old_id"))
-    candidates
-      .join(pn.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
-      .join(pc.select(col("doc_id").as("old_id"), col("sh").as("sh_b")), Seq("old_id"))
+    val withOld = index.select(col("doc_id").as("old_id"), col("sh").as("sh_b"))
+      .join(broadcast(candidates), Seq("old_id"))
+    withOld
+      .join(newSigs.select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
+        Seq("new_id"))
       .select(col("new_id"), col("old_id"),
         GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental flavor without a persisted index: the corpus signatures
+    * are recomputed from text — O(corpus) compute per call, so this is
+    * for one-shot jobs; the daily-crawl lifecycle is writeIndex once +
+    * pairsAgainstIndex per batch.
+    */
+  def pairsAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame =
+    pairsAgainstIndex(newDocs, signatures(corpus), threshold)
+
   /** Near-dup pairs (doc_a < doc_b, jaccard >= threshold). `docs` needs
     * columns (doc_id, text).
+    *
+    * Buckets larger than `maxBucket` are dropped before pair generation
+    * (the skew guard): one boilerplate-heavy band value otherwise goes
+    * quadratic at corpus scale. A pair losing one band still surfaces
+    * through its other 7 bands — oversized buckets are near-clique
+    * regions whose members, if truly similar, collide in several bands,
+    * and whose pair list nobody wants enumerated pairwise anyway (exact
+    * dedup upstream is the right tool for mass-duplicated boilerplate).
+    * Dropped/max bucket counts are published as observed metrics under
+    * "graft_lsh_buckets" (CollectMetrics — visible to any
+    * QueryExecutionListener).
     */
-  def pairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def pairs(docs: DataFrame, threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
-    val prepared = docs
-      .repartition(spark.sparkContext.defaultParallelism)
-      // ngram_hashes avoids materializing shingle strings: tokens hash
-      // once, windows combine hashes (sorted distinct, jaccard-ready);
-      // minhash_sig runs directly over the pre-hashed set
-      .select(col("doc_id"),
-        GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
-      .withColumn("sig", GraftFunctions.minhash_sig(col("sh")))
-      .cache()
-    // materialize once: the final job scans `prepared` from four plan
-    // branches (band self-join sides + both rescore sides); without this
-    // they race the cache and recompute the signatures up to 4x
-    prepared.count()
-    val bands = prepared.select(
-      col("doc_id"),
-      posexplode(array((0 until Bands).map { j =>
-        hash((j * RowsPerBand until (j + 1) * RowsPerBand)
-          .map(i => col("sig")(i)): _*)
-      }: _*)).as(Seq("band", "band_hash")))
-    val l = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-    val r = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
-    val candidates = l.join(r, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // candidate pairs are generated INSIDE each bucket, so the band
+    // relation (and the whole signature subtree above it) is consumed
+    // exactly once — a band self-JOIN would read it twice, forcing the
+    // cache this operator used to carry
+    val bandRows = signatures(docs).select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val buckets = bandRows
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .observe("graft_lsh_buckets",
+        sum(when(size(col("ds")) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(size(col("ds"))).as("max_bucket"))
+      .filter(size(col("ds")) <= maxBucket)
+    val candidates = buckets
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      // only partners later in doc order: halves the fan-out pre-explode
+      .select(col("doc_a"),
+        explode(filter(col("ds"), b => b > col("doc_a"))).as("doc_b"))
+      // explicit width: the candidate set is bytes-small but
+      // compute-heavy, and AQE would coalesce it to ~1 partition,
+      // serializing the rescoring. The repartition's hash partitioning
+      // is reused by dropDuplicates — one exchange, not two.
+      .repartition(shufflePartitions, col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .repartition(spark.sparkContext.defaultParallelism * 2,
-        col("doc_a"), col("doc_b"))
-    val aSide = prepared.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val bSide = prepared.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    candidates
-      .join(aSide, Seq("doc_a"))
-      .join(bSide, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    // stacked rescore: the two pair sides become (pair, role, doc_id)
+    // rows so ONE join against the shingle relation attaches both
+    // arrays — one corpus scan + ngram pass instead of two, and the
+    // arrays regroup on the tiny pair key, never on a corpus-sized one
+    val sets = docs.select(col("doc_id"),
+      GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
+    val stacked = candidates
+      .select(explode(array(
+        struct(struct(col("doc_a"), col("doc_b")).as("pair"),
+          lit(0).as("role"), col("doc_a").as("doc_id")),
+        struct(struct(col("doc_a"), col("doc_b")).as("pair"),
+          lit(1).as("role"), col("doc_b").as("doc_id")))).as("x"))
+      .select(col("x.pair").as("pair"), col("x.role").as("role"),
+        col("x.doc_id").as("doc_id"))
+    stacked.join(sets, Seq("doc_id"))
+      .groupBy(col("pair"))
+      // exactly one non-null per role within a pair, so first() is
+      // deterministic in value
+      .agg(
+        first(when(col("role") === 0, col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("role") === 1, col("sh")), ignoreNulls = true).as("sh_b"))
+      .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"),
         GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

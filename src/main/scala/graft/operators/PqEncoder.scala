@@ -40,7 +40,10 @@ object PqEncoder {
     }: _*)
   }
 
-  /** Codebook lookup + concat: the reconstruction ADC scores against. */
+  /** Codebook lookup + concat: the reconstruction. ADC serve paths
+    * should score via [[adcLut]]/[[adcSum]] instead — reconstructing per
+    * row defeats the point of the codes.
+    */
   def reconstruct(codes: Column, codebook: IndexedSeq[Seq[Double]],
       sub: Int, dim: Int): Column = {
     val nCodes = codebook.size
@@ -50,4 +53,42 @@ object PqEncoder {
         element_at(codes, sp + 1))
     }: _*)
   }
+
+  /** Per-query ADC lookup table (true asymmetric-distance scoring — the
+    * point of PQ at serve time): a flattened sub×|codebook| array whose
+    * 1-based entry sp·|codebook| + c is the dim-dot of the query's sp-th
+    * subvector with codebook entry c's. Then
+    * dot(query, reconstruct(codes)) = Σ_sp lut[sp·|codebook| + codes_sp]
+    * — `sub` table lookups per scored vector instead of a full-width
+    * dot product. Computed once per query row (sub·|codebook| fused
+    * dim-dots); in a scoring join the table rides the (tiny, broadcast)
+    * query side.
+    */
+  def adcLut(q: Column, codebook: IndexedSeq[Seq[Double]],
+      sub: Int, dim: Int): Column =
+    array((for (sp <- 0 until sub; c <- codebook.indices) yield
+      dot(slice(q, sp * dim + 1, dim),
+        typedlit(codebook(c).slice(sp * dim, (sp + 1) * dim)))): _*)
+
+  /** Query-independent self-norm table: entry sp·|codebook| + c is
+    * ‖codebook entry c's sp-th subvector‖², so a reconstruction's
+    * squared norm is Σ_sp normLut[sp·|codebook| + codes_sp] (subspaces
+    * are disjoint segments). Sequential driver-side arithmetic — the
+    * same multiply/add order as the DotProduct loop, so values are
+    * bit-identical to dotting the reconstruction slices.
+    */
+  def normLut(codebook: IndexedSeq[Seq[Double]], sub: Int, dim: Int): IndexedSeq[Double] =
+    (for (sp <- 0 until sub; c <- codebook.indices) yield
+      codebook(c).slice(sp * dim, (sp + 1) * dim)
+        .foldLeft(0.0d)((acc, x) => acc + x * x)).toIndexedSeq
+
+  /** Σ over subspaces of LUT lookups for a 1-based codes column. The
+    * reduce builds a left-to-right addition chain, so an oracle that
+    * adds its per-subspace dots left-to-right replays the identical
+    * IEEE sum.
+    */
+  def adcSum(codes: Column, lut: Column, sub: Int, nCodes: Int): Column =
+    (0 until sub).map { sp =>
+      element_at(lut, lit(sp * nCodes) + element_at(codes, sp + 1))
+    }.reduce(_ + _)
 }

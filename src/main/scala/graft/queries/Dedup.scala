@@ -213,9 +213,7 @@ object Dedup {
         GraftFunctions.register(s)
         val docs = Tables.table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism) // one input file
-          .select(col("doc_id"), col("n_chars"),
-            GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
-          .cache()
+          .select(col("doc_id"), col("n_chars"), col("text"))
         // candidate generation over NARROW columns only — the 4KB shingle
         // arrays never travel through the exploded bucket join
         val keys = docs.select(col("doc_id"), col("n_chars"))
@@ -236,13 +234,28 @@ object Dedup {
           // compute-heavy, and AQE would coalesce it to ~1 partition,
           // serializing the rescoring
           .repartition(64, col("doc_a"), col("doc_b"))
-        // attach each side's array once per pair via broadcast hash joins
-        val aSide = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val bSide = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        candidates
-          .join(broadcast(aSide), Seq("doc_a"))
-          .join(broadcast(bSide), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
+        // stacked rescore (the PrefixFilterJoin / NearDupLsh shape): the
+        // two pair sides become (pair, role, doc_id) rows so ONE shuffle
+        // join against the shingle relation attaches both arrays — the
+        // arrays regroup on the pair key; the corpus is never broadcast
+        // (a full-corpus broadcast of ~4KB arrays is an executor memory
+        // bomb at scale) and never cached
+        val sets = docs.select(col("doc_id"),
+          GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
+        val stacked = candidates
+          .select(explode(array(
+            struct(struct(col("doc_a"), col("doc_b")).as("pair"),
+              lit(0).as("role"), col("doc_a").as("doc_id")),
+            struct(struct(col("doc_a"), col("doc_b")).as("pair"),
+              lit(1).as("role"), col("doc_b").as("doc_id")))).as("x"))
+          .select(col("x.pair").as("pair"), col("x.role").as("role"),
+            col("x.doc_id").as("doc_id"))
+        stacked.join(sets, Seq("doc_id"))
+          .groupBy(col("pair"))
+          .agg(
+            first(when(col("role") === 0, col("sh")), ignoreNulls = true).as("sh_a"),
+            first(when(col("role") === 1, col("sh")), ignoreNulls = true).as("sh_b"))
+          .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"),
             GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
           .filter(col("jaccard") >= 0.8d)
       },
@@ -376,7 +389,9 @@ object Dedup {
     GraftQuery(
       "dd_minhash_lsh",
       (s, dir) => graft.operators.NearDupLsh.pairs(
-        Tables.table(s, dir, "documents").select(col("doc_id"), col("text")),
+        Tables.table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism) // one input file
+          .select(col("doc_id"), col("text")),
         threshold = 0.5d),
       oracle = Some(minhashLshOracle(0.5d)),
       bench = true),
@@ -395,6 +410,7 @@ object Dedup {
       "dd_incremental_lsh",
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism) // one input file
           .select(col("doc_id"), col("text"))
         val newDocs = docs.filter(col("doc_id") % 10 === 7)
         val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)

@@ -624,7 +624,12 @@ object Pipeline {
           countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("source")).as("n_sources"),
           sum(col("n_toks")).as("total_tokens"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_toks)").as("p50_toks"),
+          // cast: Spark's percentile_disc returns DOUBLE; the DuckDB
+          // oracle's quantile_disc keeps the input's BIGINT type. The
+          // discrete percentile of integer token counts is an exact
+          // integer, so the cast is lossless.
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_toks)")
+            .cast("long").as("p50_toks"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
           .withColumn("dup_ratio",

@@ -178,9 +178,10 @@ object Similarity {
     * architecture. Index build: train k-means cells, assign, encode
     * each vector to 8 one-byte codes, persist (centroids + codes) —
     * the raw vectors never reach the serving store. Serve: probe the 4
-    * nearest cells per query, reconstruct candidates from the codebook,
-    * ADC-score, top-5. At 1B vectors this is ~a few GB of codes behind
-    * a cell-pruned scan instead of 256 GB of float32 behind a full one.
+    * nearest cells per query, LUT-ADC-score the candidates (8 lookups
+    * per vector against the query's precomputed distance table), top-5.
+    * At 1B vectors this is ~a few GB of codes behind a cell-pruned scan
+    * instead of 256 GB of float32 behind a full one.
     */
   def ivfPqAnn(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir).cache()
@@ -210,28 +211,33 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"),
         graft.operators.PqEncoder.codes(col("v"), cb, sub = 8, dim = 8).as("codes"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$idx/codes")
-    // serve phase: ONLY the persisted compressed index is read
+    // serve phase: ONLY the persisted compressed index is read, and
+    // scoring is LUT-ADC — the scan reads codes, the per-query 8×64
+    // distance table rides the probe rows, and each candidate costs 8
+    // lookups + a divide (reconstruction never materializes)
+    val pq = graft.operators.PqEncoder
     val loadedCentroids = s.read.parquet(s"$idx/centroids")
+    val nLut = typedlit(pq.normLut(cb, sub = 8, dim = 8))
     val cand = s.read.parquet(s"$idx/codes")
-      .select(col("vec_id"), col("centroid_id"),
-        graft.operators.PqEncoder.reconstruct(col("codes"), cb, sub = 8, dim = 8)
-          .as("rv"))
-      .withColumn("rn2", dot(col("rv"), col("rv")))
+      .select(col("vec_id"), col("centroid_id"), col("codes"))
+      .withColumn("rn2", pq.adcSum(col("codes"), nLut, sub = 8, nCodes = nCodes))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn"),
+        pq.adcLut(col("v"), cb, sub = 8, dim = 8).as("lut"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("centroid_id").asc)
     val probes = q.join(broadcast(loadedCentroids))
       .withColumn("d2", graft.functions.GraftFunctions.l2_dist2(col("qv"), col("centroid")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 4)
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+      .select(col("query_id"), col("qn"), col("lut"), col("centroid_id"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     probes.join(cand, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("rv"), col("qn"), col("rn2")).as("score"))
+        round(pq.adcSum(col("codes"), col("lut"), sub = 8, nCodes = nCodes) /
+          (sqrt(col("qn")) * sqrt(col("rn2"))), 6).as("score"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= 5)
   }
@@ -495,19 +501,23 @@ object Similarity {
         "(SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY votes DESC, nl ASC) AS rn FROM votes) WHERE rn = 1")),
 
-    // Product quantization + asymmetric-distance scoring (the
+    // Product quantization + TRUE asymmetric-distance scoring (the
     // IVF-PQ compression path): 64 dims split into 8 subspaces of 8;
     // each subvector is encoded as the nearest of 16 codebook entries
     // (codebook = the first 16 corpus vectors' subvectors — a
     // deterministic stand-in for per-subspace k-means, which is what
     // production trains; the dataflow is identical). A vector is then 8
     // small codes (~4 GB per BILLION vectors at 8×4 bits vs 256 GB raw
-    // float32), and queries score against the RECONSTRUCTION
-    // (codebook lookup + concat) — the scan reads codes, not vectors.
-    // Encode is pure per-row expression work (128 8-dim dot products,
-    // whole-stage codegen, zero shuffle); scoring broadcasts the 10
-    // queries; argmin ties break toward the smaller code on both
-    // engines (array_position / list_indexof both return the first hit).
+    // float32). Serve-time scoring is LUT-ADC: each query precomputes an
+    // 8×16 table of subvector·codebook-entry dots (rides the broadcast
+    // query side), so scoring a vector is 8 table lookups + one divide —
+    // the scan reads codes and never reconstructs. The reconstruction
+    // norm is likewise 8 lookups into a query-independent self-norm
+    // table. Encode is pure per-row expression work (128 8-dim dot
+    // products, whole-stage codegen, zero shuffle); argmin ties break
+    // toward the smaller code on both engines (array_position /
+    // list_indexof both return the first hit); both engines sum the 8
+    // partial dots left-to-right, so scores stay cell-exact.
     GraftQuery(
       "sim_pq_adc",
       (s, dir) => {
@@ -521,19 +531,21 @@ object Similarity {
           .select(col("vec_id"), col("v")).collect()
           .sortBy(_.getLong(0))
           .map(_.getSeq[Double](1).toSeq).toIndexedSeq
+        val pq = graft.operators.PqEncoder
+        val nLut = typedlit(pq.normLut(cb, sub, dim))
         val coded = e.select(col("vec_id").as("neighbor_id"),
-            graft.operators.PqEncoder.reconstruct(
-              graft.operators.PqEncoder.codes(col("v"), cb, sub, dim),
-              cb, sub, dim).as("recon"))
-          .withColumn("rn2", dot(col("recon"), col("recon")))
+            pq.codes(col("v"), cb, sub, dim).as("codes"))
+          .withColumn("rn2", pq.adcSum(col("codes"), nLut, sub, nCodes))
         val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          .select(col("vec_id").as("query_id"),
+            pq.adcLut(col("v"), cb, sub, dim).as("lut"),
             col("norm2").as("qn"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("neighbor_id").asc)
         coded.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
           .select(col("query_id"), col("neighbor_id"),
-            cosine(col("qv"), col("recon"), col("qn"), col("rn2")).as("score"))
+            round(pq.adcSum(col("codes"), col("lut"), sub, nCodes) /
+              (sqrt(col("qn")) * sqrt(col("rn2"))), 6).as("score"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
       },
@@ -550,14 +562,22 @@ object Similarity {
         // first-minimum tie-break = order by (dist, c)
         "code AS (SELECT vec_id, s, c FROM (SELECT *, row_number() OVER " +
         "(PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn FROM d) WHERE rn = 1), " +
-        "recon AS (SELECT code.vec_id AS neighbor_id, " +
-        "flatten(list(cb.cv[code.s*8+1 : code.s*8+8] ORDER BY code.s)) AS recon " +
+        // per-neighbor codebook segments in subspace order plus their
+        // self-dots — the oracle's stand-in for the engine's LUTs
+        "segs AS (SELECT code.vec_id AS neighbor_id, " +
+        "list(cb.cv[code.s*8+1 : code.s*8+8] ORDER BY code.s) AS segs, " +
+        "list(list_dot_product(cb.cv[code.s*8+1 : code.s*8+8], " +
+        "cb.cv[code.s*8+1 : code.s*8+8]) ORDER BY code.s) AS n2s " +
         "FROM code JOIN cb ON cb.c = code.c GROUP BY code.vec_id), " +
         "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), " +
-        "scored AS (SELECT q.query_id, r.neighbor_id, " +
-        "round(list_dot_product(q.qv, r.recon) / " +
-        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(r.recon, r.recon))), 6) AS score " +
-        "FROM q JOIN recon r ON r.neighbor_id <> q.query_id) " +
+        // left-to-right folds over the 8 subspace partials = the exact
+        // IEEE addition order of the engine's adcSum chains
+        "scored AS (SELECT q.query_id, g.neighbor_id, " +
+        "round(list_reduce(list_transform(range(0, 8), " +
+        "s -> list_dot_product(q.qv[s*8+1 : s*8+8], g.segs[s+1])), (a, b) -> a + b) / " +
+        "(sqrt(list_dot_product(q.qv, q.qv)) * " +
+        "sqrt(list_reduce(g.n2s, (a, b) -> a + b))), 6) AS score " +
+        "FROM q JOIN segs g ON g.neighbor_id <> q.query_id) " +
         "SELECT query_id, neighbor_id, score, rank FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 5"),

@@ -287,6 +287,38 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  /** True iff an EXPLICIT broadcast hint forces an array-carrying
+    * relation (shingle arrays) through a broadcast — the executor
+    * memory bomb that no size estimate can veto at 100 TB. Size-based
+    * auto-broadcasts at tiny test SFs are fine: they flip to shuffle
+    * joins on real statistics.
+    */
+  private def forcesArrayBroadcast(name: String): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+    def hasArrayOutput(p: LogicalPlan): Boolean =
+      p.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) ||
+        p.children.exists(hasArrayOutput)
+    SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
+      .collect { case h: ResolvedHint if h.hints.strategy.nonEmpty => h }
+      .exists(hasArrayOutput)
+  }
+
+  test("dd_ngram_jaccard: shingle arrays never force-broadcast; nothing cached on the timed path") {
+    val p = plan("dd_ngram_jaccard")
+    assert(!forcesArrayBroadcast("dd_ngram_jaccard"),
+      "the rescore must attach shingle arrays via pair-keyed joins, not broadcast hints:\n" + p)
+    assert(!p.contains("InMemoryTableScan"), "no cache on the timed path:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dd_minhash_lsh: shingle arrays never force-broadcast; no full-corpus cache") {
+    val p = plan("dd_minhash_lsh")
+    assert(!forcesArrayBroadcast("dd_minhash_lsh"), p)
+    assert(!p.contains("InMemoryTableScan"), "no cache on the timed path:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+
   test("pipe_dedup_funnel: no cartesian anywhere in the three-stage pipeline") {
     val p = plan("pipe_dedup_funnel")
     assert(!p.contains("CartesianProduct"), p)

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Operator-level contracts for NearDupLsh beyond the gate queries: the
+  * persisted-index incremental lifecycle and the bucket skew guard.
+  */
+class NearDupLshSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = graft.Tables.table(spark, dir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("persisted signature index: incremental pairs equal the recompute flavor") {
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val recompute = pairSet(NearDupLsh.pairsAgainst(newDocs, oldDocs, 0.5d))
+    assert(recompute.nonEmpty, "fixture should contain mixed near-dups")
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx_spec").toString
+    // append-only lifecycle: the corpus lands in two separate appends
+    NearDupLsh.writeIndex(oldDocs.filter(col("doc_id") % 2 === 0), idx)
+    NearDupLsh.writeIndex(oldDocs.filter(col("doc_id") % 2 =!= 0), idx)
+    val indexed = pairSet(NearDupLsh.pairsAgainstIndex(
+      newDocs, NearDupLsh.readIndex(spark, idx), 0.5d))
+    assert(indexed == recompute,
+      s"indexed flavor diverged: missing=${recompute -- indexed}, extra=${indexed -- recompute}")
+  }
+
+  test("bucket skew guard drops the degenerate clique without losing planted recall") {
+    // 300 identical boilerplate docs: one bucket of 300 in every band —
+    // unguarded that is 300·299/2 candidate pairs from each hot key
+    val boiler = spark.range(300).select(
+      (col("id") + 10000000L).as("doc_id"),
+      lit("identical boilerplate footer with terms of service and a " +
+        "copyright notice repeated on every crawled page of the site").as("text"))
+    val planted = docs.unionByName(boiler)
+    val base = pairSet(NearDupLsh.pairs(docs, 0.5d))
+    assert(base.nonEmpty)
+    val guarded = pairSet(NearDupLsh.pairs(planted, 0.5d, maxBucket = 100))
+    assert(guarded == base,
+      "the guard must suppress the clique and ONLY the clique: " +
+        s"missing=${base -- guarded}, extra=${guarded -- base}")
+    // default cap admits the clique: every boilerplate pair rescored at
+    // jaccard 1.0 plus the untouched fixture pairs
+    val unguarded = NearDupLsh.pairs(planted, 0.5d).count()
+    assert(unguarded == base.size + 300L * 299L / 2L, s"unguarded=$unguarded")
+  }
+
+  test("skew guard publishes dropped/max bucket sizes as observed metrics") {
+    val boiler = spark.range(300).select(
+      (col("id") + 10000000L).as("doc_id"),
+      lit("identical boilerplate footer with terms of service and a " +
+        "copyright notice repeated on every crawled page of the site").as("text"))
+    val captured = new java.util.concurrent.atomic.AtomicReference[Option[(Long, Int)]](None)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("graft_lsh_buckets").foreach { row =>
+          captured.set(Some((row.getLong(0), row.getInt(1))))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      NearDupLsh.pairs(docs.unionByName(boiler), 0.5d, maxBucket = 100).count()
+      org.apache.spark.sql.graft.GraftPlans.drainListenerBus(spark)
+      val (dropped, maxBucket) = captured.get().getOrElse(
+        fail("graft_lsh_buckets metrics never observed"))
+      // the clique occupies one >cap bucket in each of the 8 bands
+      assert(dropped >= 8L, s"dropped=$dropped")
+      assert(maxBucket >= 300, s"max_bucket=$maxBucket")
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
