@@ -211,6 +211,22 @@ object EtlParity {
         "CASE WHEN l_quantity <= 10 THEN 'BAJO' WHEN l_quantity <= 25 THEN 'MEDIO' " +
         "WHEN l_quantity <= 40 THEN 'ALTO' ELSE 'MUY_ALTO' END AS rango_volumen FROM lineitem")),
 
+    // T20 — es_alto_valor threshold flag (src/etl_entregas.py:372-378).
+    // The compared product is the same IEEE multiply on the same double
+    // operands in both engines, so the boolean is deterministic.
+    GraftQuery(
+      "etl_t20_high_value",
+      (s, dir) =>
+        Tables.table(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            when(col("l_extendedprice") * (lit(1.0d) - col("l_discount")) > lit(30000.0d), true)
+              .otherwise(false)
+              .as("es_alto_valor")),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "CASE WHEN l_extendedprice * (1 - l_discount) > CAST(30000 AS DOUBLE) " +
+        "THEN true ELSE false END AS es_alto_valor FROM lineitem")),
+
     // T21 — null-guarded substring with default (src/etl_entregas.py:380-386)
     GraftQuery(
       "etl_t21_substr_default",
@@ -253,6 +269,83 @@ object EtlParity {
           .select(to_date(col("o_orderdate")).as("fecha"))
           .distinct(),
       Some("SELECT DISTINCT CAST(o_orderdate AS DATE) AS fecha FROM orders")),
+
+    // S4 — JSON metrics sink (main.py:233-238; RunMetrics.toJson). The
+    // real quality pipeline (DataQuality.metrics — the reference's
+    // sequential-delta counters) runs over an entregas-shaped mapping of
+    // `orders` with planted empty materials, invalid types, invalid
+    // countries, and exact duplicates; the resulting metrics dict is
+    // rendered to JSON and PARSED BACK, so the gate row checks the
+    // serialized artifact itself: the quintuple must survive the
+    // serialize→parse round trip and match an independent SQL recompute.
+    GraftQuery(
+      "etl_s4_metrics_json",
+      (s, dir) => {
+        val base = Tables.table(s, dir, "orders").select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "O", "GT")
+            .when(col("o_orderstatus") === "F", "SV")
+            .otherwise("XX").as("pais"),
+          col("o_orderpriority").as("tipo_entrega"),
+          when(col("o_orderkey") % 13 === 0, "")
+            .otherwise(col("o_custkey").cast("string")).as("material"))
+        val planted = base.union(base.filter(col("o_orderkey") % 17 === 0))
+        val cfg = graft.etl.EtlConfig(
+          environment = "gate",
+          paths = graft.etl.PathsConfig("", ""),
+          filters = graft.etl.FiltersConfig("19920101", "19981231", None),
+          spark = graft.etl.SparkConfig("gate", "local", "WARN", Map.empty),
+          businessRules = graft.etl.BusinessRules(
+            Map.empty, Seq("1-URGENT", "2-HIGH"), Seq("3-MEDIUM")),
+          dataQuality = graft.etl.DataQualityConfig(
+            removeNullMaterial = true, removeZeroPrice = false,
+            removeDuplicates = true, validateCountryCodes = true,
+            validCountries = Seq("GT", "SV")),
+          columnMapping = Nil,
+          countryNames = Map.empty)
+        val m = graft.etl.DataQuality.metrics(planted, cfg)
+        val metrics = graft.etl.RunMetrics(
+          environment = "gate", startDate = "19920101", endDate = "19981231",
+          country = None, quality = m, finalRows = m.outputRows,
+          partitionsCreated = Map("19920101" -> m.outputRows),
+          outputPath = "memory://gate", outputFormat = "parquet",
+          startTimeIso = "1970-01-01T00:00:00", endTimeIso = "1970-01-01T00:00:00",
+          executionTimeSeconds = 0.0)
+        import s.implicits._
+        Seq(metrics.toJson).toDF("j").select(
+          get_json_object(col("j"), "$.quality_metrics.registros_iniciales")
+            .cast("long").as("registros_iniciales"),
+          get_json_object(col("j"), "$.quality_metrics.registros_null_material")
+            .cast("long").as("registros_null_material"),
+          get_json_object(col("j"), "$.quality_metrics.registros_duplicados")
+            .cast("long").as("registros_duplicados"),
+          get_json_object(col("j"), "$.quality_metrics.registros_tipo_invalido")
+            .cast("long").as("registros_tipo_invalido"),
+          get_json_object(col("j"), "$.quality_metrics.registros_finales")
+            .cast("long").as("registros_finales"),
+          get_json_object(col("j"), "$.final_record_count")
+            .cast("long").as("final_record_count"))
+      },
+      Some("WITH m AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderstatus = 'O' THEN 'GT' WHEN o_orderstatus = 'F' THEN 'SV' " +
+        "ELSE 'XX' END AS pais, o_orderpriority AS tipo_entrega, " +
+        "CASE WHEN o_orderkey % 13 = 0 THEN '' ELSE CAST(o_custkey AS VARCHAR) END AS material FROM orders), " +
+        "u AS (SELECT * FROM m UNION ALL SELECT * FROM m WHERE o_orderkey % 17 = 0), " +
+        "f AS (SELECT *, (material IS NOT NULL AND trim(material) <> '') AS ok1, " +
+        "tipo_entrega IN ('1-URGENT','2-HIGH','3-MEDIUM') AS ok2, " +
+        "upper(pais) IN ('GT','SV') AS ok4 FROM u), " +
+        "agg AS (SELECT count(*) AS n_input, " +
+        "CAST(sum(CASE WHEN NOT ok1 THEN 1 ELSE 0 END) AS BIGINT) AS n_f1, " +
+        "CAST(sum(CASE WHEN ok1 AND NOT ok2 THEN 1 ELSE 0 END) AS BIGINT) AS n_f2, " +
+        "CAST(sum(CASE WHEN ok1 AND ok2 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_f2 FROM f), " +
+        "d AS (SELECT count(*) AS n_distinct FROM (SELECT DISTINCT o_orderkey, pais, " +
+        "tipo_entrega, material FROM f WHERE ok1 AND ok2)), " +
+        "c AS (SELECT count(*) AS n_final FROM (SELECT DISTINCT o_orderkey, pais, " +
+        "tipo_entrega, material FROM f WHERE ok1 AND ok2 AND ok4)) " +
+        "SELECT agg.n_input AS registros_iniciales, agg.n_f1 AS registros_null_material, " +
+        "agg.n_after_f2 - d.n_distinct AS registros_duplicados, " +
+        "agg.n_f2 AS registros_tipo_invalido, c.n_final AS registros_finales, " +
+        "c.n_final AS final_record_count FROM agg, d, c")),
 
     // S3 — partitioned-sink support: per-partition-value row counts
     // (src/etl_entregas.py:469-518; native partitionBy write in graft.etl.Load)

@@ -226,9 +226,24 @@ object Events {
     // semantics. The oracle replays the gap-island algorithm and applies
     // the same emission horizon, so the hash match checks both the
     // session arithmetic AND the append-mode emission contract.
+    // Both sides apply a 2 s safety margin below the exact-microsecond
+    // horizon (the same margin ev_session_timer_stream uses): Spark's
+    // watermark is the max event time truncated to MILLISECONDS minus
+    // 1h, so a session ending in the sub-ms sliver between the floored
+    // and exact horizons is kept by an exact-µs oracle but never
+    // emitted by the engine — a data-dependent flake on fixture
+    // regeneration. Inside the margin both engines provably agree.
     GraftQuery(
       "ev_session_window_stream",
-      (s, dir) => EventStream.sessionWindowStream(s, dir),
+      (s, dir) => {
+        val streamed = EventStream.sessionWindowStream(s, dir)
+        val horizon = Tables.events(s, dir)
+          .agg((max(expr("ts_ns div 1000")) - lit(3600000000L) -
+            lit(2000000L)).as("horizon"))
+        streamed.crossJoin(broadcast(horizon))
+          .filter(col("end_us") < col("horizon"))
+          .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      },
       Some("WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us, " +
         "CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL " +
         "OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000 " +
@@ -237,7 +252,7 @@ object Events {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g), " +
         "sess AS (SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 1800000000 AS end_us, " +
         "count(*) AS n_events FROM s2 GROUP BY user_id, sid), " +
-        "h AS (SELECT max(epoch_us(ts)) - 3600000000 AS horizon FROM events) " +
+        "h AS (SELECT max(epoch_us(ts)) - 3600000000 - 2000000 AS horizon FROM events) " +
         "SELECT user_id, start_us, end_us, n_events FROM sess, h WHERE end_us < horizon")),
 
     // Custom stateful streaming (flatMapGroupsWithState): per-user

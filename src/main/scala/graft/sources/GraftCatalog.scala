@@ -103,9 +103,18 @@ class GraftCatalog extends TableCatalog {
       case Some(v) =>
         require(GraftJsonSink.listSnapshots(dir).contains(v),
           s"table $ident has no version $v " +
-            s"(history: ${GraftJsonSink.listSnapshots(dir).mkString(", ")})")
+            s"(history: ${GraftJsonSink.listMainSnapshots(dir).mkString(", ")})")
+        // a staged-but-unpublished branch snapshot is NOT main history —
+        // serving it here would leak unaudited rows to a main reader
+        GraftJsonSink.snapshotRef(dir, v).foreach(b =>
+          throw new IllegalArgumentException(
+            s"version $v of table $ident is a staged snapshot of branch " +
+              s"'$b', not main history — read it with VERSION AS OF '$b'"))
         new GraftCatalogTable(s"$ident@v$v", dir, schema, Some(v), partitionColOf(ident))
       case None =>
+        // validate BEFORE path-resolving: a version string with path
+        // separators must not escape the table directory
+        GraftJsonSink.requireBranchName(version)
         require(Files.exists(dir.resolve(GraftJsonSink.branchManifest(version))),
           s"table $ident has no version or branch '$version' " +
             s"(branches: ${GraftJsonSink.listBranches(dir).mkString(", ")})")
@@ -123,7 +132,9 @@ class GraftCatalog extends TableCatalog {
     if (!Files.exists(f)) throw new NoSuchTableException(ident)
     val dir = dirFor(ident)
     val tsMillis = timestamp / 1000L
-    val chosen = GraftJsonSink.listSnapshots(dir).filter { v =>
+    // main snapshots only: a concurrently staged branch state must never
+    // satisfy a main reader's TIMESTAMP AS OF
+    val chosen = GraftJsonSink.listMainSnapshots(dir).filter { v =>
       Files.getLastModifiedTime(
         dir.resolve(s"${GraftJsonSink.SnapshotPrefix}$v.json")).toMillis <= tsMillis
     }.lastOption.getOrElse(throw new IllegalArgumentException(
@@ -605,7 +616,8 @@ object GraftCatalog {
     * what was audited is exactly what main becomes. Returns the snapshot
     * version the publish recorded. The branch is consumed.
     */
-  def publishBranch(tableDir: Path, branch: String): Long =
+  def publishBranch(tableDir: Path, branch: String): Long = {
+    GraftJsonSink.requireBranchName(branch)
     GraftJsonSink.withCommitLock(tableDir) {
       val head = tableDir.resolve(GraftJsonSink.ManifestName)
       val bm = tableDir.resolve(GraftJsonSink.branchManifest(branch))
@@ -626,24 +638,38 @@ object GraftCatalog {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Files.deleteIfExists(fork)
+      // fold the branch's snapshots into main history (fast-forward:
+      // its commit chain is now literally main's ancestry), then record
+      // the published head as the next main snapshot
+      GraftJsonSink.promoteBranchSnapshots(tableDir, branch)
       GraftJsonSink.snapshotManifest(tableDir)
     }
+  }
 
   /** Drop an unpublished branch; its staged data files become orphans
     * that [[expireSnapshots]] sweeps once their snapshots age out.
     */
-  def dropBranch(tableDir: Path, branch: String): Unit =
+  def dropBranch(tableDir: Path, branch: String): Unit = {
+    GraftJsonSink.requireBranchName(branch)
     GraftJsonSink.withCommitLock(tableDir) {
       Files.deleteIfExists(tableDir.resolve(GraftJsonSink.branchManifest(branch)))
       Files.deleteIfExists(tableDir.resolve(GraftJsonSink.branchFork(branch)))
-      ()
+      // a rejected branch leaves no trace in numbered history; its data
+      // files become orphans that expireSnapshots sweeps
+      GraftJsonSink.dropBranchSnapshots(tableDir, branch)
     }
+  }
 
   def expireSnapshots(tableDir: Path, olderThanMillis: Long): (Seq[Long], Seq[String]) =
     GraftJsonSink.withCommitLock(tableDir) {
       val cutoff = System.currentTimeMillis() - olderThanMillis
       val all = GraftJsonSink.listSnapshots(tableDir)
-      val expired = all.dropRight(1).filter { v =>
+      // the latest MAIN snapshot is always retained (branch-staged
+      // snapshots are expirable like any other; their data files are
+      // still pinned by the live branch head below)
+      val keepLatest = GraftJsonSink.listMainSnapshots(tableDir).lastOption
+        .orElse(all.lastOption)
+      val expired = all.filterNot(keepLatest.contains).filter { v =>
         Files.getLastModifiedTime(
           tableDir.resolve(s"${GraftJsonSink.SnapshotPrefix}$v.json")).toMillis < cutoff
       }

@@ -60,8 +60,9 @@ object GraftJsonSink {
 
   /** Branch head manifest (write-audit-publish). A branch is a named
     * manifest alongside the main one: branch commits fold into it and
-    * snapshot into the SHARED version sequence, so branch states time-
-    * travel like any commit; main readers never consult it. See
+    * snapshot into the shared NUMBERING tagged with their branch ref,
+    * invisible to main's numeric/timestamp time travel until publish
+    * folds them in; main readers never consult the branch head. See
     * [[GraftCatalog.createBranch]] / `publishBranch`.
     */
   def branchManifest(branch: String): String = s"$BranchPrefix$branch.json"
@@ -250,17 +251,86 @@ object GraftJsonSink {
   private[sources] def snapshotManifest(dir: Path): Long =
     snapshotManifest(dir, ManifestName)
 
-  /** Snapshot `sourceName`'s current content into the shared version
-    * sequence (main and branch commits share one history — a branch
-    * state is as immutable and time-travelable as any other).
+  /** Snapshot `sourceName`'s current content into the numbered version
+    * sequence. Branch commits share main's NUMBERING but not its
+    * HISTORY: a snapshot taken from a branch manifest is tagged with a
+    * `"ref":"<branch>"` field, and every main read path (numeric
+    * VERSION AS OF, TIMESTAMP AS OF, the streaming tailer) consults
+    * only untagged snapshots — staged-but-unpublished branch states are
+    * never observable through main, the WAP contract. Publish folds the
+    * branch's snapshots into main history ([[promoteBranchSnapshots]]);
+    * drop deletes them ([[dropBranchSnapshots]]).
     */
   private[sources] def snapshotManifest(dir: Path, sourceName: String): Long = {
     val next = listSnapshots(dir).lastOption.getOrElse(0L) + 1
-    Files.copy(dir.resolve(sourceName),
-      dir.resolve(s"$SnapshotPrefix$next.json"),
-      StandardCopyOption.REPLACE_EXISTING)
+    val target = dir.resolve(s"$SnapshotPrefix$next.json")
+    if (sourceName == ManifestName) {
+      Files.copy(dir.resolve(sourceName), target,
+        StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val branch =
+        sourceName.substring(BranchPrefix.length, sourceName.length - 5)
+      val text = new String(
+        Files.readAllBytes(dir.resolve(sourceName)), StandardCharsets.UTF_8)
+      Files.write(target,
+        tagRef(text, branch).getBytes(StandardCharsets.UTF_8))
+    }
     next
   }
+
+  /** Insert `"ref":"<branch>"` before the manifest's closing brace. */
+  private def tagRef(manifestText: String, branch: String): String = {
+    val i = manifestText.lastIndexOf('}')
+    require(i >= 0, "malformed manifest (no closing brace)")
+    manifestText.substring(0, i) + ",\"ref\":\"" + branch + "\"" +
+      manifestText.substring(i)
+  }
+
+  private val RefRe = "\"ref\"\\s*:\\s*\"([^\"]+)\"".r
+
+  /** The branch a snapshot was staged on, or None for a main snapshot
+    * (legacy untagged files are main by construction).
+    */
+  def snapshotRef(dir: Path, version: Long): Option[String] = {
+    val m = dir.resolve(s"$SnapshotPrefix$version.json")
+    if (!Files.exists(m)) return None
+    RefRe.findFirstMatchIn(
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+      .map(_.group(1))
+  }
+
+  /** Snapshot versions belonging to MAIN history, ascending — the only
+    * versions numeric VERSION AS OF / TIMESTAMP AS OF / streaming
+    * offsets may resolve to.
+    */
+  def listMainSnapshots(dir: Path): Seq[Long] =
+    listSnapshots(dir).filter(v => snapshotRef(dir, v).isEmpty)
+
+  /** Publish-time fold: re-tag `branch`'s snapshots as main history.
+    * Sound because publish is fast-forward-only — the branch forked at
+    * main's then-head and main has not advanced since, so the branch's
+    * commit chain IS main's ancestry once published (the Iceberg
+    * fast-forward model). Returns the promoted versions.
+    */
+  private[sources] def promoteBranchSnapshots(dir: Path, branch: String): Seq[Long] = {
+    val promoted = listSnapshots(dir).filter(v => snapshotRef(dir, v).contains(branch))
+    promoted.foreach { v =>
+      val m = dir.resolve(s"$SnapshotPrefix$v.json")
+      val text = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+      val cleaned = text.replaceFirst(",\"ref\"\\s*:\\s*\"" +
+        java.util.regex.Pattern.quote(branch) + "\"", "")
+      Files.write(m, cleaned.getBytes(StandardCharsets.UTF_8))
+    }
+    promoted
+  }
+
+  /** Drop-time sweep: a rejected branch's snapshots leave history
+    * entirely (its data files become orphans for expireSnapshots).
+    */
+  private[sources] def dropBranchSnapshots(dir: Path, branch: String): Unit =
+    listSnapshots(dir).filter(v => snapshotRef(dir, v).contains(branch))
+      .foreach(v => Files.deleteIfExists(
+        dir.resolve(s"$SnapshotPrefix$v.json")))
 
   /** Streaming-transaction markers committed with the manifest swap:
     * appId → highest applied writer version (e.g. foreachBatch batchId).
@@ -516,8 +586,8 @@ private[sources] class GraftJsonBatchWrite(
     Files.write(tmpManifest, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmpManifest, dir.resolve(manifestTarget),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // history entry for VERSION AS OF (branch states snapshot into the
-    // same sequence — they are as immutable as any main commit)
+    // history entry for VERSION AS OF (branch commits are tagged with
+    // their ref and stay invisible to main time travel until publish)
     GraftJsonSink.snapshotManifest(dir, manifestTarget)
     // stats sidecar AFTER the commit point: advisory skipping metadata —
     // prior entries are kept (filenames are write-unique; replace-mode

@@ -50,8 +50,11 @@ private[sources] class GraftTableStream(
   override def initialOffset(): Offset = SnapshotOffset(epoch, 0L)
 
   override def latestOffset(): Offset =
+    // main snapshots only: a staged branch snapshot in the offset range
+    // would make the tailer emit unpublished rows (or fail the append-
+    // only check against branch-only files)
     SnapshotOffset(epoch,
-      GraftJsonSink.listSnapshots(dir).lastOption.getOrElse(0L))
+      GraftJsonSink.listMainSnapshots(dir).lastOption.getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset = {
     val idx = json.lastIndexOf('/')

@@ -96,7 +96,7 @@ class WapBranchSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("createBranch")))
   }
 
-  test("branch commits snapshot into shared history; aggregates push down on branch reads") {
+  test("branch snapshots stay out of main history until publish; aggregates push down on branch reads") {
     import spark.implicits._
     val (t, dir) = freshTable()
     Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo(t).append()
@@ -108,11 +108,61 @@ class WapBranchSpec extends AnyFunSuite {
     assert(n == 3L)
     // main count unchanged
     assert(spark.table(t).count() == 2L)
-    // the branch state is also a time-travelable snapshot
-    val versions = GraftJsonSink.listSnapshots(dir)
-    assert(versions.nonEmpty)
-    val branchSnap = versions.map(v =>
-      GraftJsonSink.readManifestVersion(dir, v)._1).max
-    assert(branchSnap == 3L)
+    // the staged snapshot is ref-tagged and NOT part of main history
+    val staged = GraftJsonSink.listSnapshots(dir)
+      .filter(v => GraftJsonSink.snapshotRef(dir, v).contains("audit"))
+    assert(staged.nonEmpty)
+    assert(GraftJsonSink.listMainSnapshots(dir).intersect(staged).isEmpty)
+    // numeric VERSION AS OF of a staged snapshot refuses loudly instead
+    // of leaking unaudited rows to a main reader
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF ${staged.head}").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("branch 'audit'")))
+    // TIMESTAMP AS OF "now" resolves to the latest MAIN state (2 rows),
+    // not the younger staged branch snapshot
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $t TIMESTAMP AS OF '2035-01-01 00:00:00'")
+      .head().getLong(0) == 2L)
+    // publish folds the staged snapshot into main history
+    GraftCatalog.publishBranch(dir, "audit")
+    assert(GraftJsonSink.snapshotRef(dir, staged.head).isEmpty)
+    assert(GraftJsonSink.listMainSnapshots(dir).contains(staged.head))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF ${staged.head}")
+      .head().getLong(0) == 3L)
+  }
+
+  test("dropped branch leaves no numbered-history entries") {
+    import spark.implicits._
+    val (t, dir) = freshTable()
+    Seq((1L, "base")).toDF("k", "v").writeTo(t).append()
+    GraftCatalog.createBranch(dir, "audit")
+    Seq((2L, "staged")).toDF("k", "v")
+      .writeTo(t).option("branch", "audit").append()
+    val staged = GraftJsonSink.listSnapshots(dir)
+      .filter(v => GraftJsonSink.snapshotRef(dir, v).contains("audit"))
+    assert(staged.nonEmpty)
+    GraftCatalog.dropBranch(dir, "audit")
+    // the staged snapshots are gone; main history is exactly its own commits
+    assert(GraftJsonSink.listSnapshots(dir).intersect(staged).isEmpty)
+    assert(GraftJsonSink.listSnapshots(dir) ==
+      GraftJsonSink.listMainSnapshots(dir))
+  }
+
+  test("branch names with path separators are rejected before path resolution") {
+    val (t, dir) = freshTable()
+    // VERSION AS OF '<str>' reaches loadTable(ident, version) — the arm
+    // the SQL-parser [\w-]+ validation does NOT cover
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF '../escape'").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("branch name")))
+    intercept[IllegalArgumentException] { GraftCatalog.dropBranch(dir, "../x") }
+    intercept[IllegalArgumentException] { GraftCatalog.publishBranch(dir, "a/b") }
+    intercept[IllegalArgumentException] { GraftCatalog.createBranch(dir, "a/../b") }
   }
 }
