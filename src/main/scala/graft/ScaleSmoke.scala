@@ -165,7 +165,20 @@ object ScaleSmoke {
     // hash instead — identical duplicate-span count (collision-free at
     // these cardinalities; use the 128-bit md5 at 100 TB where ~1e12
     // windows make 64-bit birthday collisions plausible) for a fraction
-    // of the bytes in motion.
+    // of the bytes in motion. Both variants use the gate's two-level
+    // aggregate (NOT count_distinct, whose distinct-expand plans to the
+    // same shape anyway) so this measures exactly the shipped plan.
+    //
+    // Methodology (the r8 artifact showed hash 2.6x SLOWER at 1M while
+    // 3x faster at 10M — diagnosed with SpanProbe as run-order + GC
+    // noise, not an algorithmic crossover): the hashed variant runs
+    // FIRST, and at <= 2M docs each variant is min-of-2 so one noisy
+    // run inside this long-lived 8 GB JVM can't invert the comparison.
+    // Per-stage metrics show the residual 15-24 GB memory spill lives
+    // in the 32 reduce-side aggregate tasks sharing the harness's small
+    // execution pool (~150 MB/task) — a harness-heap constraint, not a
+    // plan property; the map side (scan+explode+partial agg) never
+    // spills. At 10M a single run suffices (runtime swamps noise).
     val spanToks = split(col("text"), " ")
     val spanStarts = when(size(spanToks) >= 8,
       sequence(lit(1), size(spanToks) - 7))
@@ -173,17 +186,19 @@ object ScaleSmoke {
     val spans = dupDocs.select(col("doc_id"),
       explode(transform(spanStarts,
         i => array_join(slice(spanToks, i, lit(8)), " "))).as("span"))
-    val (tSpanText, nSpanText, bSpanText) = shuffleBytes {
-      spans.groupBy(col("span"))
-        .agg(count_distinct(col("doc_id")).as("n_docs"))
+    def spanAgg(keyed: org.apache.spark.sql.DataFrame, key: String): Long =
+      keyed.groupBy(col(key), col("doc_id")).agg(count(lit(1)).as("occ"))
+        .groupBy(col(key)).agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2).count()
-    }
-    val (tSpanHash, nSpanHash, bSpanHash) = shuffleBytes {
-      spans.select(col("doc_id"), xxhash64(col("span")).as("h"))
-        .groupBy(col("h"))
-        .agg(count_distinct(col("doc_id")).as("n_docs"))
-        .filter(col("n_docs") >= 2).count()
-    }
+    val spanRuns = if (nDocs <= 2000000L) 2 else 1
+    def minOf(runs: Int)(body: => (Double, Long, Long)): (Double, Long, Long) =
+      (1 to runs).map(_ => body).minBy(_._1)
+    val (tSpanHash, nSpanHash, bSpanHash) = minOf(spanRuns)(shuffleBytes {
+      spanAgg(spans.select(col("doc_id"), xxhash64(col("span")).as("h")), "h")
+    })
+    val (tSpanText, nSpanText, bSpanText) = minOf(spanRuns)(shuffleBytes {
+      spanAgg(spans, "span")
+    })
     require(nSpanHash == nSpanText,
       s"hashed span dedup diverged: $nSpanHash vs $nSpanText")
     val dom = nDocs * 10

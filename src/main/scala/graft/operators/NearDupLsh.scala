@@ -60,19 +60,49 @@ object NearDupLsh {
     * would otherwise all collide in every band (one degenerate bucket),
     * so they are dropped here.
     */
-  def signatures(docs: DataFrame): DataFrame = {
-    GraftFunctions.register(docs.sparkSession)
-    docs
-      .select(col("doc_id"),
-        GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", GraftFunctions.minhash_sig(col("sh")))
+  def signatures(docs: DataFrame): DataFrame =
+    sigRelation(docs)
       .withColumn("bands", array((0 until Bands).map { j =>
         hash((j * RowsPerBand until (j + 1) * RowsPerBand)
           .map(i => col("sig")(i)): _*)
       }: _*))
       .drop("sig")
+
+  /** (doc_id, sh, sig) with short docs dropped. The filter predicate is
+    * deliberately the CHEAP token-count test, not `size(sh) > 0`:
+    * predicate pushdown substitutes aliases, so an sh-referencing filter
+    * lands on the scan as a second full `ngram_hashes` evaluation per
+    * row (tokens >= 3 ⟺ at least one shingle, so semantics match).
+    */
+  private def sigRelation(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
+      .withColumn("sig", GraftFunctions.minhash_sig(col("sh")))
   }
+
+  /** (doc_id, band, band_hash) for an in-line corpus — the banding step
+    * of `pairs`/`pairsAgainst`. The band index explodes from a LITERAL
+    * 0..7 array and each band hash is computed AFTER the explode from
+    * the carried sig. Order matters: `posexplode(bands)` over the
+    * computed array makes InferFiltersFromGenerate emit a
+    * `size(bands) > 0` guard whose pushdown inlines the full
+    * minhash-over-ngram pipeline once per array slot — 32 extra
+    * signature evaluations per row at the scan (measured 30-50x the
+    * whole signature pass at 1M docs). The literal-array explode's
+    * inferred guard constant-folds away, and the hash-after-explode
+    * values are bitwise-identical to the persisted index's `bands[j]`.
+    */
+  private def bandRows(docs: DataFrame): DataFrame =
+    sigRelation(docs)
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        hash((0 until RowsPerBand).map(i =>
+          element_at(col("sig"), col("band") * RowsPerBand + i + 1)): _*)
+          .as("band_hash"))
 
   /** Append a batch's signatures to the persisted index — an append-only
     * parquet artifact (build once at corpus ingest, append each accepted
@@ -98,29 +128,16 @@ object NearDupLsh {
     * if the corpus is boilerplate-heavy; `pairs` has the in-line guard.
     */
   def pairsAgainstIndex(newDocs: DataFrame, index: DataFrame,
-      threshold: Double): DataFrame = {
-    val spark = newDocs.sparkSession
-    GraftFunctions.register(spark)
-    // def, not val: recomputed per consumer (bands + rescore) — O(batch)
-    // compute twice beats materializing anything on the serve path
-    def newSigs = signatures(newDocs)
-    val newBands = newSigs.select(col("doc_id").as("new_id"),
-      posexplode(col("bands")).as(Seq("band", "band_hash")))
-    val corpusBands = index.select(col("doc_id").as("old_id"),
-      posexplode(col("bands")).as(Seq("band", "band_hash")))
-    val candidates = corpusBands
-      .join(broadcast(newBands), Seq("band", "band_hash"))
-      .select(col("new_id"), col("old_id"))
-      .dropDuplicates("new_id", "old_id")
-    val withOld = index.select(col("doc_id").as("old_id"), col("sh").as("sh_b"))
-      .join(broadcast(candidates), Seq("old_id"))
-    withOld
-      .join(newSigs.select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
-        Seq("new_id"))
-      .select(col("new_id"), col("old_id"),
-        GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+      threshold: Double): DataFrame =
+    // the index's `bands` is a SCAN attribute (parquet column), so
+    // posexplode over it infers only a harmless size guard on the
+    // column — no recompute risk (unlike an in-line computed array,
+    // see bandRows)
+    pairsAgainstImpl(newDocs,
+      index.select(col("doc_id").as("old_id"),
+        posexplode(col("bands")).as(Seq("band", "band_hash"))),
+      index.select(col("doc_id").as("old_id"), col("sh").as("sh_b")),
+      threshold)
 
   /** Incremental flavor without a persisted index: the corpus signatures
     * are recomputed from text — O(corpus) compute per call, so this is
@@ -128,7 +145,32 @@ object NearDupLsh {
     * pairsAgainstIndex per batch.
     */
   def pairsAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame =
-    pairsAgainstIndex(newDocs, signatures(corpus), threshold)
+    pairsAgainstImpl(newDocs,
+      bandRows(corpus).withColumnRenamed("doc_id", "old_id"),
+      corpus.select(col("doc_id").as("old_id"),
+        GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh_b")),
+      threshold)
+
+  private def pairsAgainstImpl(newDocs: DataFrame, corpusBands: DataFrame,
+      corpusSets: DataFrame, threshold: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    GraftFunctions.register(spark)
+    // the batch side recomputes from scan per consumer (bands + rescore)
+    // — O(batch) compute twice beats materializing on the serve path
+    val newBands = bandRows(newDocs).withColumnRenamed("doc_id", "new_id")
+    val candidates = corpusBands
+      .join(broadcast(newBands), Seq("band", "band_hash"))
+      .select(col("new_id"), col("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    val withOld = corpusSets
+      .join(broadcast(candidates), Seq("old_id"))
+    withOld
+      .join(sigRelation(newDocs).select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
+        Seq("new_id"))
+      .select(col("new_id"), col("old_id"),
+        GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 
   /** Near-dup pairs (doc_a < doc_b, jaccard >= threshold). `docs` needs
     * columns (doc_id, text).
@@ -153,9 +195,7 @@ object NearDupLsh {
     // relation (and the whole signature subtree above it) is consumed
     // exactly once — a band self-JOIN would read it twice, forcing the
     // cache this operator used to carry
-    val bandRows = signatures(docs).select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band", "band_hash")))
-    val buckets = bandRows
+    val buckets = bandRows(docs)
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
