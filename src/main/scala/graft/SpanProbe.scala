@@ -68,6 +68,21 @@ object SpanProbe {
         .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("occ"))
         .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2)
+      // restructured: cheap pre-filter, explode the start-index sequence,
+      // build the span AFTER the explode from the carried toks attribute —
+      // no expensive array in the generator input (so the inferred
+      // size-guard stays cheap) and no per-element split re-evaluation
+      // inside an interpreted transform() lambda
+      case "hashPost" => dupDocs
+        .filter(size(split(col("text"), " ")) >= 8)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 7)).as("i"))
+        .select(col("doc_id"),
+          xxhash64(array_join(slice(col("toks"), col("i"), lit(8)), " ")).as("h"))
+        .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("occ"))
+        .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
       case other => sys.error(s"unknown variant $other")
     }
 

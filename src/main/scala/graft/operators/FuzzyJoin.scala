@@ -23,14 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** All variants of column `name` with at most one character deleted
-    * (including the string itself), deduplicated — repeated characters
-    * collapse to one variant.
+  /** Variant of column `name` with the character at 1-based position `i`
+    * deleted; `i = 0` is the string itself. Computed per exploded row
+    * rather than as one pre-built array: exploding a computed variant
+    * array lets InferFiltersFromGenerate push a size guard that builds
+    * the whole array a second time at the scan, and the transform()
+    * lambda runs interpreted. Repeated characters now yield duplicate
+    * variants (the old array_distinct collapsed them) — duplicates only
+    * add candidate rows that dropDuplicates already removes.
     */
-  private def deletionVariants(name: String) = expr(
-    s"array_distinct(concat(array($name), " +
-      s"transform(sequence(1, char_length($name)), i -> " +
-      s"concat(substr($name, 1, i - 1), substr($name, i + 1)))))")
+  private def deletionVariant(name: String, idx: String) = expr(
+    s"CASE WHEN $idx = 0 THEN $name " +
+      s"ELSE concat(substr($name, 1, $idx - 1), substr($name, $idx + 1)) END")
 
   /** Pairs (id_a < id_b) of `rel` rows whose `strCol` values are within
     * levenshtein distance 1, with the exact distance.
@@ -42,8 +46,8 @@ object FuzzyJoin {
     val variants = rel
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .select(col("id"), col("s"),
-        explode(deletionVariants("s")).as("vtext"))
-      .select(col("id"), col("s"), xxhash64(col("vtext")).as("v"))
+        explode(sequence(lit(0), char_length(col("s")))).as("i"))
+      .select(col("id"), col("s"), xxhash64(deletionVariant("s", "i")).as("v"))
     variants.as("a")
       .join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.id") < col("b.id"))

