@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** k=32 MinHash signature over an array of tokens (Broder 1997, "On the
@@ -90,7 +91,7 @@ object MinHashSig {
       }
       t += 1
     }
-    new GenericArrayData(sig)
+    UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
   /** Signature over already-hashed elements (e.g. [[NGramHashes]]). */
@@ -108,7 +109,7 @@ object MinHashSig {
       }
       t += 1
     }
-    new GenericArrayData(sig)
+    UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
   /** Public alias of the finalizer for sibling expressions. */

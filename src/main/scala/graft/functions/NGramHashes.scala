@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Sorted distinct 64-bit hashes of the word-3-grams of a token array,
@@ -45,7 +46,7 @@ object NGramHashes {
 
   def hashes(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()
-    if (n < N) return new GenericArrayData(Array.emptyLongArray)
+    if (n < N) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     // hash each token once
     val th = new Array[Long](n)
     var i = 0
@@ -76,6 +77,6 @@ object NGramHashes {
       if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, w))
   }
 }

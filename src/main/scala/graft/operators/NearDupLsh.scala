@@ -68,6 +68,16 @@ object NearDupLsh {
       }: _*))
       .drop("sig")
 
+  /** Non-nullable shingle hashes: coalescing the (nullable) text makes
+    * the whole expression non-nullable, so downstream null-intolerant
+    * consumers (sorted_set_jaccard in a filter) never generate an
+    * IsNotNull(sh) constraint — which pushdown would otherwise
+    * substitute into the scan as a SECOND full ngram pass per row. Null
+    * text maps to an empty shingle set, which no candidate ever joins.
+    */
+  private def shExpr: Column =
+    GraftFunctions.ngram_hashes(split(coalesce(col("text"), lit("")), " "))
+
   /** (doc_id, sh, sig) with short docs dropped. The filter predicate is
     * deliberately the CHEAP token-count test, not `size(sh) > 0`:
     * predicate pushdown substitutes aliases, so an sh-referencing filter
@@ -78,8 +88,7 @@ object NearDupLsh {
     GraftFunctions.register(docs.sparkSession)
     docs
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"),
-        GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
+      .select(col("doc_id"), shExpr.as("sh"))
       .withColumn("sig", GraftFunctions.minhash_sig(col("sh")))
   }
 
@@ -148,7 +157,7 @@ object NearDupLsh {
     pairsAgainstImpl(newDocs,
       bandRows(corpus).withColumnRenamed("doc_id", "old_id"),
       corpus.select(col("doc_id").as("old_id"),
-        GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh_b")),
+        shExpr.as("sh_b")),
       threshold)
 
   private def pairsAgainstImpl(newDocs: DataFrame, corpusBands: DataFrame,
@@ -219,7 +228,7 @@ object NearDupLsh {
     // arrays — one corpus scan + ngram pass instead of two, and the
     // arrays regroup on the tiny pair key, never on a corpus-sized one
     val sets = docs.select(col("doc_id"),
-      GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
+      shExpr.as("sh"))
     val stacked = candidates
       .select(explode(array(
         struct(struct(col("doc_a"), col("doc_b")).as("pair"),

@@ -41,7 +41,10 @@ object Dedup {
     */
   private def spanStarts(docs: DataFrame, k: Int): DataFrame =
     docs.filter(size(split(col("text"), " ")) >= k)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // coalesce makes toks (hence every span built from it) non-nullable,
+      // so join keys on spans never generate an IsNotNull constraint that
+      // would re-evaluate the span construction in a pushed filter
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"))
 

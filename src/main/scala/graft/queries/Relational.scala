@@ -257,8 +257,14 @@ object Relational {
     GraftQuery(
       "q_window_running_sum",
       (s, dir) => {
+        // l_quantity tiebreaker: the synthetic lineitem has duplicate
+        // (l_orderkey, l_linenumber) pairs (found by the sf0.1 sweep —
+        // one ROWS-frame prefix sum in 600k differed cross-engine), so
+        // the date/key order alone is not total. Rows tying on ALL four
+        // columns yield identical prefix sums in any order.
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc, col("l_quantity").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.table(s, dir, "lineitem")
           .select(
@@ -267,7 +273,7 @@ object Relational {
       },
       Some("SELECT l_suppkey, l_orderkey, l_linenumber, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER " +
-        "(PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC " +
+        "(PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty " +
         "FROM lineitem")),
 

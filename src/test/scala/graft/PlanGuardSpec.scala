@@ -325,4 +325,34 @@ class PlanGuardSpec extends AnyFunSuite {
     // the only nested-loop join allowed is the 1-row stage-count attach
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
+
+  // Generate-guard regression: exploding a COMPUTED array lets
+  // InferFiltersFromGenerate push a size guard whose alias substitution
+  // re-evaluates the array-building pipeline at the scan — once per
+  // referenced slot (32x for the old posexplode(bands), measured 30-50x
+  // the signature pass at 1M docs). These queries explode literal/cheap
+  // index sequences instead; a refactor back to the array shape shows up
+  // as the expensive expression appearing inside a Filter condition, or
+  // as the expression fanning out across the plan.
+  private def filterLines(name: String): Seq[String] =
+    plan(name).linesIterator.filter(_.contains("Filter")).toSeq
+
+  test("LSH/simhash/span/fuzzy: no expensive expression inside a pushed filter") {
+    for ((q, bad) <- Seq(
+        "dd_minhash_lsh" -> Seq("minhash_sig(", "ngram_hashes("),
+        "dd_incremental_lsh" -> Seq("minhash_sig(", "ngram_hashes("),
+        "dd_simhash_pairs" -> Seq("simhash64("),
+        "dd_span_dupes" -> Seq("array_join("),
+        "dd_span_dupes_hashed" -> Seq("array_join(", "md5("),
+        "dd_contamination" -> Seq("array_join("),
+        "q_fuzzy_join" -> Seq("substr(")))
+      for (b <- bad; l <- filterLines(q))
+        assert(!l.contains(b), s"$q: expensive expr $b re-evaluated in a filter: $l")
+  }
+
+  test("dd_minhash_lsh: the signature pipeline appears once, not per band slot") {
+    val p = plan("dd_minhash_lsh")
+    assert("minhash_sig\\(".r.findAllIn(p).size <= 2,
+      "minhash_sig fanned out across the plan (generate-guard blowup):\n" + p)
+  }
 }
