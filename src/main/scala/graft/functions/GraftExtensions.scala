@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // COMPACT SMALL FILES, VACUUM ... RETAIN): non-matching statements
     // delegate verbatim to the stock parser
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    // fold inferred size(array(...)) generate-guards instead of
+    // re-running the array construction at the scan
+    ext.injectOptimizerRule(_ => graft.plans.FoldKnownArraySizeGuards)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash"),

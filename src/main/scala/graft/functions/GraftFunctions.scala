@@ -51,6 +51,13 @@ object GraftFunctions {
       exprs => BloomFilterMightContain(
         exprs.head, new XxHash64(Seq(exprs(1)))),
       "scala_udf")
+    // plan hygiene that should hold wherever the engine's expressions are
+    // in use: inferred size(array(...)) generate-guards fold away instead
+    // of re-running the array construction at the scan (idempotent)
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(graft.plans.FoldKnownArraySizeGuards))
+      spark.experimental.extraOptimizations =
+        opts :+ graft.plans.FoldKnownArraySizeGuards
   }
 
   /** 64-bit polynomial rolling hash of a string column. */

@@ -200,18 +200,30 @@ object NearDupLsh {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // candidate pairs are generated INSIDE each bucket, so the band
-    // relation (and the whole signature subtree above it) is consumed
-    // exactly once — a band self-JOIN would read it twice, forcing the
-    // cache this operator used to carry
+    // Bucket sizes via a WINDOW over the band key, so over-cap rows are
+    // dropped BEFORE any per-bucket list materializes: a collect_list +
+    // size filter would still BUILD the degenerate bucket's list in one
+    // aggregation buffer — measured as a single 128 MB allocation
+    // OOMing the 10M ScaleSmoke corpus (tiny vocabulary ⇒ band buckets
+    // of ~16M docs). WindowExec buffers each bucket in a spillable
+    // external row array (graceful disk spill, never one giant array),
+    // the window's exchange+sort is REUSED by the following groupBy
+    // (same key), and the post-filter collect_list is bounded by
+    // maxBucket. Metrics ride the main data path (per-bucket stats
+    // taken at each bucket's first row), still one corpus pass.
+    val bySize = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val byDoc = bySize.orderBy(col("doc_id"))
     val buckets = bandRows(docs)
+      .withColumn("n", count(lit(1)).over(bySize))
+      .withColumn("rn", row_number().over(byDoc))
+      .observe("graft_lsh_buckets",
+        sum(when(col("rn") === 1 && col("n") > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        max(when(col("n") > 1, col("n"))).cast("int").as("max_bucket"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .observe("graft_lsh_buckets",
-        sum(when(size(col("ds")) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
-        max(size(col("ds"))).as("max_bucket"))
-      .filter(size(col("ds")) <= maxBucket)
     val candidates = buckets
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       // only partners later in doc order: halves the fan-out pre-explode

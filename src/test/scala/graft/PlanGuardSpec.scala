@@ -294,13 +294,14 @@ class PlanGuardSpec extends AnyFunSuite {
     * joins on real statistics.
     */
   private def forcesArrayBroadcast(name: String): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
-    def hasArrayOutput(p: LogicalPlan): Boolean =
-      p.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) ||
-        p.children.exists(hasArrayOutput)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // only the hint root's OUTPUT is the broadcast payload — arrays
+    // consumed and collapsed by aggregates/projections BELOW the hint
+    // (e.g. a tiny hot-key list derived from the shingle relation)
+    // never travel through the broadcast
     SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
       .collect { case h: ResolvedHint if h.hints.strategy.nonEmpty => h }
-      .exists(hasArrayOutput)
+      .exists(_.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
   }
 
   test("dd_ngram_jaccard: shingle arrays never force-broadcast; nothing cached on the timed path") {
