@@ -99,6 +99,19 @@ object LshProbe {
       case "cand" => candidates(dupDocs).count()
       case "full" => operators.NearDupLsh.pairs(dupDocs, 0.8d).count()
       case "fullLo" => operators.NearDupLsh.pairs(dupDocs, 0.5d).count()
+      // the 10M OOM shape at reduced size: tiny default vocabulary ⇒
+      // degenerate band buckets of millions of rows; must complete in
+      // bounded memory with the cap dropping them pre-materialization
+      case "degenerate" => {
+        val tiny = spark.read
+          .format("graft.sources.SyntheticDocsSource")
+          .option("rows", nDocs)
+          .option("partitions", cpus.toInt * 2)
+          .option("seed", 42)
+          .load()
+          .select(col("doc_id"), col("text"))
+        operators.NearDupLsh.pairs(tiny, 0.5d).count()
+      }
       case "explain" => {
         operators.NearDupLsh.signatures(dupDocs)
           .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_hash")))

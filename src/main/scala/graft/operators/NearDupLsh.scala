@@ -200,30 +200,36 @@ object NearDupLsh {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // Bucket sizes via a WINDOW over the band key, so over-cap rows are
-    // dropped BEFORE any per-bucket list materializes: a collect_list +
-    // size filter would still BUILD the degenerate bucket's list in one
-    // aggregation buffer — measured as a single 128 MB allocation
-    // OOMing the 10M ScaleSmoke corpus (tiny vocabulary ⇒ band buckets
-    // of ~16M docs). WindowExec buffers each bucket in a spillable
-    // external row array (graceful disk spill, never one giant array),
-    // the window's exchange+sort is REUSED by the following groupBy
-    // (same key), and the post-filter collect_list is bounded by
-    // maxBucket. Metrics ride the main data path (per-bucket stats
-    // taken at each bucket's first row), still one corpus pass.
-    val bySize = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_hash"))
-    val byDoc = bySize.orderBy(col("doc_id"))
-    val buckets = bandRows(docs)
-      .withColumn("n", count(lit(1)).over(bySize))
-      .withColumn("rn", row_number().over(byDoc))
+    // Two-phase bucket build: over-cap keys are found by a COUNT-ONLY
+    // aggregate (constant memory per key, no sort) and their rows
+    // removed by an anti-join BEFORE any per-bucket structure exists.
+    // Single-phase alternatives all concentrate a degenerate bucket in
+    // one task: collect_list builds the full list in one aggregation
+    // buffer (a single 128 MB allocation for a ~16M-doc bucket OOMed
+    // the 10M tiny-vocabulary ScaleSmoke corpus), and a window count
+    // sorts that bucket in one task (the sorter's 2^24-entry pointer
+    // array is the same 128 MB allocation). Here phase 1 is a plain
+    // hash aggregate, the anti-join streams (shuffled hash, build =
+    // the tiny hot-key list), its probe-side exchange on the band key
+    // is reused by the groupBy, and the post-anti collect_list is
+    // bounded by maxBucket. The anti-join is deliberately NOT a
+    // broadcast: CollectMetrics under a broadcast build stage never
+    // reaches QueryExecution.observedMetrics, and the probe shuffle is
+    // needed by the groupBy anyway. The band relation computes twice
+    // (counts + main) — two cheap narrow passes beat a cache at 100 TB.
+    val counts = bandRows(docs)
+      .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
       .observe("graft_lsh_buckets",
-        sum(when(col("rn") === 1 && col("n") > maxBucket, 1L).otherwise(0L))
-          .as("dropped_buckets"),
-        max(when(col("n") > 1, col("n"))).cast("int").as("max_bucket"))
-      .filter(col("n") > 1 && col("n") <= maxBucket)
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(col("n")).cast("int").as("max_bucket"))
+    val hot = counts.filter(col("n") > maxBucket)
+      .select(col("band"), col("band_hash"))
+    val buckets = bandRows(docs)
+      .join(hot.hint("shuffle_hash"), Seq("band", "band_hash"), "left_anti")
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
     val candidates = buckets
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       // only partners later in doc order: halves the fan-out pre-explode
