@@ -644,6 +644,58 @@ object Pipeline {
         "quantile_disc(CAST(len(string_split(text, ' ')) AS BIGINT), 0.5) AS p50_toks, " +
         "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
         "CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio " +
-        "FROM documents")
+        "FROM documents")),
+
+    // Global training-order shuffle, the scale-correct way: a true global
+    // sort of 100 TB for "random" example order is one giant range
+    // exchange; training pipelines instead shard by a hash prefix and
+    // order WITHIN each shard — readers consume shards independently and
+    // the concatenated order is deterministic and statistically shuffled.
+    // One shuffle on the 256-way shard key; the per-shard window sorts
+    // only its shard (no global coordination, shard count is the
+    // parallelism knob). md5 keys make it engine- and run-reproducible.
+    GraftQuery(
+      "pipe_global_shuffle",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val keyed = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(concat(col("doc_id").cast("string"), lit(":gshuf"))).as("k"))
+          .withColumn("shard", substring(col("k"), 1, 2))
+        keyed
+          // cast: Spark row_number is INT, DuckDB's is BIGINT — same
+          // exact values, but the gate hashes typed cells
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id")))
+            .cast("long"))
+          .select(col("shard"), col("pos"), col("doc_id"))
+      },
+      Some("SELECT substr(k, 1, 2) AS shard, " +
+        "row_number() OVER (PARTITION BY substr(k, 1, 2) ORDER BY k, doc_id) AS pos, " +
+        "doc_id FROM (SELECT doc_id, " +
+        "md5(CAST(doc_id AS VARCHAR) || ':gshuf') AS k FROM documents)")),
+
+    // Soft dedup via sampling weights (the D4/SemDeDup-flavored
+    // alternative to hard removal): every member of an exact-duplicate
+    // cluster survives but carries weight 1/cluster_size, so the
+    // training-time expected contribution of each unique text is
+    // constant. One shuffle on the 16-byte fingerprint (a count window
+    // over the hash partition — never the text); the weight is a single
+    // IEEE division of exact integers, bit-identical across engines.
+    GraftQuery(
+      "pipe_dup_weight",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("fp"))))
+          .select(col("doc_id"), col("fp"),
+            (lit(1.0d) / col("cluster_size").cast("double")).as("weight"))
+      },
+      Some("SELECT doc_id, fp, 1.0 / CAST(cluster_size AS DOUBLE) AS weight " +
+        "FROM (SELECT doc_id, md5(lower(trim(text))) AS fp, " +
+        "count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS cluster_size " +
+        "FROM documents)")
   ))
 }

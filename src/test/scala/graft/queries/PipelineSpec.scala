@@ -116,4 +116,33 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getString(1).split(" ").head == firstTok(r.getLong(0)))
     }
   }
+
+  test("global shuffle covers every doc once, with contiguous per-shard " +
+    "positions and a run-stable order") {
+    val rows = q("pipe_global_shuffle")
+      .select("shard", "pos", "doc_id").collect()
+    val nDocs = Tables.table(spark, dir, "documents").count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_.getLong(2)).toSet.size == nDocs)
+    rows.groupBy(_.getString(0)).foreach { case (shard, rs) =>
+      val ps = rs.map(_.getLong(1)).sorted
+      assert(ps.toSeq == (1L to rs.length.toLong),
+        s"shard $shard positions not 1..n")
+    }
+    // determinism: a second evaluation yields the identical assignment
+    val again = q("pipe_global_shuffle").select("shard", "pos", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("dup weights: every cluster's weights sum to exactly 1.0") {
+    val rows = q("pipe_dup_weight").collect()
+    val nDocs = Tables.table(spark, dir, "documents").count()
+    assert(rows.length == nDocs)
+    rows.groupBy(_.getString(1)).foreach { case (fp, rs) =>
+      // 1/n summed n times is exact in IEEE for the cluster sizes here
+      val s = rs.map(_.getDouble(2)).sum
+      assert(math.abs(s - 1.0d) < 1e-9, s"fp $fp weight sum $s")
+    }
+  }
 }
