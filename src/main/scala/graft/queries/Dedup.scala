@@ -217,65 +217,25 @@ object Dedup {
       Some("SELECT md5(lower(trim(text))) AS fingerprint, min(doc_id) AS keep_id, " +
         "count(*) AS group_size FROM documents GROUP BY 1")),
 
-    // Blocked exact 3-gram Jaccard near-dup pairs. The n_chars ±16 range
-    // join runs as an equi join on length buckets (probe side exploded to
-    // the 3 adjacent buckets) + exact residual filter — the formulation
-    // that scales: no all-pairs, shuffle only on small bucket keys.
-    // Shingles are hashed to int64 once per doc so the per-pair set ops
-    // compare longs, not strings (~10x cheaper; jaccard identical w.h.p.
-    // — 64-bit collisions across a corpus are negligible).
+    // Length-blocked exact 3-gram Jaccard near-dup pairs (n_chars within
+    // ±16 AND jaccard >= 0.8). Runs as the rarest-first prefix-filter
+    // join with the char window pushed into its candidate stage: for
+    // j >= 0.8 the prefix theorem is lossless, so (prefix candidates) ∩
+    // (|Δchars| <= 16) is EXACTLY the blocked-join answer — but the
+    // candidate count is bounded by shingle rarity, not by length-bucket
+    // population. Plain length bucketing floods at scale (at sf0.1 the
+    // ±16 buckets admit 812k candidate pairs for 5k docs — 65x the
+    // corpus — and rescoring them shuffled ~1.3 GB of shingle arrays);
+    // the prefix filter admits a few hundred. Shingles are hashed to
+    // int64 once per doc so per-pair set ops compare longs, not strings
+    // (jaccard identical w.h.p. — 64-bit collisions are negligible).
     GraftQuery(
       "dd_ngram_jaccard",
-      (s, dir) => {
-        GraftFunctions.register(s)
-        val docs = Tables.table(s, dir, "documents")
+      (s, dir) => graft.operators.PrefixFilterJoin.pairs(
+        Tables.table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism) // one input file
-          .select(col("doc_id"), col("n_chars"), col("text"))
-        // candidate generation over NARROW columns only — the 4KB shingle
-        // arrays never travel through the exploded bucket join
-        val keys = docs.select(col("doc_id"), col("n_chars"))
-        val probe = keys.select(
-          col("doc_id").as("doc_a"), col("n_chars").as("chars_a"),
-          explode(array(
-            (col("n_chars") / 16).cast("long") - 1,
-            (col("n_chars") / 16).cast("long"),
-            (col("n_chars") / 16).cast("long") + 1)).as("bucket"))
-        val build = keys.select(
-          col("doc_id").as("doc_b"), col("n_chars").as("chars_b"),
-          (col("n_chars") / 16).cast("long").as("bucket"))
-        val candidates = probe.join(build, Seq("bucket"))
-          .filter(col("doc_a") < col("doc_b") &&
-            abs(col("chars_b") - col("chars_a")) <= 16)
-          .select(col("doc_a"), col("doc_b"))
-          // explicit width: the candidate set is bytes-small but
-          // compute-heavy, and AQE would coalesce it to ~1 partition,
-          // serializing the rescoring
-          .repartition(64, col("doc_a"), col("doc_b"))
-        // stacked rescore (the PrefixFilterJoin / NearDupLsh shape): the
-        // two pair sides become (pair, role, doc_id) rows so ONE shuffle
-        // join against the shingle relation attaches both arrays — the
-        // arrays regroup on the pair key; the corpus is never broadcast
-        // (a full-corpus broadcast of ~4KB arrays is an executor memory
-        // bomb at scale) and never cached
-        val sets = docs.select(col("doc_id"),
-          GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
-        val stacked = candidates
-          .select(explode(array(
-            struct(struct(col("doc_a"), col("doc_b")).as("pair"),
-              lit(0).as("role"), col("doc_a").as("doc_id")),
-            struct(struct(col("doc_a"), col("doc_b")).as("pair"),
-              lit(1).as("role"), col("doc_b").as("doc_id")))).as("x"))
-          .select(col("x.pair").as("pair"), col("x.role").as("role"),
-            col("x.doc_id").as("doc_id"))
-        stacked.join(sets, Seq("doc_id"))
-          .groupBy(col("pair"))
-          .agg(
-            first(when(col("role") === 0, col("sh")), ignoreNulls = true).as("sh_a"),
-            first(when(col("role") === 1, col("sh")), ignoreNulls = true).as("sh_b"))
-          .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"),
-            GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-          .filter(col("jaccard") >= 0.8d)
-      },
+          .select(col("doc_id"), col("n_chars"), col("text")),
+        num = 4, den = 5, charWindow = 16),
       Some("WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
         s"s AS (SELECT doc_id, n_chars, $shingleSetSql AS sh FROM t) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

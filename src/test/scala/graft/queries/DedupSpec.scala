@@ -69,4 +69,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out.agg(sum(col("group_size"))).head().getLong(0) == 500L)
     assert(out.filter(col("keep_id").isNull).count() == 0)
   }
+
+  test("ppjoin charWindow drops high-jaccard pairs outside the char window only") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val longer = base + " " + ("x" * 40) // 1 extra shingle, +41 chars
+    val docs = Seq((1L, base), (2L, longer), (3L, base))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    def run(window: Int) = graft.operators.PrefixFilterJoin
+      .pairs(docs, num = 4, den = 5, charWindow = window)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // unwindowed: all three pairs clear jaccard 0.8 (58/59 and 1.0)
+    val all = graft.operators.PrefixFilterJoin
+      .pairs(docs, num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // window 16: the +41-char doc pairs are pruned, the equal-length kept
+    assert(run(16) == Set((1L, 3L)))
+    // window large enough readmits everything — lossless residual
+    assert(run(100) == all)
+  }
 }
