@@ -131,6 +131,26 @@ object ScaleSmoke {
     }
     require(nGuard == nLshDup,
       s"guard must drop the clique and ONLY the clique: $nGuard vs $nLshDup")
+    // guarded incremental serve: the same skew protection on the
+    // O(batch) path, driven by the PERSISTED per-batch bucket stats —
+    // the hot-key list costs one tiny stats read, never an index
+    // re-aggregation. The boilerplate clique appended to the index
+    // occupies every band of the batch's own boilerplate doc, so that
+    // doc generates ZERO candidates guarded (vs clique-size pairs
+    // unguarded); the genuine batch pairs are untouched.
+    operators.NearDupLsh.writeIndex(boiler, lshIdxDir)
+    val newBoiler = spark.range(1).select(
+      lit(-1L).as("doc_id"),
+      lit("identical boilerplate footer with terms of service and a " +
+        "copyright notice repeated on every crawled page of the site").as("text"))
+    val hotKeys = operators.NearDupLsh.hotBuckets(spark, lshIdxDir, maxBucket = 1024)
+    val idxWithBoiler = operators.NearDupLsh.readIndex(spark, lshIdxDir)
+    val (tIncGuard, nIncGuard) = time {
+      operators.NearDupLsh.pairsAgainstIndex(
+        incBatch.unionByName(newBoiler), idxWithBoiler, 0.8d, Some(hotKeys)).count()
+    }
+    require(nIncGuard == nInc,
+      s"guarded incremental must drop the clique and ONLY the clique: $nIncGuard vs $nInc")
     // blocklist decontamination at corpus scale: bloom-prefiltered exact
     // anti-join vs the plain anti-join (identical result, cheaper motion).
     // The blocklist is sized past the broadcast threshold (the regime the
@@ -395,6 +415,7 @@ object ScaleSmoke {
         s""""lsh_index_build_sec":$tIdxBuild,"lsh_inc_sec":$tInc,""" +
         s""""lsh_inc_full_sec":$tIncFull,"lsh_inc_pairs":$nInc,""" +
         s""""lsh_guard_sec":$tGuard,"lsh_guard_pairs":$nGuard,""" +
+        s""""lsh_inc_guard_sec":$tIncGuard,"lsh_inc_guard_pairs":$nIncGuard,""" +
         s""""bloom_anti_sec":$tBloom,"bloom_anti_shuffle_mb":${bBloom / 1048576},""" +
         s""""plain_anti_sec":$tPlainAnti,"plain_anti_shuffle_mb":${bPlainAnti / 1048576},""" +
         s""""anti_survivors":$nBloom,""" +

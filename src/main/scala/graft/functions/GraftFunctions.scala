@@ -41,6 +41,12 @@ object GraftFunctions {
     // InjectRuntimeFilter's contract.
     registry.createOrReplaceTempFunction(
       "sum128", exprs => Sum128(exprs.head), "scala_udf")
+    // cap is a literal at call sites; evaluated once at resolution
+    registry.createOrReplaceTempFunction(
+      "collect_capped",
+      exprs => CollectCappedLongs(
+        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
     registry.createOrReplaceTempFunction(
       "bloom_filter_agg",
       exprs => new aggregate.BloomFilterAggregate(
@@ -103,6 +109,12 @@ object GraftFunctions {
     * work stays in codegen'd long arithmetic — see [[Sum128]].
     */
   def sum128(c: Column): Column = call_function("sum128", c)
+
+  /** Size-capped collect_list over a bigint column with the true group
+    * count: struct(ds: all elements iff n <= cap else empty, n).
+    */
+  def collect_capped(c: Column, cap: Int): Column =
+    call_function("collect_capped", c, org.apache.spark.sql.functions.lit(cap))
 
   /** Aggregate `c` into a serialized bloom filter (binary). */
   def bloom_filter_agg(c: Column, expectedItems: Long, numBits: Long): Column =

@@ -115,13 +115,42 @@ object NearDupLsh {
 
   /** Append a batch's signatures to the persisted index — an append-only
     * parquet artifact (build once at corpus ingest, append each accepted
-    * batch, serve incremental dedup without rescanning history).
+    * batch, serve incremental dedup without rescanning history). A
+    * per-batch bucket-count delta lands beside it (`statsPath`), so the
+    * serve path can skip degenerate corpus buckets without ever
+    * re-aggregating the index: the stats artifact is O(distinct buckets
+    * per batch) rows of three ints — negligible next to the signatures —
+    * and readers sum the deltas. The O(batch) band recompute here is
+    * build-time cost; the alternative (re-aggregating the full index's
+    * bands per serve call) is the O(corpus) scan this lifecycle exists
+    * to avoid.
     */
-  def writeIndex(docs: DataFrame, path: String): Unit =
+  def writeIndex(docs: DataFrame, path: String): Unit = {
     signatures(docs).write.mode("append").parquet(path)
+    bandRows(docs)
+      .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(statsPath(path))
+  }
 
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  def statsPath(path: String): String = path + "_stats"
+
+  /** Summed per-bucket counts across all appended batches. */
+  def readBucketStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(statsPath(path))
+      .groupBy(col("band"), col("band_hash")).agg(sum(col("n")).as("n"))
+
+  /** The (band, band_hash) keys whose corpus bucket exceeds `maxBucket`
+    * — the skip list for a guarded incremental batch. Tiny by
+    * definition: a key lands here only when thousands of corpus docs
+    * share all 4 of the band's minima (mass-duplicated boilerplate).
+    */
+  def hotBuckets(spark: SparkSession, path: String, maxBucket: Int): DataFrame =
+    readBucketStats(spark, path)
+      .filter(col("n") > maxBucket)
+      .select(col("band"), col("band_hash"))
 
   /** Incremental near-dup pairs of a NEW batch against a PRE-COMPUTED
     * signature relation (readIndex, or signatures() inline). Only the
@@ -132,12 +161,18 @@ object NearDupLsh {
     * a daily crawl affordable against a 100 TB history. Both sides' ids
     * must be disjoint. Returns (new_id, old_id, jaccard).
     *
-    * No bucket cap here: capping would need per-bucket corpus counts,
-    * i.e. a corpus shuffle. Persist hot-bucket stats alongside the index
-    * if the corpus is boilerplate-heavy; `pairs` has the in-line guard.
+    * `skipBuckets` (from `hotBuckets`) guards against degenerate corpus
+    * buckets: the batch's band rows landing on a listed key are dropped
+    * BEFORE the broadcast, so a 16M-doc boilerplate bucket never fans
+    * out against the batch. Recall caveat mirrors `pairs`' in-line
+    * guard: a pair losing one band still surfaces through its other 7;
+    * members of the mass-duplicated clique itself are exact-dedup's job.
+    * The skip list is tiny (degenerate keys only), so the anti-join is
+    * a broadcast against the already-small batch side — O(batch) stays
+    * O(batch).
     */
   def pairsAgainstIndex(newDocs: DataFrame, index: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double, skipBuckets: Option[DataFrame] = None): DataFrame =
     // the index's `bands` is a SCAN attribute (parquet column), so
     // posexplode over it infers only a harmless size guard on the
     // column — no recompute risk (unlike an in-line computed array,
@@ -146,7 +181,7 @@ object NearDupLsh {
       index.select(col("doc_id").as("old_id"),
         posexplode(col("bands")).as(Seq("band", "band_hash"))),
       index.select(col("doc_id").as("old_id"), col("sh").as("sh_b")),
-      threshold)
+      threshold, skipBuckets)
 
   /** Incremental flavor without a persisted index: the corpus signatures
     * are recomputed from text — O(corpus) compute per call, so this is
@@ -158,15 +193,18 @@ object NearDupLsh {
       bandRows(corpus).withColumnRenamed("doc_id", "old_id"),
       corpus.select(col("doc_id").as("old_id"),
         shExpr.as("sh_b")),
-      threshold)
+      threshold, None)
 
   private def pairsAgainstImpl(newDocs: DataFrame, corpusBands: DataFrame,
-      corpusSets: DataFrame, threshold: Double): DataFrame = {
+      corpusSets: DataFrame, threshold: Double,
+      skipBuckets: Option[DataFrame]): DataFrame = {
     val spark = newDocs.sparkSession
     GraftFunctions.register(spark)
     // the batch side recomputes from scan per consumer (bands + rescore)
     // — O(batch) compute twice beats materializing on the serve path
-    val newBands = bandRows(newDocs).withColumnRenamed("doc_id", "new_id")
+    val allNewBands = bandRows(newDocs).withColumnRenamed("doc_id", "new_id")
+    val newBands = skipBuckets.fold(allNewBands)(hot =>
+      allNewBands.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"))
     val candidates = corpusBands
       .join(broadcast(newBands), Seq("band", "band_hash"))
       .select(col("new_id"), col("old_id"))
@@ -200,36 +238,34 @@ object NearDupLsh {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // Two-phase bucket build: over-cap keys are found by a COUNT-ONLY
-    // aggregate (constant memory per key, no sort) and their rows
-    // removed by an anti-join BEFORE any per-bucket structure exists.
-    // Single-phase alternatives all concentrate a degenerate bucket in
-    // one task: collect_list builds the full list in one aggregation
-    // buffer (a single 128 MB allocation for a ~16M-doc bucket OOMed
-    // the 10M tiny-vocabulary ScaleSmoke corpus), and a window count
-    // sorts that bucket in one task (the sorter's 2^24-entry pointer
-    // array is the same 128 MB allocation). Here phase 1 is a plain
-    // hash aggregate, the anti-join streams (shuffled hash, build =
-    // the tiny hot-key list), its probe-side exchange on the band key
-    // is reused by the groupBy, and the post-anti collect_list is
-    // bounded by maxBucket. The anti-join is deliberately NOT a
-    // broadcast: CollectMetrics under a broadcast build stage never
-    // reaches QueryExecution.observedMetrics, and the probe shuffle is
-    // needed by the groupBy anyway. The band relation computes twice
-    // (counts + main) — two cheap narrow passes beat a cache at 100 TB.
-    val counts = bandRows(docs)
-      .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-      .observe("graft_lsh_buckets",
-        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
-        max(col("n")).cast("int").as("max_bucket"))
-    val hot = counts.filter(col("n") > maxBucket)
-      .select(col("band"), col("band_hash"))
+    // Single-pass capped bucket build: collect_capped bounds every
+    // aggregation buffer at maxBucket longs (map AND reduce side — an
+    // over-cap group's buffer clears the moment its running count
+    // passes the cap) while its `n` keeps the TRUE bucket size for the
+    // skew metrics. One signature pass, one shuffle. The rejected
+    // alternatives: plain collect_list materializes a degenerate
+    // bucket's full list in one aggregation buffer (a single 128 MB
+    // allocation for a ~16M-doc bucket OOMed the 10M tiny-vocabulary
+    // ScaleSmoke corpus); a window count sorts that bucket in one
+    // task's sorter (same allocation, different structure); and the
+    // count-then-anti-join two-phase guard is memory-safe but computes
+    // the band relation — a full shingle+minhash pass over the corpus —
+    // TWICE. Measured (LshProbe): single-pass wins the real-corpus path
+    // (planted 1M 7.0→5.5 s, 10M 209→150 s); on the pathological
+    // tiny-vocabulary corpus it is slower than two-phase (the hot
+    // bucket's rows ride the shuffle into one reduce task instead of
+    // being anti-joined out map-side) but still completes in bounded
+    // memory (10M in ~167 s / 8 GB heap, zero OOM) — the right trade:
+    // optimize the corpus you have, survive the one you don't.
     val buckets = bandRows(docs)
-      .join(hot.hint("shuffle_hash"), Seq("band", "band_hash"), "left_anti")
       .groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .agg(GraftFunctions.collect_capped(col("doc_id"), maxBucket).as("b"))
+      .filter(col("b.n") > 1)
+      .observe("graft_lsh_buckets",
+        sum(when(col("b.n") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(col("b.n")).cast("int").as("max_bucket"))
+      .filter(col("b.n") <= maxBucket)
+      .select(col("b.ds").as("ds"))
     val candidates = buckets
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       // only partners later in doc order: halves the fan-out pre-explode

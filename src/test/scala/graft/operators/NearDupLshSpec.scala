@@ -33,6 +33,42 @@ class NearDupLshSpec extends AnyFunSuite {
       s"indexed flavor diverged: missing=${recompute -- indexed}, extra=${indexed -- recompute}")
   }
 
+  test("persisted bucket stats guard the incremental serve path") {
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val boiler = spark.range(300).select(
+      (col("id") + 20000000L).as("doc_id"),
+      lit("identical boilerplate footer with terms of service and a " +
+        "copyright notice repeated on every crawled page of the site").as("text"))
+    val newBoiler = spark.range(1).select(
+      lit(30000000L).as("doc_id"),
+      lit("identical boilerplate footer with terms of service and a " +
+        "copyright notice repeated on every crawled page of the site").as("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_hot_spec").toString
+    // two appends: stats deltas must SUM across batches
+    NearDupLsh.writeIndex(oldDocs.unionByName(boiler.filter(col("doc_id") % 2 === 0)), idx)
+    NearDupLsh.writeIndex(boiler.filter(col("doc_id") % 2 =!= 0), idx)
+    val stats = NearDupLsh.readBucketStats(spark, idx)
+    assert(stats.agg(max(col("n"))).head().getLong(0) >= 300L,
+      "summed stats must see the full clique across both appends")
+    val hot = NearDupLsh.hotBuckets(spark, idx, maxBucket = 100)
+    // the clique occupies one over-cap bucket in each of the 8 bands
+    assert(hot.count() >= 8L)
+    val index = NearDupLsh.readIndex(spark, idx)
+    val batch = newDocs.unionByName(newBoiler)
+    val unguarded = pairSet(NearDupLsh.pairsAgainstIndex(batch, index, 0.5d))
+    val guarded = pairSet(
+      NearDupLsh.pairsAgainstIndex(batch, index, 0.5d, Some(hot)))
+    // the batch's boilerplate doc pairs with all 300 clique members
+    // unguarded; guarded, the clique never fans out
+    assert(unguarded.count(_._1 == 30000000L) == 300)
+    assert(guarded.count(_._1 == 30000000L) == 0)
+    // and ONLY the clique is suppressed: genuine near-dups survive
+    assert(guarded == unguarded.filterNot(_._1 == 30000000L),
+      s"guard must drop the clique and nothing else")
+    assert(guarded.nonEmpty, "fixture should contain mixed near-dups")
+  }
+
   test("bucket skew guard drops the degenerate clique without losing planted recall") {
     // 300 identical boilerplate docs: one bucket of 300 in every band —
     // unguarded that is 300·299/2 candidate pairs from each hot key
