@@ -132,6 +132,24 @@ object NearDupLsh {
       .write.mode("append").parquet(statsPath(path))
   }
 
+  /** The idempotent flavor of `writeIndex` for exactly-once streaming
+    * appends: batch `batchId`'s signatures and stats deltas land in
+    * their own `batch=<id>` partition directories with OVERWRITE, so a
+    * redelivered micro-batch (crash between the index write and the
+    * checkpoint commit) replaces its own partition instead of
+    * double-appending. `readIndex`/`readBucketStats` discover the
+    * partition layout transparently (the extra `batch` column is
+    * pruned by every consumer's column selection).
+    */
+  def writeIndexBatch(docs: DataFrame, path: String, batchId: Long): Unit = {
+    signatures(docs).write.mode("overwrite")
+      .parquet(s"$path/batch=$batchId")
+    bandRows(docs)
+      .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .parquet(s"${statsPath(path)}/batch=$batchId")
+  }
+
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -534,6 +534,56 @@ object Dedup {
         "(SELECT min(doc_id) AS kid FROM " +
         "(SELECT doc_id, md5(text) AS h FROM documents) GROUP BY h)")),
 
+    // Streaming NEAR-dup dedup against the persisted LSH signature
+    // index (NearDupIndexStream) — the cross-batch greedy-accept
+    // pipeline: 4 deterministic micro-batches (doc_id % 4, in order),
+    // each batch exact-deduped within itself, near-dup-rejected
+    // (jaccard >= 0.8) against every EARLIER batch's accepted docs via
+    // the index, survivors' signatures appended idempotently. The
+    // oracle replays the same greedy sequence as chained CTEs over
+    // exact shingle sets, so the hash match proves LSH banding loses
+    // no accept/reject decision AND the per-batch partition lifecycle
+    // reassembles the exact history each batch.
+    GraftQuery(
+      "dd_stream_lsh_index",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ndis_gate").toString
+        graft.streaming.NearDupIndexStream.runToCompletion(
+            s, Tables.table(s, dir, "documents")
+              .select(col("doc_id"), col("text")),
+            k = 4, indexPath = s"$root/idx", logPath = s"$root/log",
+            threshold = 0.8,
+            maxBucket = graft.operators.NearDupLsh.DefaultMaxBucket,
+            checkpoint = s"$root/ckpt")
+          .groupBy(col("batch").cast("long").as("batch"))
+          .agg(count(lit(1)).as("n_accepted"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      Some {
+        def step(i: Int, prev: String): String =
+          s"a$i AS (SELECT d.doc_id, d.batch, d.sh FROM e d " +
+            s"WHERE d.batch = $i AND NOT EXISTS (" +
+            s"SELECT 1 FROM $prev p WHERE len(d.sh) > 0 AND len(p.sh) > 0 " +
+            "AND len(list_intersect(d.sh, p.sh)) / " +
+            "CAST(len(list_distinct(d.sh || p.sh)) AS DOUBLE) >= 0.8))"
+        "WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch, " +
+          "md5(text) AS sig, string_split(text, ' ') AS tokens FROM documents), " +
+          s"s AS (SELECT doc_id, batch, sig, $shingleSetSql AS sh FROM t), " +
+          "e AS (SELECT doc_id, batch, sh FROM (SELECT doc_id, batch, sh, " +
+          "row_number() OVER (PARTITION BY batch, sig ORDER BY doc_id) AS rn " +
+          "FROM s) WHERE rn = 1), " +
+          "a0 AS (SELECT doc_id, batch, sh FROM e WHERE batch = 0), " +
+          step(1, "a0") + ", " +
+          "p1 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1), " +
+          step(2, "p1") + ", " +
+          "p2 AS (SELECT * FROM p1 UNION ALL SELECT * FROM a2), " +
+          step(3, "p2") + " " +
+          "SELECT batch, count(*) AS n_accepted, " +
+          "CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+          "FROM (SELECT * FROM p2 UNION ALL SELECT * FROM a3) GROUP BY batch"
+      }),
+
     // The hash-keyed flavor of dd_span_dupes — the 100 TB shape: the
     // span-keyed shuffle carries a fixed 16-byte digest instead of the
     // span text (ScaleSmoke measures 3.9-9.7× less shuffle at 1M-10M

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.NearDupLsh
+
+/** Streaming NEAR-duplicate dedup against the persisted LSH signature
+  * index — the cross-batch half of a daily-crawl ingest pipeline
+  * (DedupStoreStream is the exact-hash half). Documents arrive in
+  * micro-batches forever; each batch keeps only documents with no
+  * near-duplicate (3-gram Jaccard >= threshold) among the documents
+  * ACCEPTED in any earlier batch, then appends the survivors'
+  * signatures to the index so later batches dedup against them.
+  *
+  * Per micro-batch:
+  *   1. within-batch EXACT dedup (md5 keep-first) — near-dup pruning
+  *      within a batch is the batch-prep job (`pipe_dedup_funnel`);
+  *      this stream owns the incremental cross-batch part, where the
+  *      index is the only affordable memory of 100 TB of history.
+  *   2. `NearDupLsh.pairsAgainstIndex` against the standing index,
+  *      hot buckets skipped via the PERSISTED per-batch stats (one
+  *      tiny read, never an index re-aggregation) — O(batch) compute:
+  *      only the batch is shingled/hashed, the corpus is re-read as
+  *      pruned parquet columns and never reshuffled.
+  *   3. survivors' signatures + stats deltas land in `batch=<id>`
+  *      partition dirs with OVERWRITE (`writeIndexBatch`): a crash
+  *      between the index write and the checkpoint commit redelivers
+  *      the batch, which then REPLACES its own partitions — the dedup
+  *      decision replays identically because its inputs (the earlier
+  *      batches' partitions) are untouched. Exactly-once membership
+  *      without a transaction log.
+  *
+  * Documents with fewer than 3 tokens carry no shingles, can never
+  * clear a Jaccard threshold, and are accepted without entering the
+  * index (exact-dup control for those belongs to DedupStoreStream's
+  * md5 store).
+  */
+object NearDupIndexStream {
+
+  /** Dedup one micro-batch against the index, append survivors.
+    * Idempotent per `batchId` (see class doc). `batch` needs columns
+    * (doc_id, text); ids must be globally unique across batches.
+    */
+  def applyBatch(
+      spark: SparkSession,
+      indexPath: String,
+      logPath: String,
+      threshold: Double,
+      maxBucket: Int,
+      batchId: Long,
+      batch: DataFrame): Unit = {
+    val keepFirst = Window.partitionBy(col("sig")).orderBy(col("doc_id").asc)
+    val exact = batch
+      .select(col("doc_id"), col("text"), md5(col("text")).as("sig"))
+      .withColumn("rn", row_number().over(keepFirst))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"))
+    // replay safety: read ONLY strictly-earlier batch partitions. A
+    // redelivered batch may find its own partition already written
+    // (crash after the index write, before the checkpoint commit) —
+    // unfiltered, the batch would near-dup against its own entries at
+    // jaccard 1.0 and reject everything on replay. Earlier partitions
+    // are immutable, so the filtered decision replays identically.
+    // (A pre-stream corpus bootstrap uses writeIndexBatch(.., -1).)
+    val accepted =
+      if (!exists(spark, indexPath)) exact
+      else {
+        val index = NearDupLsh.readIndex(spark, indexPath)
+          .filter(col("batch") < batchId)
+        val hot = spark.read
+          .parquet(NearDupLsh.statsPath(indexPath))
+          .filter(col("batch") < batchId)
+          .groupBy(col("band"), col("band_hash")).agg(sum(col("n")).as("n"))
+          .filter(col("n") > maxBucket)
+          .select(col("band"), col("band_hash"))
+        val dupIds = NearDupLsh
+          .pairsAgainstIndex(exact, index, threshold, Some(hot))
+          .select(col("new_id").as("doc_id")).distinct()
+        exact.join(dupIds, Seq("doc_id"), "left_anti")
+      }
+    NearDupLsh.writeIndexBatch(accepted, indexPath, batchId)
+    // membership log, same idempotent partition-overwrite contract
+    accepted.select(col("doc_id")).write.mode("overwrite")
+      .parquet(s"$logPath/batch=$batchId")
+  }
+
+  /** Accepted membership after the stream: (doc_id, batch). */
+  def acceptedLog(spark: SparkSession, logPath: String): DataFrame =
+    spark.read.parquet(logPath).select(col("doc_id"), col("batch"))
+
+  def start(
+      source: DataFrame,
+      indexPath: String,
+      logPath: String,
+      threshold: Double,
+      maxBucket: Int,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(batch.sparkSession, indexPath, logPath, threshold,
+          maxBucket, id, batch)
+      }
+      .start()
+
+  /** Drive `docs` through the stream as `k` deterministic micro-batches
+    * (batch i = doc_id % k == i, fed and drained strictly in order) and
+    * return the accepted membership. The MemoryStream feed is a gate
+    * harness shim — it pins batch BOUNDARIES so the greedy accept
+    * sequence is reproducible for the oracle; production ingest is
+    * `readStream` over arriving files/Kafka with the same foreachBatch.
+    */
+  def runToCompletion(
+      spark: SparkSession,
+      docs: DataFrame,
+      k: Int,
+      indexPath: String,
+      logPath: String,
+      threshold: Double,
+      maxBucket: Int,
+      checkpoint: String): DataFrame = {
+    import spark.implicits._
+    val feed = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = start(feed.toDF().toDF("doc_id", "text"),
+      indexPath, logPath, threshold, maxBucket, checkpoint)
+    try {
+      (0 until k).foreach { i =>
+        val rows = docs.filter(pmod(col("doc_id"), lit(k)) === i)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        feed.addData(rows)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    acceptedLog(spark, logPath)
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
