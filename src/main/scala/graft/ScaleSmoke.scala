@@ -58,9 +58,17 @@ object ScaleSmoke {
       } finally spark.sparkContext.removeSparkListener(listener)
     }
 
-    val (tDedup, nPairs) = time {
+    // min-of-2 at <= 2M docs for every LSH/ppjoin line, same methodology
+    // as the span family: single-run variance on this host (identical
+    // variants measured 33.7 -> 158.5 s under load, and the first run of
+    // a plan absorbs its codegen constant) far exceeds real deltas at
+    // 1M; at 10M a run is long enough to amortize both.
+    val reps = if (nDocs <= 2000000L) 2 else 1
+    def minOfT(runs: Int)(body: => (Double, Long)): (Double, Long) =
+      (1 to runs).map(_ => body).minBy(_._1)
+    val (tDedup, nPairs) = minOfT(reps)(time {
       operators.NearDupLsh.pairs(docs.select(col("doc_id"), col("text")), 0.5d).count()
-    }
+    })
     val (tExact, nGroups) = time {
       docs.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("n"))
@@ -79,14 +87,14 @@ object ScaleSmoke {
       .option("vocabSize", 50000)
       .option("dupRate", 0.05)
       .load()
-    val (tPp, nPp) = time {
+    val (tPp, nPp) = minOfT(reps)(time {
       operators.PrefixFilterJoin.pairs(
         dupDocs.select(col("doc_id"), col("text")), num = 4, den = 5).count()
-    }
+    })
     // the approximate miner on the same planted corpus: recall/cost vs exact
-    val (tLshDup, nLshDup) = time {
+    val (tLshDup, nLshDup) = minOfT(reps)(time {
       operators.NearDupLsh.pairs(dupDocs.select(col("doc_id"), col("text")), 0.8d).count()
-    }
+    })
     // incremental crawl dedup against the PERSISTED signature index:
     // the index build is a one-time O(corpus) cost at ingest; the
     // per-batch serve then costs O(batch) compute — the corpus is only
@@ -106,13 +114,13 @@ object ScaleSmoke {
     val incBatch = dupDocs.filter(col("doc_id") % 100 === 0)
       .select((col("doc_id") + nDocs * 10).as("doc_id"), col("text"))
     val lshIdx = operators.NearDupLsh.readIndex(spark, lshIdxDir)
-    val (tInc, nInc) = time {
+    val (tInc, nInc) = minOfT(reps)(time {
       operators.NearDupLsh.pairsAgainstIndex(incBatch, lshIdx, 0.8d).count()
-    }
-    val (tIncFull, nIncFull) = time {
+    })
+    val (tIncFull, nIncFull) = minOfT(reps)(time {
       operators.NearDupLsh.pairsAgainst(
         incBatch, dupDocs.select(col("doc_id"), col("text")), 0.8d).count()
-    }
+    })
     require(nInc == nIncFull, s"indexed incremental diverged: $nInc vs $nIncFull")
     require(nInc >= nDocs / 100,
       s"every batch doc has a standing twin; found only $nInc pairs")
@@ -124,11 +132,11 @@ object ScaleSmoke {
       (col("id") + nDocs * 100).as("doc_id"),
       lit("identical boilerplate footer with terms of service and a " +
         "copyright notice repeated on every crawled page of the site").as("text"))
-    val (tGuard, nGuard) = time {
+    val (tGuard, nGuard) = minOfT(reps)(time {
       operators.NearDupLsh.pairs(
         dupDocs.select(col("doc_id"), col("text")).unionByName(boiler),
         0.8d, maxBucket = 1024).count()
-    }
+    })
     require(nGuard == nLshDup,
       s"guard must drop the clique and ONLY the clique: $nGuard vs $nLshDup")
     // guarded incremental serve: the same skew protection on the
@@ -145,10 +153,10 @@ object ScaleSmoke {
         "copyright notice repeated on every crawled page of the site").as("text"))
     val hotKeys = operators.NearDupLsh.hotBuckets(spark, lshIdxDir, maxBucket = 1024)
     val idxWithBoiler = operators.NearDupLsh.readIndex(spark, lshIdxDir)
-    val (tIncGuard, nIncGuard) = time {
+    val (tIncGuard, nIncGuard) = minOfT(reps)(time {
       operators.NearDupLsh.pairsAgainstIndex(
         incBatch.unionByName(newBoiler), idxWithBoiler, 0.8d, Some(hotKeys)).count()
-    }
+    })
     require(nIncGuard == nInc,
       s"guarded incremental must drop the clique and ONLY the clique: $nIncGuard vs $nInc")
     // blocklist decontamination at corpus scale: bloom-prefiltered exact
