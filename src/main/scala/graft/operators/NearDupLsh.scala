@@ -42,6 +42,14 @@ object NearDupLsh {
     */
   val DefaultMaxBucket = 4096
 
+  /** Catastrophe-tier sampling rate and seed (see `pairs`): 1% of docs
+    * estimate band-bucket sizes pre-shuffle. Seeded so the sampled
+    * key-drop set — and therefore the operator's output — is
+    * deterministic for a given corpus + partitioning.
+    */
+  val SampleFrac = 0.01
+  val SampleSeed = 42L
+
   /** Word-3-gram shingle array of a text column. */
   def shingles(text: Column): Column = {
     val toks = split(text, " ")
@@ -155,6 +163,29 @@ object NearDupLsh {
 
   def statsPath(path: String): String = path + "_stats"
 
+  /** Consolidate an append-only index into a fresh directory: all
+    * accumulated signatures land in ONE `batch=-1` partition set
+    * (`width` output files) and the stats deltas collapse to their
+    * sums. A year of daily `batch=<id>` appends is thousands of
+    * partition dirs whose listing cost eventually rivals the read —
+    * compaction bounds it, exactly like GraftOptimize's small-file
+    * compaction for catalog tables.
+    *
+    * Crash-safe by construction: the source index is never mutated.
+    * The caller swaps the serve/stream path to `targetPath` after the
+    * write completes; `batch=-1` sorts before every real micro-batch
+    * id, so a stream resuming from its existing checkpoint keeps its
+    * strictly-earlier-batch replay filter intact.
+    */
+  def compactIndex(spark: SparkSession, path: String, targetPath: String,
+      width: Int = 0): Unit = {
+    val sigs = readIndex(spark, path).select(col("doc_id"), col("sh"), col("bands"))
+    val sized = if (width > 0) sigs.repartition(width) else sigs
+    sized.write.mode("overwrite").parquet(s"$targetPath/batch=-1")
+    readBucketStats(spark, path)
+      .write.mode("overwrite").parquet(s"${statsPath(targetPath)}/batch=-1")
+  }
+
   /** Summed per-bucket counts across all appended batches. */
   def readBucketStats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(statsPath(path))
@@ -256,26 +287,47 @@ object NearDupLsh {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // Single-pass capped bucket build: collect_capped bounds every
-    // aggregation buffer at maxBucket longs (map AND reduce side — an
-    // over-cap group's buffer clears the moment its running count
-    // passes the cap) while its `n` keeps the TRUE bucket size for the
-    // skew metrics. One signature pass, one shuffle. The rejected
-    // alternatives: plain collect_list materializes a degenerate
-    // bucket's full list in one aggregation buffer (a single 128 MB
-    // allocation for a ~16M-doc bucket OOMed the 10M tiny-vocabulary
-    // ScaleSmoke corpus); a window count sorts that bucket in one
-    // task's sorter (same allocation, different structure); and the
-    // count-then-anti-join two-phase guard is memory-safe but computes
-    // the band relation — a full shingle+minhash pass over the corpus —
-    // TWICE. Measured (LshProbe): single-pass wins the real-corpus path
-    // (planted 1M 7.0→5.5 s, 10M 209→150 s); on the pathological
-    // tiny-vocabulary corpus it is slower than two-phase (the hot
-    // bucket's rows ride the shuffle into one reduce task instead of
-    // being anti-joined out map-side) but still completes in bounded
-    // memory (10M in ~167 s / 8 GB heap, zero OOM) — the right trade:
-    // optimize the corpus you have, survive the one you don't.
+    // Three-tier bucket build — one FULL signature pass, bounded memory
+    // at every tier:
+    //
+    //   1. CATASTROPHE TIER (sampled, pre-shuffle): band keys whose
+    //      1%-sample estimate exceeds 5x the cap are anti-joined out
+    //      BEFORE the bucket shuffle. A degenerate corpus (mass
+    //      boilerplate, tiny vocabulary) concentrates tens of millions
+    //      of rows on a handful of keys; any aggregate that lets those
+    //      rows reach the shuffle funnels them into single reduce
+    //      tasks whose sort/spill machinery OOMs an 8 GB heap at 10M
+    //      docs (observed: UnsafeSorterSpillReader allocation failure
+    //      in the ScaleSmoke minhash line). A key that big cannot hide
+    //      from a 1% sample (est > 5x cap needs a true size >~ 5x cap;
+    //      Poisson tails make a false positive on an under-cap bucket
+    //      ~1e-60 at the default cap), and the sample pass costs 1% of
+    //      one signature pass.
+    //   2. EXACT TIER (capped aggregate): collect_capped bounds every
+    //      aggregation buffer at maxBucket longs on both map and
+    //      reduce side (an over-cap group's buffer clears the moment
+    //      its running count passes the cap) while its `n` keeps the
+    //      TRUE size — buckets between cap and 5x cap (too small for
+    //      the sampler, too big to keep) are dropped here exactly.
+    //      This replaced the count-then-anti-join two-phase guard,
+    //      which was memory-safe but computed the band relation — a
+    //      full shingle+minhash pass — TWICE (planted-corpus cost:
+    //      1M 7.0->4.3 s, 10M 209->150 s after the replacement).
+    //   3. METRICS: both tiers publish — the agg observes exact
+    //      dropped/max over everything it sees; the sampler's key list
+    //      observes its own count (rides the anti-join's shuffle_hash
+    //      build side — deliberately NOT broadcast: CollectMetrics
+    //      under a broadcast build never reaches observedMetrics).
+    val estOver = bandRows(docs.sample(SampleFrac, SampleSeed))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n_s"))
+      .filter(col("n_s") * lit((1d / SampleFrac).toLong) >
+        lit(5L) * lit(maxBucket.toLong))
+      .select(col("band"), col("band_hash"))
+      .observe("graft_lsh_catastrophic",
+        count(lit(1)).as("catastrophic_buckets"))
     val buckets = bandRows(docs)
+      .join(estOver.hint("shuffle_hash"), Seq("band", "band_hash"), "left_anti")
       .groupBy(col("band"), col("band_hash"))
       .agg(GraftFunctions.collect_capped(col("doc_id"), maxBucket).as("b"))
       .filter(col("b.n") > 1)

@@ -51,6 +51,36 @@ class NearDupIndexStreamSpec extends AnyFunSuite {
       s"missing=${want -- got}, extra=${got -- want}")
   }
 
+  test("compacted index serves identical decisions and the stream continues on it") {
+    import graft.operators.NearDupLsh
+    val root = Files.createTempDirectory("graft_ndis_compact").toString
+    val (idx, log) = (s"$root/idx", s"$root/log")
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    NearDupIndexStream.applyBatch(spark, idx, log, 0.8, 4096, 0L, b0)
+    NearDupIndexStream.applyBatch(spark, idx, log, 0.8, 4096, 1L, b1)
+    // consolidate batches 0..1 into a fresh path, swap, continue
+    val idx2 = s"$root/idx_compacted"
+    NearDupLsh.compactIndex(spark, idx, idx2, width = 2)
+    // same signatures, same stats, one partition dir
+    assert(NearDupLsh.readIndex(spark, idx2).count() ==
+      NearDupLsh.readIndex(spark, idx).count())
+    val statsBefore = NearDupLsh.readBucketStats(spark, idx)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val statsAfter = NearDupLsh.readBucketStats(spark, idx2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(statsAfter == statsBefore)
+    // batch 2 decided against the compacted path equals the uncompacted one
+    val log2 = s"$root/log2"
+    NearDupIndexStream.applyBatch(spark, idx, log, 0.8, 4096, 2L, b2)
+    NearDupIndexStream.applyBatch(spark, idx2, log2, 0.8, 4096, 2L, b2)
+    val viaOld = accepted(log).filter(_._2 == 2)
+    val viaNew = accepted(log2)
+    assert(viaNew.map(_._1) == viaOld.map(_._1),
+      s"compacted decision diverged: old=${viaOld.size} new=${viaNew.size}")
+  }
+
   test("redelivered batch replaces its own partitions: replay-idempotent") {
     val root = Files.createTempDirectory("graft_ndis_replay").toString
     val (idx, log) = (s"$root/idx", s"$root/log")
