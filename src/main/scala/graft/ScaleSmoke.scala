@@ -17,10 +17,20 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
     val cpus = args.lift(1).getOrElse("32")
+    // shuffle width scales with the corpus, not the core count: the
+    // ppjoin freq join sorts ~38 exploded rows per doc, and at 10M docs
+    // a 32-wide shuffle puts ~12M rows (~330 MB) in each reduce task's
+    // sorter against a ~140 MB per-task execution share — heavy spill
+    // at best, executor OOM under concurrent allocation pressure at
+    // worst (observed). ~100k docs per partition keeps each task's
+    // working set inside its share; AQE coalesces whatever ends up
+    // small. This is the local[] version of the 100 TB sizing rule:
+    // partitions sized to fit memory, count grows with data.
+    val shuffleWidth = math.max(cpus.toInt, (nDocs / 100000L).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft_scale_smoke")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleWidth)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -66,9 +76,11 @@ object ScaleSmoke {
     val reps = if (nDocs <= 2000000L) 2 else 1
     def minOfT(runs: Int)(body: => (Double, Long)): (Double, Long) =
       (1 to runs).map(_ => body).minBy(_._1)
+    System.err.println("[smoke] start minhash_lsh")
     val (tDedup, nPairs) = minOfT(reps)(time {
       operators.NearDupLsh.pairs(docs.select(col("doc_id"), col("text")), 0.5d).count()
     })
+    System.err.println("[smoke] start exact_dedup")
     val (tExact, nGroups) = time {
       docs.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("n"))
@@ -87,11 +99,13 @@ object ScaleSmoke {
       .option("vocabSize", 50000)
       .option("dupRate", 0.05)
       .load()
+    System.err.println("[smoke] start ppjoin")
     val (tPp, nPp) = minOfT(reps)(time {
       operators.PrefixFilterJoin.pairs(
         dupDocs.select(col("doc_id"), col("text")), num = 4, den = 5).count()
     })
     // the approximate miner on the same planted corpus: recall/cost vs exact
+    System.err.println("[smoke] start lsh_planted")
     val (tLshDup, nLshDup) = minOfT(reps)(time {
       operators.NearDupLsh.pairs(dupDocs.select(col("doc_id"), col("text")), 0.8d).count()
     })
@@ -104,6 +118,7 @@ object ScaleSmoke {
     // batch — the comparison is the point.
     val lshIdxDir = java.nio.file.Files
       .createTempDirectory("graft_lsh_idx_smoke").toString
+    System.err.println("[smoke] start lsh_index_build")
     val (tIdxBuild, _) = time {
       operators.NearDupLsh.writeIndex(
         dupDocs.select(col("doc_id"), col("text")), lshIdxDir)
@@ -114,9 +129,11 @@ object ScaleSmoke {
     val incBatch = dupDocs.filter(col("doc_id") % 100 === 0)
       .select((col("doc_id") + nDocs * 10).as("doc_id"), col("text"))
     val lshIdx = operators.NearDupLsh.readIndex(spark, lshIdxDir)
+    System.err.println("[smoke] start lsh_inc")
     val (tInc, nInc) = minOfT(reps)(time {
       operators.NearDupLsh.pairsAgainstIndex(incBatch, lshIdx, 0.8d).count()
     })
+    System.err.println("[smoke] start lsh_inc_full")
     val (tIncFull, nIncFull) = minOfT(reps)(time {
       operators.NearDupLsh.pairsAgainst(
         incBatch, dupDocs.select(col("doc_id"), col("text")), 0.8d).count()
@@ -132,6 +149,7 @@ object ScaleSmoke {
       (col("id") + nDocs * 100).as("doc_id"),
       lit("identical boilerplate footer with terms of service and a " +
         "copyright notice repeated on every crawled page of the site").as("text"))
+    System.err.println("[smoke] start lsh_guard")
     val (tGuard, nGuard) = minOfT(reps)(time {
       operators.NearDupLsh.pairs(
         dupDocs.select(col("doc_id"), col("text")).unionByName(boiler),
@@ -153,6 +171,7 @@ object ScaleSmoke {
         "copyright notice repeated on every crawled page of the site").as("text"))
     val hotKeys = operators.NearDupLsh.hotBuckets(spark, lshIdxDir, maxBucket = 1024)
     val idxWithBoiler = operators.NearDupLsh.readIndex(spark, lshIdxDir)
+    System.err.println("[smoke] start lsh_inc_guard")
     val (tIncGuard, nIncGuard) = minOfT(reps)(time {
       operators.NearDupLsh.pairsAgainstIndex(
         incBatch.unionByName(newBoiler), idxWithBoiler, 0.8d, Some(hotKeys)).count()
@@ -174,9 +193,11 @@ object ScaleSmoke {
     // corpus; the bloom path shuffles only candidates
     val plain = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    System.err.println("[smoke] start plain_anti")
     val (tPlainAnti, nPlainAnti, bPlainAnti) = shuffleBytes {
       fp.join(blocklist, col("fp") === col("bfp"), "left_anti").count()
     }
+    System.err.println("[smoke] start bloom_anti")
     val (tBloom, nBloom, bBloom) = shuffleBytes {
       operators.BloomAntiJoin.antiJoin(fp, col("fp"), blocklist, col("bfp"),
         expectedItems = math.max(1024L, nBlock),

@@ -54,27 +54,39 @@ object PrefixFilterJoin {
     val s = docs.sparkSession
     GraftFunctions.register(s)
     val threshold = num.toDouble / den.toDouble
-    // nc: the doc's char length when a window is requested, else a folded
-    // constant (zero plan cost) — keeps one code path for both variants
-    val ncCol = if (charWindow >= 0) col("n_chars") else lit(0L)
-    def sets: DataFrame = docs
-      .select(col("doc_id"), ncCol.as("nc"),
-        GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .filter(col("sz") > 0)
+    // nc: the doc's char length, carried through the prefix machinery
+    // ONLY when a window is requested. Unconditionally widening the
+    // (doc_id, sz, h) rows by 8 bytes sounds free, but the freq join
+    // sort-merges ~38 exploded rows per doc — at 10M docs that is
+    // 380M sorted rows, and the extra column tipped the unwindowed
+    // join from heavy-spill-but-completes into executor OOM on the
+    // 8 GB ScaleSmoke heap. The windowed variant pays for exactly what
+    // it uses.
+    val windowed = charWindow >= 0
+    val ncCols: Seq[org.apache.spark.sql.Column] =
+      if (windowed) Seq(col("nc")) else Nil
+    def sets: DataFrame = {
+      val base = docs.select(
+        Seq(col("doc_id")) ++
+          (if (windowed) Seq(col("n_chars").as("nc")) else Nil) :+
+          GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"): _*)
+      base.withColumn("sz", size(col("sh")))
+        .filter(col("sz") > 0)
+    }
     // global rarest-first order: frequency, ties by hash. Partial-agg
     // combinable, skew-free (no per-shingle doc lists materialized).
     val freq = sets.select(explode(col("sh")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("f"))
     // per-doc prefix under that order: sz - ceil(t*sz) + 1 rarest shingles
     val prefixLen = expr(s"sz - (($num * sz + ${den - 1}) div $den) + 1").cast("int")
-    val pref = sets.select(col("doc_id"), col("sz"), col("nc"), explode(col("sh")).as("h"))
+    val pref = sets.select(
+        Seq(col("doc_id"), col("sz")) ++ ncCols :+ explode(col("sh")).as("h"): _*)
       .join(freq, Seq("h"))
-      .groupBy(col("doc_id"), col("sz"), col("nc"))
+      .groupBy(Seq(col("doc_id"), col("sz")) ++ ncCols: _*)
       .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
-      .select(col("doc_id"), col("sz"), col("nc"),
+      .select(Seq(col("doc_id"), col("sz")) ++ ncCols :+
         posexplode(slice(transform(col("fh"), x => x.getField("h")), lit(1), prefixLen))
-          .as(Seq("p", "h")))
+          .as(Seq("p", "h")): _*)
     // inverted index on prefix shingles: pairs are generated inside each
     // bucket, so the ranked-prefix subtree above is computed exactly once
     // (a prefix self-JOIN would read it twice, forcing a cache + eager
@@ -82,7 +94,8 @@ object PrefixFilterJoin {
     // Buckets are rare-shingle postings lists: tiny on Zipfian text.
     val buckets = pref
       .groupBy(col("h"))
-      .agg(collect_list(struct(col("doc_id"), col("sz"), col("nc"), col("p"))).as("ds"))
+      .agg(collect_list(struct(
+        Seq(col("doc_id"), col("sz")) ++ ncCols :+ col("p"): _*)).as("ds"))
       .filter(size(col("ds")) > 1)
     // positional filter (PPJoin's second pruning rule): a prefix shingle
     // matching at 1-based positions (i, j) of the docs' globally-sorted
@@ -105,16 +118,18 @@ object PrefixFilterJoin {
         explode(filter(col("ds"), b => b.getField("doc_id") > col("a.doc_id")))
           .as("b"))
       .select(
-        col("a.doc_id").as("doc_a"), col("a.sz").as("sz_a"),
-        col("a.nc").as("nc_a"), col("a.p").as("p_a"),
-        col("b.doc_id").as("doc_b"), col("b.sz").as("sz_b"),
-        col("b.nc").as("nc_b"), col("b.p").as("p_b"))
+        Seq(col("a.doc_id").as("doc_a"), col("a.sz").as("sz_a"),
+          col("a.p").as("p_a"),
+          col("b.doc_id").as("doc_b"), col("b.sz").as("sz_b"),
+          col("b.p").as("p_b")) ++
+        (if (windowed) Seq(col("a.nc").as("nc_a"), col("b.nc").as("nc_b"))
+         else Nil): _*)
       // length-ratio filter: jaccard >= t needs t|A| <= |B| <= |A|/t;
-      // plus the optional char-length window (folded away when unset)
+      // plus the char-length window in the windowed variant
       .filter(col("sz_b") * den >= col("sz_a") * num &&
         col("sz_a") * den >= col("sz_b") * num &&
         uBound >= oReq &&
-        (if (charWindow >= 0) abs(col("nc_b") - col("nc_a")) <= charWindow
+        (if (windowed) abs(col("nc_b") - col("nc_a")) <= charWindow
          else lit(true)))
       .select(col("doc_a"), col("doc_b"))
       // one exchange, not two: an explicit-width repartition on the pair key
