@@ -106,7 +106,17 @@ object IvfIndex {
           transform(col("dims"), d => d.getField("m")).as("centroid"))
       centroids = newCentroids
     }
-    centroids.cache()
+    // pin the trained table as a LOCAL relation: nlist rows of dim
+    // doubles (bounded by construction — the collect is the point of
+    // k-means). This truncates the Lloyd lineage, so consumers don't
+    // recompute iteration i-1 under iteration i, and unlike cache()
+    // it leaves zero block-manager entries behind for callers that
+    // never unpersist.
+    import spark.implicits._
+    centroids.collect()
+      .map(r => (r.getAs[Number]("centroid_id").intValue,
+        r.getSeq[Double](r.fieldIndex("centroid"))))
+      .toSeq.toDF("centroid_id", "centroid")
   }
 
   /** Assign each vector to its nearest centroid (ties by centroid id). */

@@ -50,6 +50,29 @@ object NearDupLsh {
   val SampleFrac = 0.01
   val SampleSeed = 42L
 
+  /** Minimum ABSOLUTE sample count before a key is eligible for the
+    * sampled catastrophe drop. The ratio test alone (`est > 5·cap`) is
+    * ~1e-60-safe at the default cap, but a caller tuning `maxBucket`
+    * low (say 64) would lower the sample threshold to ~4 rows, where
+    * Poisson noise drops legitimately near-cap buckets with ~1e-3
+    * probability each — silent true-pair loss. Requiring >= 25 sampled
+    * rows keeps the false-drop probability below ~1e-9 for any bucket
+    * whose true size is under the cap, at every cap setting; buckets
+    * between the cap and the sampler's floor still fall to the exact
+    * capped-aggregate tier.
+    */
+  val MinSampleCount = 25L
+
+  /** Plan-stat budget for the serve path's forced broadcasts: when the
+    * BATCH side's optimized-plan size estimate exceeds this, the serve
+    * joins fall back to `shuffle_hash` hints on the same keys instead
+    * of broadcasting — the plan degrades to a (pruned-column) corpus
+    * shuffle rather than dying at Spark's 8 GB broadcast ceiling when
+    * a crawl batch arrives oversized. Tunable via the
+    * `spark.graft.lsh.serveBroadcastBytes` session conf.
+    */
+  val DefaultServeBroadcastBytes: Long = 128L << 20
+
   /** Word-3-gram shingle array of a text column. */
   def shingles(text: Column): Column = {
     val toks = split(text, " ")
@@ -134,10 +157,15 @@ object NearDupLsh {
     * to avoid.
     */
   def writeIndex(docs: DataFrame, path: String): Unit = {
-    signatures(docs).write.mode("append").parquet(path)
+    // flat appends land in the batch=-1 partition so the layout is the
+    // SAME as writeIndexBatch's: a stream pointed at a flat-bootstrapped
+    // index sees a real `batch` column (-1 sorts before every micro-batch
+    // id, so the strictly-earlier replay filter admits the bootstrap)
+    // instead of failing at runtime on a missing column.
+    signatures(docs).write.mode("append").parquet(s"$path/batch=-1")
     bandRows(docs)
       .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
-      .write.mode("append").parquet(statsPath(path))
+      .write.mode("append").parquet(s"${statsPath(path)}/batch=-1")
   }
 
   /** The idempotent flavor of `writeIndex` for exactly-once streaming
@@ -163,11 +191,12 @@ object NearDupLsh {
 
   def statsPath(path: String): String = path + "_stats"
 
-  /** Consolidate an append-only index into a fresh directory: all
-    * accumulated signatures land in ONE `batch=-1` partition set
-    * (`width` output files) and the stats deltas collapse to their
-    * sums. A year of daily `batch=<id>` appends is thousands of
-    * partition dirs whose listing cost eventually rivals the read —
+  /** Consolidate an append-only index into a fresh directory: batches
+    * up to `throughBatch` land in ONE `batch=-1` partition set
+    * (`width` output files) with their stats deltas collapsed to sums;
+    * batches beyond the watermark are carried over unchanged, partition
+    * for partition. A year of daily `batch=<id>` appends is thousands
+    * of partition dirs whose listing cost eventually rivals the read —
     * compaction bounds it, exactly like GraftOptimize's small-file
     * compaction for catalog tables.
     *
@@ -176,14 +205,39 @@ object NearDupLsh {
     * write completes; `batch=-1` sorts before every real micro-batch
     * id, so a stream resuming from its existing checkpoint keeps its
     * strictly-earlier-batch replay filter intact.
+    *
+    * `throughBatch` MUST be the last checkpoint-COMMITTED batch when a
+    * stream feeds this index (default folds everything — safe only
+    * when checkpoint and index are known in sync, e.g. after a clean
+    * stop): a crashed batch's partition (index written, checkpoint
+    * commit missed) folded into `batch=-1` would pass the redelivered
+    * batch's strictly-earlier filter, self-match at jaccard 1.0, and
+    * permanently reject every document of that batch on replay. With
+    * the watermark, the uncommitted partition is carried over under
+    * its own batch id and the replay filter excludes it, exactly as on
+    * the uncompacted index.
     */
   def compactIndex(spark: SparkSession, path: String, targetPath: String,
-      width: Int = 0): Unit = {
-    val sigs = readIndex(spark, path).select(col("doc_id"), col("sh"), col("bands"))
+      width: Int = 0, throughBatch: Long = Long.MaxValue): Unit = {
+    val all = readIndex(spark, path)
+    val sigs = all.filter(col("batch") <= throughBatch)
+      .select(col("doc_id"), col("sh"), col("bands"))
     val sized = if (width > 0) sigs.repartition(width) else sigs
     sized.write.mode("overwrite").parquet(s"$targetPath/batch=-1")
-    readBucketStats(spark, path)
+    val stats = spark.read.parquet(statsPath(path))
+    stats.filter(col("batch") <= throughBatch)
+      .groupBy(col("band"), col("band_hash")).agg(sum(col("n")).as("n"))
       .write.mode("overwrite").parquet(s"${statsPath(targetPath)}/batch=-1")
+    // uncommitted tail: carry each partition through under its own id
+    val tail = all.filter(col("batch") > throughBatch)
+      .select(col("batch")).distinct().collect().map(_.getAs[Number](0).longValue)
+    tail.foreach { b =>
+      all.filter(col("batch") === b).select(col("doc_id"), col("sh"), col("bands"))
+        .write.mode("overwrite").parquet(s"$targetPath/batch=$b")
+      stats.filter(col("batch") === b)
+        .select(col("band"), col("band_hash"), col("n"))
+        .write.mode("overwrite").parquet(s"${statsPath(targetPath)}/batch=$b")
+    }
   }
 
   /** Summed per-bucket counts across all appended batches. */
@@ -249,17 +303,34 @@ object NearDupLsh {
       skipBuckets: Option[DataFrame]): DataFrame = {
     val spark = newDocs.sparkSession
     GraftFunctions.register(spark)
+    // Size-aware serve joins: in the documented regime (batch ≪ corpus)
+    // the batch's bands and the candidate pairs BROADCAST against
+    // in-place corpus scans — zero corpus motion. But a broadcast HINT
+    // overrides autoBroadcastJoinThreshold unconditionally, so one
+    // oversized crawl batch would die at Spark's 8 GB broadcast ceiling
+    // instead of degrading. Decide from the batch side's optimized-plan
+    // estimate (the candidate relation's own join estimate is
+    // rowcount-blind garbage; candidates scale with the batch in every
+    // non-degenerate corpus, and the degenerate ones are exactly what
+    // `skipBuckets` bounds): under the budget → broadcast, over it →
+    // shuffle_hash on the same keys, which trades a pruned-column
+    // corpus shuffle for completing at all.
+    val budget = spark.conf.getOption("spark.graft.lsh.serveBroadcastBytes")
+      .map(_.toLong).getOrElse(DefaultServeBroadcastBytes)
+    val batchEst = newDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+    def serveSide(df: DataFrame): DataFrame =
+      if (batchEst <= budget) broadcast(df) else df.hint("shuffle_hash")
     // the batch side recomputes from scan per consumer (bands + rescore)
     // — O(batch) compute twice beats materializing on the serve path
     val allNewBands = bandRows(newDocs).withColumnRenamed("doc_id", "new_id")
     val newBands = skipBuckets.fold(allNewBands)(hot =>
       allNewBands.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"))
     val candidates = corpusBands
-      .join(broadcast(newBands), Seq("band", "band_hash"))
+      .join(serveSide(newBands), Seq("band", "band_hash"))
       .select(col("new_id"), col("old_id"))
       .dropDuplicates("new_id", "old_id")
     val withOld = corpusSets
-      .join(broadcast(candidates), Seq("old_id"))
+      .join(serveSide(candidates), Seq("old_id"))
     withOld
       .join(sigRelation(newDocs).select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
         Seq("new_id"))
@@ -321,7 +392,12 @@ object NearDupLsh {
     val estOver = bandRows(docs.sample(SampleFrac, SampleSeed))
       .groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("n_s"))
-      .filter(col("n_s") * lit((1d / SampleFrac).toLong) >
+      // both conditions: the ratio test scales with the cap, and the
+      // absolute floor (MinSampleCount) keeps low-cap configurations
+      // from dropping legitimately near-cap buckets on Poisson noise —
+      // keys under the floor fall through to the exact capped tier
+      .filter(col("n_s") >= lit(MinSampleCount) &&
+        col("n_s") * lit((1d / SampleFrac).toLong) >
         lit(5L) * lit(maxBucket.toLong))
       .select(col("band"), col("band_hash"))
       .observe("graft_lsh_catastrophic",

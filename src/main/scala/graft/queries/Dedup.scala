@@ -63,6 +63,36 @@ object Dedup {
     "list_distinct(list_transform(generate_series(1, greatest(len(tokens) - 2, 0)), " +
       "i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))"
 
+  /** Greedy cross-batch accept replay (4 batches, doc_id % 4, exact
+    * keep-first within a batch, jaccard >= 0.8 rejection against every
+    * earlier batch's accepted set) — the shared oracle of
+    * `dd_stream_lsh_index` and `dd_stream_lsh_compact`: both engine
+    * lifecycles must land on the identical accept history.
+    */
+  private val streamLshOracle: String = {
+    def step(i: Int, prev: String): String =
+      s"a$i AS (SELECT d.doc_id, d.batch, d.sh FROM e d " +
+        s"WHERE d.batch = $i AND NOT EXISTS (" +
+        s"SELECT 1 FROM $prev p WHERE len(d.sh) > 0 AND len(p.sh) > 0 " +
+        "AND len(list_intersect(d.sh, p.sh)) / " +
+        "CAST(len(list_distinct(d.sh || p.sh)) AS DOUBLE) >= 0.8))"
+    "WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch, " +
+      "md5(text) AS sig, string_split(text, ' ') AS tokens FROM documents), " +
+      s"s AS (SELECT doc_id, batch, sig, $shingleSetSql AS sh FROM t), " +
+      "e AS (SELECT doc_id, batch, sh FROM (SELECT doc_id, batch, sh, " +
+      "row_number() OVER (PARTITION BY batch, sig ORDER BY doc_id) AS rn " +
+      "FROM s) WHERE rn = 1), " +
+      "a0 AS (SELECT doc_id, batch, sh FROM e WHERE batch = 0), " +
+      step(1, "a0") + ", " +
+      "p1 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1), " +
+      step(2, "p1") + ", " +
+      "p2 AS (SELECT * FROM p1 UNION ALL SELECT * FROM a2), " +
+      step(3, "p2") + " " +
+      "SELECT batch, count(*) AS n_accepted, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+      "FROM (SELECT * FROM p2 UNION ALL SELECT * FROM a3) GROUP BY batch"
+  }
+
   private[queries] def mix64(z0: Long): Long = {
     var z = z0 + -7046029254386353131L
     z = (z ^ (z >>> 30)) * -4658895280553007687L
@@ -544,6 +574,16 @@ object Dedup {
     // exact shingle sets, so the hash match proves LSH banding loses
     // no accept/reject decision AND the per-batch partition lifecycle
     // reassembles the exact history each batch.
+    //
+    // Hot-bucket divergence condition: the stream skips corpus buckets
+    // larger than maxBucket on the serve path, and the oracle has no
+    // hot-bucket concept — a batch doc ALL of whose 8 bands land on
+    // skipped keys would be accepted regardless of true jaccard and
+    // the gate would diverge. That requires a standing clique larger
+    // than maxBucket (4096 here) sharing every band minimum with the
+    // doc; this fixture (500 docs, no mass boilerplate) cannot produce
+    // one, and production corpora that can are expected to run exact
+    // dedup upstream (the documented division of labor in NearDupLsh).
     GraftQuery(
       "dd_stream_lsh_index",
       (s, dir) => {
@@ -560,29 +600,36 @@ object Dedup {
           .agg(count(lit(1)).as("n_accepted"),
             sum(col("doc_id")).as("id_sum"))
       },
-      Some {
-        def step(i: Int, prev: String): String =
-          s"a$i AS (SELECT d.doc_id, d.batch, d.sh FROM e d " +
-            s"WHERE d.batch = $i AND NOT EXISTS (" +
-            s"SELECT 1 FROM $prev p WHERE len(d.sh) > 0 AND len(p.sh) > 0 " +
-            "AND len(list_intersect(d.sh, p.sh)) / " +
-            "CAST(len(list_distinct(d.sh || p.sh)) AS DOUBLE) >= 0.8))"
-        "WITH t AS (SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch, " +
-          "md5(text) AS sig, string_split(text, ' ') AS tokens FROM documents), " +
-          s"s AS (SELECT doc_id, batch, sig, $shingleSetSql AS sh FROM t), " +
-          "e AS (SELECT doc_id, batch, sh FROM (SELECT doc_id, batch, sh, " +
-          "row_number() OVER (PARTITION BY batch, sig ORDER BY doc_id) AS rn " +
-          "FROM s) WHERE rn = 1), " +
-          "a0 AS (SELECT doc_id, batch, sh FROM e WHERE batch = 0), " +
-          step(1, "a0") + ", " +
-          "p1 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1), " +
-          step(2, "p1") + ", " +
-          "p2 AS (SELECT * FROM p1 UNION ALL SELECT * FROM a2), " +
-          step(3, "p2") + " " +
-          "SELECT batch, count(*) AS n_accepted, " +
-          "CAST(sum(doc_id) AS BIGINT) AS id_sum " +
-          "FROM (SELECT * FROM p2 UNION ALL SELECT * FROM a3) GROUP BY batch"
-      }),
+      Some(streamLshOracle)),
+
+    // The same greedy-accept lifecycle THROUGH A COMPACTION: batches 0-1
+    // served and appended on the original index, then compactIndex folds
+    // the committed history into batch=-1 at a fresh path (watermark =
+    // last committed batch) and batches 2-3 continue against the
+    // compacted index. The oracle is dd_stream_lsh_index's — a green row
+    // proves compaction changes NO accept/reject decision mid-stream.
+    GraftQuery(
+      "dd_stream_lsh_compact",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ndis_cpt").toString
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        def part(i: Int) = docs.filter(pmod(col("doc_id"), lit(4)) === i)
+        val mb = graft.operators.NearDupLsh.DefaultMaxBucket
+        val st = graft.streaming.NearDupIndexStream
+        st.applyBatch(s, s"$root/idx", s"$root/log", 0.8, mb, 0L, part(0))
+        st.applyBatch(s, s"$root/idx", s"$root/log", 0.8, mb, 1L, part(1))
+        graft.operators.NearDupLsh.compactIndex(
+          s, s"$root/idx", s"$root/idx2", width = 4, throughBatch = 1L)
+        st.applyBatch(s, s"$root/idx2", s"$root/log", 0.8, mb, 2L, part(2))
+        st.applyBatch(s, s"$root/idx2", s"$root/log", 0.8, mb, 3L, part(3))
+        st.acceptedLog(s, s"$root/log")
+          .groupBy(col("batch").cast("long").as("batch"))
+          .agg(count(lit(1)).as("n_accepted"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      Some(streamLshOracle)),
 
     // The hash-keyed flavor of dd_span_dupes — the 100 TB shape: the
     // span-keyed shuffle carries a fixed 16-byte digest instead of the

@@ -112,21 +112,32 @@ object Similarity {
     * directly.
     */
   def lshAnn(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir).withColumn("sig", lshSignature(col("v"))).cache()
-    val bands = e.select(
-      col("vec_id"), col("v"), col("norm2"),
-      posexplode(array((0 until 4).map { j =>
-        shiftright(col("sig"), 4 * j).bitwiseAND(lit(0xF))
-      }: _*)).as(Seq("band", "band_val")))
-    val q = bands.filter(col("vec_id") < 10).select(
+    // Zero caches (the NearDupLsh shape): the QUERY side is its own
+    // pruned scan — `vec_id < 10` pushes to the parquet reader, so its
+    // signature pass touches ten rows — and broadcasts into the bucket
+    // join; the CORPUS signature relation is consumed exactly once by
+    // one full scan. Caching the corpus+signature relation (the r8
+    // layout) pins the whole embedding table in the block manager —
+    // chaotic eviction/recompute at 100 TB, and the recompute path is
+    // one scan anyway.
+    def withBands(df: DataFrame): DataFrame = df
+      .withColumn("sig", lshSignature(col("v")))
+      .select(
+        col("vec_id"), col("v"), col("norm2"),
+        posexplode(array((0 until 4).map { j =>
+          shiftright(col("sig"), 4 * j).bitwiseAND(lit(0xF))
+        }: _*)).as(Seq("band", "band_val")))
+      .drop("sig")
+    val e = corpus(s, dir)
+    val q = withBands(e.filter(col("vec_id") < 10)).select(
       col("band"), col("band_val"),
       col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn"))
-    val c = bands.select(
+    val c = withBands(e).select(
       col("band"), col("band_val"),
       col("vec_id").as("neighbor_id"), col("v"), col("norm2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    q.join(c, Seq("band", "band_val"))
+    c.join(broadcast(q), Seq("band", "band_val"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
@@ -139,7 +150,11 @@ object Similarity {
     * verdict; specs assert on this directly.
     */
   def ivfAnn(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir).cache()
+    // no cache: train re-scans per Lloyd iteration (iters=2 here; the
+    // production path samples — see IvfIndex.farthestFirstInit) and
+    // search scans once more. Recompute-from-scan is the only shape
+    // that survives a corpus that doesn't fit the block manager.
+    val e = corpus(s, dir)
     val centroids = graft.operators.IvfIndex.train(
       e.select(col("vec_id"), col("v")), "v", nlist = 16, iters = 2)
     val q = e.filter(col("vec_id") < 10)
@@ -156,7 +171,11 @@ object Similarity {
     * cell), not the corpus.
     */
   def ivfPersistedAnn(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir).cache()
+    // no cache: the index BUILD scans the corpus a few times (train +
+    // assign) and then the artifacts replace it entirely — pinning the
+    // corpus in memory for a build that runs nightly is pure block-
+    // manager pressure at scale
+    val e = corpus(s, dir)
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     val centroids = graft.operators.IvfIndex.train(
       e.select(col("vec_id"), col("v")), "v", nlist = 16, iters = 2)
@@ -184,7 +203,10 @@ object Similarity {
     * instead of 256 GB of float32 behind a full one.
     */
   def ivfPqAnn(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir).cache()
+    // no cache — same build-then-serve-from-artifacts reasoning as
+    // ivfPersistedAnn; the per-subspace codebook training collects
+    // nlist-bounded aggregates, never the corpus
+    val e = corpus(s, dir)
     val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
     val centroids = graft.operators.IvfIndex.train(
       e.select(col("vec_id"), col("v")), "v", nlist = 16, iters = 2)

@@ -67,7 +67,13 @@ object NearDupIndexStream {
       if (!exists(spark, indexPath)) exact
       else {
         val index = NearDupLsh.readIndex(spark, indexPath)
-          .filter(col("batch") < batchId)
+        require(index.columns.contains("batch"),
+          s"index at $indexPath has no `batch` partition column — it was " +
+            "written with a pre-unification flat layout. Rebuild it with " +
+            "writeIndex/writeIndexBatch (both now write batch=<id> " +
+            "partitions; a bootstrap lands in batch=-1), or move the old " +
+            "files under a batch=-1 subdirectory.")
+        val earlier = index.filter(col("batch") < batchId)
         val hot = spark.read
           .parquet(NearDupLsh.statsPath(indexPath))
           .filter(col("batch") < batchId)
@@ -75,14 +81,24 @@ object NearDupIndexStream {
           .filter(col("n") > maxBucket)
           .select(col("band"), col("band_hash"))
         val dupIds = NearDupLsh
-          .pairsAgainstIndex(exact, index, threshold, Some(hot))
+          .pairsAgainstIndex(exact, earlier, threshold, Some(hot))
           .select(col("new_id").as("doc_id")).distinct()
         exact.join(dupIds, Seq("doc_id"), "left_anti")
       }
-    NearDupLsh.writeIndexBatch(accepted, indexPath, batchId)
-    // membership log, same idempotent partition-overwrite contract
-    accepted.select(col("doc_id")).write.mode("overwrite")
-      .parquet(s"$logPath/batch=$batchId")
+    // one materialization for the three consumers below (signatures
+    // write, stats write, membership log): the lazy plan would re-run
+    // the full index join per consumer, and the decision would have to
+    // stay deterministic WHILE the batch's own partition is being
+    // overwritten between writes — persist pins both. Batch-sized, so
+    // this is not the full-corpus-cache anti-pattern; unpersisted in
+    // the same call.
+    accepted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      NearDupLsh.writeIndexBatch(accepted, indexPath, batchId)
+      // membership log, same idempotent partition-overwrite contract
+      accepted.select(col("doc_id")).write.mode("overwrite")
+        .parquet(s"$logPath/batch=$batchId")
+    } finally accepted.unpersist()
   }
 
   /** Accepted membership after the stream: (doc_id, batch). */

@@ -89,6 +89,59 @@ class NearDupLshSpec extends AnyFunSuite {
     assert(unguarded == base.size + 300L * 299L / 2L, s"unguarded=$unguarded")
   }
 
+  test("serve joins degrade to shuffle_hash when the batch outgrows the broadcast budget") {
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_guard_bc").toString
+    NearDupLsh.writeIndex(oldDocs, idx)
+    val index = NearDupLsh.readIndex(spark, idx)
+    val small = pairSet(NearDupLsh.pairsAgainstIndex(newDocs, index, 0.5d))
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // default budget: batch broadcasts (zero corpus motion)
+    assert(planOf(NearDupLsh.pairsAgainstIndex(newDocs, index, 0.5d))
+      .contains("BroadcastHashJoin"))
+    // zero budget = every batch is "oversized": same keys, hash join —
+    // completes (no 8 GB broadcast ceiling) with the identical pair set
+    spark.conf.set("spark.graft.lsh.serveBroadcastBytes", "0")
+    try {
+      val plan = planOf(NearDupLsh.pairsAgainstIndex(newDocs, index, 0.5d))
+      assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+      val big = pairSet(NearDupLsh.pairsAgainstIndex(newDocs, index, 0.5d))
+      assert(big == small,
+        s"shuffle_hash fallback diverged: missing=${small -- big}, extra=${big -- small}")
+    } finally spark.conf.unset("spark.graft.lsh.serveBroadcastBytes")
+  }
+
+  test("sampled catastrophe tier honors the minimum-sample floor at low caps") {
+    // maxBucket=2 makes the RATIO threshold trivially low (est > 10 docs
+    // ⟺ a single sampled row); without the absolute floor every key the
+    // 1% sample touches would be "catastrophic" and its true pairs lost.
+    // With the floor, no key on this 500-doc fixture can reach 25
+    // sampled rows, so the sampled tier must drop NOTHING — over-cap
+    // buckets fall to the exact capped tier (dropped_buckets > 0).
+    val cata = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
+    val dropped = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        qe.observedMetrics.get("graft_lsh_catastrophic").foreach(r => cata.set(Some(r.getLong(0))))
+        qe.observedMetrics.get("graft_lsh_buckets").foreach(r => dropped.set(Some(r.getLong(0))))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val n = NearDupLsh.pairs(docs, 0.5d, maxBucket = 2).count()
+      org.apache.spark.sql.graft.GraftPlans.drainListenerBus(spark)
+      assert(cata.get().contains(0L),
+        s"sampled tier must be inert under the floor: ${cata.get()}")
+      assert(dropped.get().exists(_ > 0L), "exact tier should see over-cap buckets")
+      assert(n > 0L, "size-2 buckets must still produce their pairs")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("skew guard publishes dropped/max bucket sizes as observed metrics") {
     val boiler = spark.range(300).select(
       (col("id") + 10000000L).as("doc_id"),

@@ -106,4 +106,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getAs[Double]("cosine") >= 0.4))
   }
+
+  test("ANN paths leave nothing in the block manager") {
+    // the 100 TB contract: every inline ANN flavor recomputes from scan
+    // — a full-corpus cache() would evict chaotically at scale, and a
+    // leaked entry here means some path quietly reintroduced one
+    spark.catalog.clearCache()
+    Seq("sim_lsh_ann", "sim_ivf_ann", "sim_ivf_persisted", "sim_ivfpq_ann")
+      .filter(graft.SparkEntry.queries.contains)
+      .foreach(n => graft.SparkEntry.queries(n)(spark, dir).count())
+    val cached = spark.sparkContext.getPersistentRDDs
+    assert(cached.isEmpty,
+      s"leaked block-manager entries: ${cached.values.map(_.name).mkString(", ")}")
+  }
 }

@@ -81,6 +81,37 @@ class NearDupIndexStreamSpec extends AnyFunSuite {
       s"compacted decision diverged: old=${viaOld.size} new=${viaNew.size}")
   }
 
+  test("compaction watermark keeps a crashed batch's partition out of batch=-1") {
+    import graft.operators.NearDupLsh
+    val root = Files.createTempDirectory("graft_ndis_wm").toString
+    val (idx, log) = (s"$root/idx", s"$root/log")
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    NearDupIndexStream.applyBatch(spark, idx, log, 0.8, 4096, 0L, b0)
+    NearDupIndexStream.applyBatch(spark, idx, log, 0.8, 4096, 1L, b1)
+    // batch 1's index partition exists but its checkpoint commit was
+    // "lost": compact only through batch 0. Batch 1 must survive the
+    // compaction under its own id, NOT folded into batch=-1 — folded,
+    // the redelivery below would self-match at jaccard 1.0 and reject
+    // every batch-1 doc forever.
+    val idx2 = s"$root/idx_wm"
+    NearDupLsh.compactIndex(spark, idx, idx2, width = 2, throughBatch = 0L)
+    val batches = NearDupLsh.readIndex(spark, idx2)
+      .select(col("batch")).distinct().collect().map(_.getInt(0)).toSet
+    assert(batches == Set(-1, 1), s"got $batches")
+    // redeliver batch 1 against the compacted index, then run batch 2:
+    // decisions equal the uncompacted lifecycle's
+    val log2 = s"$root/log_wm"
+    NearDupIndexStream.applyBatch(spark, idx2, log2, 0.8, 4096, 1L, b1)
+    NearDupIndexStream.applyBatch(spark, idx2, log2, 0.8, 4096, 2L, b2)
+    NearDupIndexStream.applyBatch(spark, idx, log, 0.8, 4096, 2L, b2)
+    val viaOld = accepted(log).filter(_._2 >= 1).map(_._1)
+    val viaNew = accepted(log2).map(_._1)
+    assert(viaNew == viaOld,
+      s"watermark compaction diverged: missing=${viaOld -- viaNew}, extra=${viaNew -- viaOld}")
+  }
+
   test("redelivered batch replaces its own partitions: replay-idempotent") {
     val root = Files.createTempDirectory("graft_ndis_replay").toString
     val (idx, log) = (s"$root/idx", s"$root/log")
