@@ -113,9 +113,13 @@ object Bench {
 
     // cross-round drift guard: diff against the previous round's BENCH
     // JSON and flag per-query deltas beyond ±25% so regressions are
-    // caught the round they land, not one judge-cycle later. Reported on
-    // stderr (the stdout contract stays ONE JSON line).
-    driftReport(results)
+    // caught the round they land, not one judge-cycle later. Shuffle
+    // bytes are diffed alongside seconds — on one box the wall clock
+    // hides the metric that actually scales with cluster cost, so a
+    // bytes regression (e.g. dd_ngram_jaccard's windowed join quietly
+    // reverting toward its pre-rework 476 MB) is the early warning.
+    // Reported on stderr (the stdout contract stays ONE JSON line).
+    driftReport(results, shuffleMb)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -126,10 +130,12 @@ object Bench {
   }
 
   /** Compare this run against the newest BENCH_r*.json in the repo root
-    * (or `SPARK_GRAFT_PREV_BENCH`) and print queries that drifted >25%
-    * either way. Purely advisory — never fails the run.
+    * (or `SPARK_GRAFT_PREV_BENCH`) and print queries whose seconds — or
+    * shuffle bytes, above a 1 MB noise floor — drifted >25% either way.
+    * Purely advisory — never fails the run.
     */
-  private def driftReport(results: collection.Map[String, Double]): Unit = try {
+  private def driftReport(results: collection.Map[String, Double],
+      shuffleMb: collection.Map[String, Double]): Unit = try {
     val prev = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(java.nio.file.Paths.get(_))
       .orElse {
         val repo = java.nio.file.Paths.get("/root/repo")
@@ -152,21 +158,32 @@ object Bench {
           .toSeq.sortBy(-_._1).map(_._2).filterNot(_ == p0)
       }
       val pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+      def block(text: String, key: String): Map[String, Double] =
+        (s""""$key"\\s*:\\s*\\{([^}]*)\\}""").r.findFirstMatchIn(text)
+          // the file nests the maps twice (raw line + parsed echo);
+          // first occurrence is enough for a guard
+          .map(m => pair.findAllMatchIn(m.group(1))
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap)
+          .getOrElse(Map.empty)
       val withQueries = candidates.iterator.map { q =>
         val text = new String(Files.readAllBytes(q), "UTF-8")
-        // the file nests the queries map twice (raw line + parsed echo);
-        // first occurrence is enough for a guard
-        val qBlock = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text).map(_.group(1))
-        q -> qBlock.map(b => pair.findAllMatchIn(b).map(m => m.group(1) -> m.group(2).toDouble).toMap)
-          .getOrElse(Map.empty)
+        (q, block(text, "queries"), block(text, "shuffle_mb"))
       }.find(_._2.nonEmpty)
       val p = withQueries.map(_._1).getOrElse(p0)
       val old = withQueries.map(_._2).getOrElse(Map.empty[String, Double])
+      val oldShuffle = withQueries.map(_._3).getOrElse(Map.empty[String, Double])
       results.foreach { case (name, now) =>
         old.get(name).foreach { was =>
           val delta = (now - was) / was
           if (math.abs(delta) > 0.25)
             System.err.println(f"DRIFT $name: ${was}%.3fs -> ${now}%.3fs (${delta * 100}%+.0f%% vs ${p.getFileName})")
+        }
+      }
+      shuffleMb.foreach { case (name, now) =>
+        oldShuffle.get(name).foreach { was =>
+          val delta = if (was > 0) (now - was) / was else 0.0
+          if (math.max(now, was) > 1.0 && math.abs(delta) > 0.25)
+            System.err.println(f"DRIFT-SHUFFLE $name: ${was}%.1fMB -> ${now}%.1fMB (${delta * 100}%+.0f%% vs ${p.getFileName})")
         }
       }
       results.keys.filterNot(old.contains)

@@ -128,10 +128,9 @@ object ScaleSmoke {
     // doc has at least its own source twin standing (jaccard 1.0)
     val incBatch = dupDocs.filter(col("doc_id") % 100 === 0)
       .select((col("doc_id") + nDocs * 10).as("doc_id"), col("text"))
-    val lshIdx = operators.NearDupLsh.readIndex(spark, lshIdxDir)
     System.err.println("[smoke] start lsh_inc")
     val (tInc, nInc) = minOfT(reps)(time {
-      operators.NearDupLsh.pairsAgainstIndex(incBatch, lshIdx, 0.8d).count()
+      operators.NearDupLsh.pairsAgainstIndexAt(spark, incBatch, lshIdxDir, 0.8d).count()
     })
     System.err.println("[smoke] start lsh_inc_full")
     val (tIncFull, nIncFull) = minOfT(reps)(time {
@@ -170,14 +169,62 @@ object ScaleSmoke {
       lit("identical boilerplate footer with terms of service and a " +
         "copyright notice repeated on every crawled page of the site").as("text"))
     val hotKeys = operators.NearDupLsh.hotBuckets(spark, lshIdxDir, maxBucket = 1024)
-    val idxWithBoiler = operators.NearDupLsh.readIndex(spark, lshIdxDir)
     System.err.println("[smoke] start lsh_inc_guard")
     val (tIncGuard, nIncGuard) = minOfT(reps)(time {
-      operators.NearDupLsh.pairsAgainstIndex(
-        incBatch.unionByName(newBoiler), idxWithBoiler, 0.8d, Some(hotKeys)).count()
+      operators.NearDupLsh.pairsAgainstIndexAt(spark,
+        incBatch.unionByName(newBoiler), lshIdxDir, 0.8d, Some(hotKeys)).count()
     })
     require(nIncGuard == nInc,
       s"guarded incremental must drop the clique and ONLY the clique: $nIncGuard vs $nInc")
+    // oversized-batch degradation: 10% of the corpus re-crawled in ONE
+    // batch with the broadcast budget forced low — the size guard must
+    // route the serve joins to shuffle_hash and COMPLETE (an
+    // unconditional broadcast hint here is an 8 GB ceiling failure
+    // waiting for a big enough corpus); every batch doc still has its
+    // standing twin, so the pair floor proves the fallback's answer.
+    val bigBatch = dupDocs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + nDocs * 20).as("doc_id"), col("text"))
+    spark.conf.set("spark.graft.lsh.serveBroadcastMaxRows", "100000")
+    System.err.println("[smoke] start lsh_inc_big")
+    val (tIncBig, nIncBig) = time {
+      operators.NearDupLsh.pairsAgainstIndexAt(
+        spark, bigBatch, lshIdxDir, 0.8d, Some(hotKeys)).count()
+    }
+    spark.conf.unset("spark.graft.lsh.serveBroadcastMaxRows")
+    require(nIncBig >= nDocs / 10,
+      s"oversized-batch serve lost standing twins: $nIncBig")
+    // streaming near-dup ingest: the corpus arrives as k micro-batches
+    // through NearDupIndexStream.applyBatch against a growing index —
+    // per-batch wall clock exposes how serve cost grows with standing
+    // history (the flat band artifact keeps the constant small; the
+    // scan itself is O(index) by the pruning math documented in
+    // NearDupLsh), and a final compaction collapses the partition dirs.
+    val streamRoot = java.nio.file.Files
+      .createTempDirectory("graft_stream_smoke").toString
+    val kBatches = 5
+    System.err.println("[smoke] start stream_lsh")
+    val streamSecs = (0 until kBatches).map { i =>
+      val b = dupDocs.filter(pmod(col("doc_id"), lit(kBatches.toLong)) === i)
+        .select(col("doc_id"), col("text"))
+      val (t, _) = time {
+        streaming.NearDupIndexStream.applyBatch(
+          spark, s"$streamRoot/idx", s"$streamRoot/log",
+          threshold = 0.8, maxBucket = 4096, batchId = i.toLong, batch = b)
+        0L
+      }
+      System.err.println(f"[smoke] stream_lsh batch $i: $t%.1fs")
+      t
+    }
+    val streamAccepted = streaming.NearDupIndexStream
+      .acceptedLog(spark, s"$streamRoot/log").count()
+    require(streamAccepted <= nDocs && streamAccepted >= nDocs / 2,
+      s"stream accepted count implausible: $streamAccepted of $nDocs")
+    val (tStreamCompact, _) = time {
+      operators.NearDupLsh.compactIndex(
+        spark, s"$streamRoot/idx", s"$streamRoot/idx_c",
+        width = shuffleWidth, throughBatch = kBatches - 1L)
+      0L
+    }
     // blocklist decontamination at corpus scale: bloom-prefiltered exact
     // anti-join vs the plain anti-join (identical result, cheaper motion).
     // The blocklist is sized past the broadcast threshold (the regime the
@@ -445,6 +492,11 @@ object ScaleSmoke {
         s""""lsh_inc_full_sec":$tIncFull,"lsh_inc_pairs":$nInc,""" +
         s""""lsh_guard_sec":$tGuard,"lsh_guard_pairs":$nGuard,""" +
         s""""lsh_inc_guard_sec":$tIncGuard,"lsh_inc_guard_pairs":$nIncGuard,""" +
+        s""""lsh_inc_big_sec":$tIncBig,"lsh_inc_big_pairs":$nIncBig,""" +
+        s""""stream_lsh_batch_secs":[${streamSecs.map(t => f"$t%.2f").mkString(",")}],""" +
+        s""""stream_lsh_accepted":$streamAccepted,""" +
+        s""""stream_lsh_docs_per_sec":${(nDocs / streamSecs.sum).toLong},""" +
+        s""""stream_lsh_compact_sec":$tStreamCompact,""" +
         s""""bloom_anti_sec":$tBloom,"bloom_anti_shuffle_mb":${bBloom / 1048576},""" +
         s""""plain_anti_sec":$tPlainAnti,"plain_anti_shuffle_mb":${bPlainAnti / 1048576},""" +
         s""""anti_survivors":$nBloom,""" +

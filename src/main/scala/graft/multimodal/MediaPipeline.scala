@@ -20,34 +20,108 @@ final case class MediaFeatures(
     channels: Int,
     checksum: Long)
 
-/** The decode seam. A production build would back this with an image
-  * codec (JNI/ffi) — none is available in this container, so the decode
-  * is a STUB: a deterministic function of the payload bytes with the same
-  * interface and batch shape a real decoder would have.
+/** Per-pixel statistics from a REAL decode: integer channel sums (exact
+  * in any engine, unlike float means) over the decoded raster.
+  */
+final case class ImagePixelStats(
+    doc_id: Long,
+    format: String,
+    width: Int,
+    height: Int,
+    n_pixels: Long,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long)
+
+/** The decode seam. Raster formats the JDK ships codecs for (PNG, BMP,
+  * GIF, JPEG via `javax.imageio` — zero external dependencies) decode
+  * for real: dimensions and channel statistics come from actual pixels.
+  * Payloads with no recognizable raster magic fall back to the STUB — a
+  * deterministic function of the payload bytes with the same interface
+  * and batch shape a real codec would have (the seam a production build
+  * fills with JNI/ffi codecs for the long-tail formats).
   */
 object MediaDecoder {
 
+  javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+
+  /** Raster magic sniff: the formats the JDK can decode, else None. */
+  def rasterFormat(payload: Array[Byte]): Option[String] = {
+    def b(i: Int): Int = payload(i) & 0xFF
+    if (payload.length < 8) None
+    else if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
+    else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+    else if (b(0) == 0xFF && b(1) == 0xD8 && b(2) == 0xFF) Some("jpeg")
+    else None
+  }
+
+  private def decodeRaster(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
   /** Batched decode: one call per partition-batch, mirroring how a real
     * codec amortizes setup (model load, JNI handles) across rows — the
-    * Scala analog of a pandas-UDF batch.
+    * Scala analog of a pandas-UDF batch. Raster payloads are REALLY
+    * decoded (width/height/channels from the image); anything else gets
+    * the stub features. The checksum is the payload byte hash in both
+    * paths (content identity, not pixel identity).
     */
   def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
-    // STUB decoder: features derived deterministically from the bytes.
-    // Real implementation: parse header, decode frame, extract dims.
     rows.map { r =>
       var h = 1125899906842597L
       var i = 0
       while (i < r.payload.length) { h = h * 31L + r.payload(i); i += 1 }
-      MediaFeatures(
-        doc_id = r.doc_id,
-        media_type = r.media_type,
-        n_bytes = r.payload.length.toLong,
-        width = (Math.floorMod(h, 1024L) + 1L).toInt,
-        height = (Math.floorMod(h >>> 10, 1024L) + 1L).toInt,
-        channels = 3,
-        checksum = h)
+      rasterFormat(r.payload).flatMap(_ => decodeRaster(r.payload)) match {
+        case Some(img) =>
+          MediaFeatures(
+            doc_id = r.doc_id,
+            media_type = r.media_type,
+            n_bytes = r.payload.length.toLong,
+            width = img.getWidth,
+            height = img.getHeight,
+            channels = img.getColorModel.getNumComponents,
+            checksum = h)
+        case None =>
+          // STUB decoder: features derived deterministically from bytes.
+          MediaFeatures(
+            doc_id = r.doc_id,
+            media_type = r.media_type,
+            n_bytes = r.payload.length.toLong,
+            width = (Math.floorMod(h, 1024L) + 1L).toInt,
+            height = (Math.floorMod(h >>> 10, 1024L) + 1L).toInt,
+            channels = 3,
+            checksum = h)
+      }
     }
   }
+
+  /** Real pixel statistics for raster payloads; rows that don't decode
+    * are dropped (the caller's DQ report counts them). The channel sums
+    * are integers over the sRGB bytes — engine-exact, order-free.
+    */
+  def decodeImageBatch(rows: Iterator[MediaRow]): Iterator[ImagePixelStats] =
+    rows.flatMap { r =>
+      rasterFormat(r.payload).flatMap { fmt =>
+        decodeRaster(r.payload).map { img =>
+          val (w, hgt) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < hgt) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >>> 16) & 0xFF
+              sg += (rgb >>> 8) & 0xFF
+              sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          ImagePixelStats(r.doc_id, fmt, w, hgt, w.toLong * hgt, sr, sg, sb)
+        }
+      }
+    }
 }
 
 /** One sampled frame of a (stub-decoded) video payload. */
@@ -82,6 +156,19 @@ object MediaPipeline {
     import spark.implicits._
     mediaDataset(spark, dir)
       .mapPartitions(MediaDecoder.decodeBatch)
+      .toDF()
+  }
+
+  /** Real pixel-statistics decode over an arbitrary (doc_id, media_type,
+    * payload) frame — same partition-local batch shape as
+    * decodeFeatures, but the output columns come from actually decoded
+    * rasters (javax.imageio), not the stub.
+    */
+  def decodeImageStats(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.as[MediaRow]
+      .mapPartitions(MediaDecoder.decodeImageBatch)
       .toDF()
   }
 

@@ -63,15 +63,31 @@ object NearDupLsh {
     */
   val MinSampleCount = 25L
 
-  /** Plan-stat budget for the serve path's forced broadcasts: when the
-    * BATCH side's optimized-plan size estimate exceeds this, the serve
-    * joins fall back to `shuffle_hash` hints on the same keys instead
-    * of broadcasting — the plan degrades to a (pruned-column) corpus
-    * shuffle rather than dying at Spark's 8 GB broadcast ceiling when
-    * a crawl batch arrives oversized. Tunable via the
-    * `spark.graft.lsh.serveBroadcastBytes` session conf.
+  /** Row budget for the serve path's forced broadcasts: when the BATCH
+    * exceeds this many documents, the serve joins fall back to
+    * `shuffle_hash` hints on the same keys instead of broadcasting —
+    * the plan degrades to a (pruned-column) corpus shuffle rather than
+    * dying at Spark's 8 GB broadcast ceiling when a crawl batch
+    * arrives oversized. Measured with a limit-bounded count (one
+    * O(min(batch, budget)) probe job per serve call) because plan-stat
+    * estimates don't discount filters with CBO off: a batch carved
+    * from a large relation by a filter LOOKS relation-sized and would
+    * misroute the common small-batch case onto the corpus-shuffle path
+    * (observed: a 1% batch of a 10M corpus shuffling 5.4 GB of corpus
+    * sh for nothing). 2M docs ⇒ ~16M band rows, comfortably inside the
+    * ceiling. Tunable via `spark.graft.lsh.serveBroadcastMaxRows`.
     */
-  val DefaultServeBroadcastBytes: Long = 128L << 20
+  val DefaultServeBroadcastMaxRows: Long = 2000000L
+
+  /** Serve-time key-prune cap: when the batch lands at most this many
+    * distinct band keys, the key list is collected (bounded: 8 bytes
+    * per key) and pushed into the band-artifact scan as an InSet
+    * filter — candidate rows die at the scan instead of riding to the
+    * join, and for trickle-sized lookups (keys fewer than row groups)
+    * parquet min/max stats on the sorted `bk` column skip whole row
+    * groups. Tunable via `spark.graft.lsh.serveKeyPruneLimit`.
+    */
+  val DefaultServeKeyPruneLimit: Int = 10000
 
   /** Word-3-gram shingle array of a text column. */
   def shingles(text: Column): Column = {
@@ -144,17 +160,32 @@ object NearDupLsh {
           element_at(col("sig"), col("band") * RowsPerBand + i + 1)): _*)
           .as("band_hash"))
 
+  /** Fused single-long band key: distinct ⟺ (band, band_hash) distinct
+    * (band ∈ 0..7, hash is 32-bit). One-column long joins probe faster
+    * than two-column composites, and the flat band artifact sorts on it.
+    */
+  private def bandKey(bandHash: Column, band: Column): Column =
+    bandHash.cast("long") * 8 + band
+
   /** Append a batch's signatures to the persisted index — an append-only
     * parquet artifact (build once at corpus ingest, append each accepted
-    * batch, serve incremental dedup without rescanning history). A
-    * per-batch bucket-count delta lands beside it (`statsPath`), so the
-    * serve path can skip degenerate corpus buckets without ever
-    * re-aggregating the index: the stats artifact is O(distinct buckets
-    * per batch) rows of three ints — negligible next to the signatures —
-    * and readers sum the deltas. The O(batch) band recompute here is
-    * build-time cost; the alternative (re-aggregating the full index's
-    * bands per serve call) is the O(corpus) scan this lifecycle exists
-    * to avoid.
+    * batch, serve incremental dedup without rescanning history). Two
+    * sidecars land beside it:
+    *
+    *  - `statsPath`: per-batch (band, band_hash, n) bucket-count deltas —
+    *    O(distinct buckets per batch) rows of ints, so the serve path
+    *    skips degenerate corpus buckets without re-aggregating history;
+    *  - `bandsPath`: the band relation FLAT — (doc_id, bk) rows, range-
+    *    laid-out and sorted by the fused key. The serve path's candidate
+    *    stage scans this instead of re-exploding the signatures' `bands`
+    *    arrays (measured 4.4x cheaper at 10M docs: no per-row array
+    *    assembly, and the single-long join key probes ~1.6x faster).
+    *    The sorted layout additionally gives trickle-sized lookups
+    *    (fewer keys than row groups) real min/max row-group skipping.
+    *
+    * The O(batch) band recompute here is build-time cost; the
+    * alternative (re-deriving the full index's bands per serve call) is
+    * the O(corpus) work this lifecycle exists to avoid.
     */
   def writeIndex(docs: DataFrame, path: String): Unit = {
     // flat appends land in the batch=-1 partition so the layout is the
@@ -163,33 +194,47 @@ object NearDupLsh {
     // id, so the strictly-earlier replay filter admits the bootstrap)
     // instead of failing at runtime on a missing column.
     signatures(docs).write.mode("append").parquet(s"$path/batch=-1")
-    bandRows(docs)
-      .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
-      .write.mode("append").parquet(s"${statsPath(path)}/batch=-1")
+    writeSidecars(bandRows(docs), path, -1L, append = true)
   }
 
   /** The idempotent flavor of `writeIndex` for exactly-once streaming
-    * appends: batch `batchId`'s signatures and stats deltas land in
-    * their own `batch=<id>` partition directories with OVERWRITE, so a
-    * redelivered micro-batch (crash between the index write and the
-    * checkpoint commit) replaces its own partition instead of
-    * double-appending. `readIndex`/`readBucketStats` discover the
-    * partition layout transparently (the extra `batch` column is
-    * pruned by every consumer's column selection).
+    * appends: batch `batchId`'s signatures, stats deltas, and flat band
+    * rows land in their own `batch=<id>` partition directories with
+    * OVERWRITE, so a redelivered micro-batch (crash between the index
+    * write and the checkpoint commit) replaces its own partitions
+    * instead of double-appending. `readIndex`/`readBucketStats` discover
+    * the partition layout transparently (the extra `batch` column is
+    * pruned by every consumer's column selection). The sidecars derive
+    * from a READ-BACK of the just-written partition — one signature
+    * compute per micro-batch instead of three.
     */
   def writeIndexBatch(docs: DataFrame, path: String, batchId: Long): Unit = {
     signatures(docs).write.mode("overwrite")
       .parquet(s"$path/batch=$batchId")
-    bandRows(docs)
+    val written = docs.sparkSession.read.parquet(s"$path/batch=$batchId")
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_hash")))
+    writeSidecars(written, path, batchId, append = false)
+  }
+
+  private def writeSidecars(bands: DataFrame, path: String, batchId: Long,
+      append: Boolean): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    bands
       .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite")
-      .parquet(s"${statsPath(path)}/batch=$batchId")
+      .write.mode(mode).parquet(s"${statsPath(path)}/batch=$batchId")
+    bands
+      .select(col("doc_id"), bandKey(col("band_hash"), col("band")).as("bk"))
+      .repartitionByRange(col("bk"))
+      .sortWithinPartitions(col("bk"))
+      .write.mode(mode).parquet(s"${bandsPath(path)}/batch=$batchId")
   }
 
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
   def statsPath(path: String): String = path + "_stats"
+
+  def bandsPath(path: String): String = path + "_bands"
 
   /** Consolidate an append-only index into a fresh directory: batches
     * up to `throughBatch` land in ONE `batch=-1` partition set
@@ -228,6 +273,11 @@ object NearDupLsh {
     stats.filter(col("batch") <= throughBatch)
       .groupBy(col("band"), col("band_hash")).agg(sum(col("n")).as("n"))
       .write.mode("overwrite").parquet(s"${statsPath(targetPath)}/batch=-1")
+    val bands = spark.read.parquet(bandsPath(path))
+    bands.filter(col("batch") <= throughBatch)
+      .select(col("doc_id"), col("bk"))
+      .repartitionByRange(col("bk")).sortWithinPartitions(col("bk"))
+      .write.mode("overwrite").parquet(s"${bandsPath(targetPath)}/batch=-1")
     // uncommitted tail: carry each partition through under its own id
     val tail = all.filter(col("batch") > throughBatch)
       .select(col("batch")).distinct().collect().map(_.getAs[Number](0).longValue)
@@ -237,6 +287,8 @@ object NearDupLsh {
       stats.filter(col("batch") === b)
         .select(col("band"), col("band_hash"), col("n"))
         .write.mode("overwrite").parquet(s"${statsPath(targetPath)}/batch=$b")
+      bands.filter(col("batch") === b).select(col("doc_id"), col("bk"))
+        .write.mode("overwrite").parquet(s"${bandsPath(targetPath)}/batch=$b")
     }
   }
 
@@ -282,9 +334,41 @@ object NearDupLsh {
     // see bandRows)
     pairsAgainstImpl(newDocs,
       index.select(col("doc_id").as("old_id"),
-        posexplode(col("bands")).as(Seq("band", "band_hash"))),
+        posexplode(col("bands")).as(Seq("band", "band_hash")))
+        .select(col("old_id"), bandKey(col("band_hash"), col("band")).as("bk")),
       index.select(col("doc_id").as("old_id"), col("sh").as("sh_b")),
       threshold, skipBuckets)
+
+  /** Serve a batch straight from a persisted index PATH — the
+    * production entry point: the candidate stage scans the flat sorted
+    * band artifact (`bandsPath`) instead of re-exploding the signature
+    * relation's arrays, and trickle-sized batches push their collected
+    * key set into that scan (see DefaultServeKeyPruneLimit). Falls
+    * back to the array-explode path for indexes written before the
+    * artifact existed. `maxBatchExclusive` restricts the served corpus
+    * to strictly-earlier batch partitions (the stream's replay filter);
+    * None serves the whole index.
+    */
+  def pairsAgainstIndexAt(spark: SparkSession, newDocs: DataFrame,
+      path: String, threshold: Double,
+      skipBuckets: Option[DataFrame] = None,
+      maxBatchExclusive: Option[Long] = None): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      maxBatchExclusive.fold(df)(b => df.filter(col("batch") < b))
+    val index = cut(readIndex(spark, path))
+    val bp = new org.apache.hadoop.fs.Path(bandsPath(path))
+    val corpusBands =
+      if (bp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(bp))
+        cut(spark.read.parquet(bandsPath(path)))
+          .select(col("doc_id").as("old_id"), col("bk"))
+      else
+        index.select(col("doc_id").as("old_id"),
+          posexplode(col("bands")).as(Seq("band", "band_hash")))
+          .select(col("old_id"), bandKey(col("band_hash"), col("band")).as("bk"))
+    pairsAgainstImpl(newDocs, corpusBands,
+      index.select(col("doc_id").as("old_id"), col("sh").as("sh_b")),
+      threshold, skipBuckets)
+  }
 
   /** Incremental flavor without a persisted index: the corpus signatures
     * are recomputed from text — O(corpus) compute per call, so this is
@@ -293,11 +377,16 @@ object NearDupLsh {
     */
   def pairsAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame =
     pairsAgainstImpl(newDocs,
-      bandRows(corpus).withColumnRenamed("doc_id", "old_id"),
+      bandRows(corpus)
+        .select(col("doc_id").as("old_id"),
+          bandKey(col("band_hash"), col("band")).as("bk")),
       corpus.select(col("doc_id").as("old_id"),
         shExpr.as("sh_b")),
       threshold, None)
 
+  /** Core serve join. `corpusBands` must be (old_id, bk) with bk the
+    * fused band key; `corpusSets` (old_id, sh_b).
+    */
   private def pairsAgainstImpl(newDocs: DataFrame, corpusBands: DataFrame,
       corpusSets: DataFrame, threshold: Double,
       skipBuckets: Option[DataFrame]): DataFrame = {
@@ -308,25 +397,42 @@ object NearDupLsh {
     // in-place corpus scans — zero corpus motion. But a broadcast HINT
     // overrides autoBroadcastJoinThreshold unconditionally, so one
     // oversized crawl batch would die at Spark's 8 GB broadcast ceiling
-    // instead of degrading. Decide from the batch side's optimized-plan
-    // estimate (the candidate relation's own join estimate is
-    // rowcount-blind garbage; candidates scale with the batch in every
-    // non-degenerate corpus, and the degenerate ones are exactly what
-    // `skipBuckets` bounds): under the budget → broadcast, over it →
-    // shuffle_hash on the same keys, which trades a pruned-column
-    // corpus shuffle for completing at all.
-    val budget = spark.conf.getOption("spark.graft.lsh.serveBroadcastBytes")
-      .map(_.toLong).getOrElse(DefaultServeBroadcastBytes)
-    val batchEst = newDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+    // instead of degrading. Decide with a limit-bounded ROW COUNT of
+    // the batch (see DefaultServeBroadcastMaxRows for why plan stats
+    // can't be trusted here; the candidate relation scales with the
+    // batch in every non-degenerate corpus, and the degenerate ones are
+    // exactly what `skipBuckets` bounds): under the budget → broadcast,
+    // over it → shuffle_hash on the same keys, which trades a
+    // pruned-column corpus shuffle for completing at all.
+    val maxRows = spark.conf.getOption("spark.graft.lsh.serveBroadcastMaxRows")
+      .map(_.toLong).getOrElse(DefaultServeBroadcastMaxRows)
+    val probeCap = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val oversized = newDocs.limit(probeCap).count() > maxRows
     def serveSide(df: DataFrame): DataFrame =
-      if (batchEst <= budget) broadcast(df) else df.hint("shuffle_hash")
+      if (!oversized) broadcast(df) else df.hint("shuffle_hash")
     // the batch side recomputes from scan per consumer (bands + rescore)
     // — O(batch) compute twice beats materializing on the serve path
-    val allNewBands = bandRows(newDocs).withColumnRenamed("doc_id", "new_id")
+    val allNewBands = bandRows(newDocs)
+      .select(col("doc_id").as("new_id"),
+        bandKey(col("band_hash"), col("band")).as("bk"))
     val newBands = skipBuckets.fold(allNewBands)(hot =>
-      allNewBands.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"))
-    val candidates = corpusBands
-      .join(serveSide(newBands), Seq("band", "band_hash"))
+      allNewBands.join(
+        broadcast(hot.select(bandKey(col("band_hash"), col("band")).as("bk"))),
+        Seq("bk"), "left_anti"))
+    // trickle-batch scan prune: a bounded key-list collect lets the
+    // band-artifact scan drop non-candidate rows (and, under the sorted
+    // layout, whole row groups) before the join probe
+    val pruneLimit = spark.conf.getOption("spark.graft.lsh.serveKeyPruneLimit")
+      .map(_.toInt).getOrElse(DefaultServeKeyPruneLimit)
+    val prunedCorpusBands = if (oversized) corpusBands else {
+      val keys = newBands.select(col("bk")).distinct()
+        .limit(pruneLimit + 1).collect().map(_.getLong(0))
+      if (keys.length <= pruneLimit)
+        corpusBands.filter(col("bk").isInCollection(keys))
+      else corpusBands
+    }
+    val candidates = prunedCorpusBands
+      .join(serveSide(newBands), Seq("bk"))
       .select(col("new_id"), col("old_id"))
       .dropDuplicates("new_id", "old_id")
     val withOld = corpusSets

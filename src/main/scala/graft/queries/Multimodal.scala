@@ -78,6 +78,54 @@ object Multimodal {
       (s, dir) => MediaPipeline.sampleFrames(s, dir, framesPerDoc = 4),
       Some(Multimodal.frameSampleOracle)),
 
+    // REAL decode, oracle-gated by construction: build a complete valid
+    // 24-bit BMP per row (BITMAPFILEHEADER + BITMAPINFOHEADER + padded
+    // bottom-up pixel rows, assembled as hex text and unhex'd once) with
+    // dimensions and a constant fill color derived from fixture columns,
+    // then run it through the javax.imageio decode path
+    // (MediaPipeline.decodeImageStats). The integer channel sums over
+    // the DECODED raster must equal color × pixel-count — any header
+    // mistake, stride error, or stub shortcut diverges. Constant fill
+    // makes the check orientation-free (BMP stores rows bottom-up).
+    GraftQuery(
+      "mm_decode_real",
+      (s, dir) => {
+        val w = (col("doc_id") % 4 + 1).cast("int")
+        val h = (col("n_chars") % 4 + 1).cast("int")
+        val cr = (col("doc_id") % 256).cast("int")
+        val cg = (col("n_chars") % 256).cast("int")
+        val cb = ((col("doc_id") + col("n_chars")) % 256).cast("int")
+        def hex2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+        def leHex(c: org.apache.spark.sql.Column, n: Int) =
+          concat((0 until n).map(k =>
+            hex2(shiftright(c, 8 * k).bitwiseAND(lit(255)))): _*)
+        // row stride pads to a 4-byte boundary: 3w + (4 - 3w mod 4) mod 4
+        val pad = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
+        val stride = w * 3 + pad
+        val imageSize = (stride * h).cast("long")
+        val fileSize = imageSize + lit(54L)
+        val rowHex = concat(
+          repeat(concat(hex2(cb), hex2(cg), hex2(cr)), w), // BGR byte order
+          repeat(lit("00"), pad))
+        val hdrHex = concat(
+          lit("424D"), leHex(fileSize, 4), lit("0000000036000000"), // BM, size, offs 54
+          lit("28000000"), leHex(w.cast("long"), 4), leHex(h.cast("long"), 4),
+          lit("0100"), lit("1800"), lit("00000000"), // planes 1, 24 bpp, BI_RGB
+          leHex(imageSize, 4), lit("00000000000000000000000000000000"))
+        val images = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), lit("image/bmp").as("media_type"),
+            unhex(concat(hdrHex, repeat(rowHex, h))).as("payload"))
+        graft.multimodal.MediaPipeline.decodeImageStats(images)
+      },
+      Some("SELECT doc_id, 'bmp' AS format, " +
+        "CAST(doc_id % 4 + 1 AS INT) AS width, " +
+        "CAST(n_chars % 4 + 1 AS INT) AS height, " +
+        "CAST((doc_id % 4 + 1) * (n_chars % 4 + 1) AS BIGINT) AS n_pixels, " +
+        "CAST((doc_id % 256) * (doc_id % 4 + 1) * (n_chars % 4 + 1) AS BIGINT) AS sum_r, " +
+        "CAST((n_chars % 256) * (doc_id % 4 + 1) * (n_chars % 4 + 1) AS BIGINT) AS sum_g, " +
+        "CAST(((doc_id + n_chars) % 256) * (doc_id % 4 + 1) * (n_chars % 4 + 1) AS BIGINT) AS sum_b " +
+        "FROM documents")),
+
     // Image-header sniffing, oracle-gated by construction: build a real
     // PNG header per row with dimensions derived from fixture columns
     // (int → 4-byte big-endian via hex/unhex), parse it back with the

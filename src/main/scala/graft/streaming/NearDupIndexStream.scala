@@ -73,15 +73,18 @@ object NearDupIndexStream {
             "writeIndex/writeIndexBatch (both now write batch=<id> " +
             "partitions; a bootstrap lands in batch=-1), or move the old " +
             "files under a batch=-1 subdirectory.")
-        val earlier = index.filter(col("batch") < batchId)
         val hot = spark.read
           .parquet(NearDupLsh.statsPath(indexPath))
           .filter(col("batch") < batchId)
           .groupBy(col("band"), col("band_hash")).agg(sum(col("n")).as("n"))
           .filter(col("n") > maxBucket)
           .select(col("band"), col("band_hash"))
+        // path-based serve: candidates come from the flat sorted band
+        // artifact (not an array re-explode), restricted to strictly-
+        // earlier batch partitions on every relation it reads
         val dupIds = NearDupLsh
-          .pairsAgainstIndex(exact, earlier, threshold, Some(hot))
+          .pairsAgainstIndexAt(spark, exact, indexPath, threshold,
+            Some(hot), maxBatchExclusive = Some(batchId))
           .select(col("new_id").as("doc_id")).distinct()
         exact.join(dupIds, Seq("doc_id"), "left_anti")
       }

@@ -103,14 +103,38 @@ class NearDupLshSpec extends AnyFunSuite {
       .contains("BroadcastHashJoin"))
     // zero budget = every batch is "oversized": same keys, hash join —
     // completes (no 8 GB broadcast ceiling) with the identical pair set
-    spark.conf.set("spark.graft.lsh.serveBroadcastBytes", "0")
+    spark.conf.set("spark.graft.lsh.serveBroadcastMaxRows", "0")
     try {
       val plan = planOf(NearDupLsh.pairsAgainstIndex(newDocs, index, 0.5d))
       assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
       val big = pairSet(NearDupLsh.pairsAgainstIndex(newDocs, index, 0.5d))
       assert(big == small,
         s"shuffle_hash fallback diverged: missing=${small -- big}, extra=${big -- small}")
-    } finally spark.conf.unset("spark.graft.lsh.serveBroadcastBytes")
+    } finally spark.conf.unset("spark.graft.lsh.serveBroadcastMaxRows")
+  }
+
+  test("path-based serve (flat band artifact) matches the DataFrame serve") {
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_at_spec").toString
+    NearDupLsh.writeIndex(oldDocs, idx)
+    val viaDf = pairSet(NearDupLsh.pairsAgainstIndex(
+      newDocs, NearDupLsh.readIndex(spark, idx), 0.5d))
+    assert(viaDf.nonEmpty)
+    // artifact exists and the scan actually uses it (trickle batch →
+    // key prune engages too; result must be identical)
+    assert(new java.io.File(NearDupLsh.bandsPath(idx)).exists())
+    val viaPath = pairSet(NearDupLsh.pairsAgainstIndexAt(
+      spark, newDocs, idx, 0.5d))
+    assert(viaPath == viaDf,
+      s"artifact serve diverged: missing=${viaDf -- viaPath}, extra=${viaPath -- viaDf}")
+    // and with the key prune disabled (limit 0 → no isin filter)
+    spark.conf.set("spark.graft.lsh.serveKeyPruneLimit", "0")
+    try {
+      val unpruned = pairSet(NearDupLsh.pairsAgainstIndexAt(
+        spark, newDocs, idx, 0.5d))
+      assert(unpruned == viaDf)
+    } finally spark.conf.unset("spark.graft.lsh.serveKeyPruneLimit")
   }
 
   test("sampled catastrophe tier honors the minimum-sample floor at low caps") {
