@@ -47,8 +47,17 @@ object ServeProbe {
       .option("dupRate", 0.05)
       .load()
       .select(col("doc_id"), col("text"))
-    val batch = dupDocs.filter(col("doc_id") % 100 === 0)
+    // the batch arrives MATERIALIZED (a crawl drop is its own files):
+    // deriving it lazily from the synthetic corpus would re-generate
+    // and filter all nDocs rows on every serve-side evaluation, and
+    // that harness artifact — not the index — dominated the probe
+    // (3 batch passes ≈ 70% of serve wall at 10M)
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft_serve_probe_batch").toString
+    dupDocs.filter(col("doc_id") % 100 === 0)
       .select((col("doc_id") + nDocs * 10).as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(batchDir)
+    val batch = spark.read.parquet(batchDir)
 
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft_serve_probe_idx").toString
@@ -77,6 +86,9 @@ object ServeProbe {
           .count()
       case "serve" =>
         operators.NearDupLsh.pairsAgainstIndex(batch, index, 0.8d).count()
+      // the path-based serve: flat band artifact for candidates
+      case "serveAt" =>
+        operators.NearDupLsh.pairsAgainstIndexAt(spark, batch, idxDir, 0.8d).count()
       case "serveFull" =>
         operators.NearDupLsh.pairsAgainst(batch, dupDocs, 0.8d).count()
       // flat PRE-EXPLODED band artifact with a fused (band, band_hash)

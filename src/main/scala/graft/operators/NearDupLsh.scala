@@ -407,7 +407,8 @@ object NearDupLsh {
     val maxRows = spark.conf.getOption("spark.graft.lsh.serveBroadcastMaxRows")
       .map(_.toLong).getOrElse(DefaultServeBroadcastMaxRows)
     val probeCap = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
-    val oversized = newDocs.limit(probeCap).count() > maxRows
+    val probedRows = newDocs.limit(probeCap).count()
+    val oversized = probedRows > maxRows
     def serveSide(df: DataFrame): DataFrame =
       if (!oversized) broadcast(df) else df.hint("shuffle_hash")
     // the batch side recomputes from scan per consumer (bands + rescore)
@@ -421,16 +422,22 @@ object NearDupLsh {
         Seq("bk"), "left_anti"))
     // trickle-batch scan prune: a bounded key-list collect lets the
     // band-artifact scan drop non-candidate rows (and, under the sorted
-    // layout, whole row groups) before the join probe
+    // layout, whole row groups) before the join probe. Gated on the
+    // probed row count — each doc contributes 8 band keys, so a batch
+    // beyond pruneLimit/8 docs cannot fit under the limit, and the
+    // distinct() behind the collect is a FULL batch-bands aggregation
+    // (limit doesn't short-circuit it) that a big batch shouldn't pay.
     val pruneLimit = spark.conf.getOption("spark.graft.lsh.serveKeyPruneLimit")
       .map(_.toInt).getOrElse(DefaultServeKeyPruneLimit)
-    val prunedCorpusBands = if (oversized) corpusBands else {
-      val keys = newBands.select(col("bk")).distinct()
-        .limit(pruneLimit + 1).collect().map(_.getLong(0))
-      if (keys.length <= pruneLimit)
-        corpusBands.filter(col("bk").isInCollection(keys))
-      else corpusBands
-    }
+    val prunedCorpusBands =
+      if (oversized || probedRows * Bands > pruneLimit) corpusBands
+      else {
+        val keys = newBands.select(col("bk")).distinct()
+          .limit(pruneLimit + 1).collect().map(_.getLong(0))
+        if (keys.length <= pruneLimit)
+          corpusBands.filter(col("bk").isInCollection(keys))
+        else corpusBands
+      }
     val candidates = prunedCorpusBands
       .join(serveSide(newBands), Seq("bk"))
       .select(col("new_id"), col("old_id"))
