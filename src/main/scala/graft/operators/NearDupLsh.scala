@@ -183,6 +183,21 @@ object NearDupLsh {
     *    The sorted layout additionally gives trickle-sized lookups
     *    (fewer keys than row groups) real min/max row-group skipping.
     *
+    * Why the layout is sorted-flat rather than partitioned by band key:
+    * MinHash band hashes are uniform by construction, so a batch of d
+    * docs scatters 8d keys uniformly over the key space. Skipping a
+    * file (or directory, or row group) requires it to contain NO batch
+    * key; with u units over the index, the expected batch keys per unit
+    * is 8d/u, so pruning only bites when the batch is smaller than the
+    * unit count — single-document lookups, not crawl batches (a 1%
+    * batch of a 10M corpus carries 800k keys against ~640 row groups:
+    * every unit is hit). Directory bucketing by key would add thousands
+    * of small files per micro-batch and prune nothing a real batch
+    * ever sees; the flat sorted layout instead minimizes the CONSTANT
+    * of the unavoidable O(index) scan — 80M flat rows scan in ~0.3s
+    * where the array explode took 1.5s — and still serves the trickle
+    * case via row-group stats under the collected-key filter.
+    *
     * The O(batch) band recompute here is build-time cost; the
     * alternative (re-deriving the full index's bands per serve call) is
     * the O(corpus) work this lifecycle exists to avoid.
