@@ -63,6 +63,21 @@ object NearDupLsh {
     */
   val MinSampleCount = 25L
 
+  /** Input-size floor for the sampled catastrophe tier. The tier exists
+    * to keep degenerate MULTI-GB corpora from funneling tens of
+    * millions of rows into single reduce tasks (an 8 GB heap OOM,
+    * observed at 10M docs); below this plan-stat size the exact capped
+    * aggregate alone is already safe and the tier's two extra stages
+    * are pure fixed overhead (~+16% on the sub-second sf0.1 bench
+    * row). Output is unchanged either way: any key the sampler would
+    * drop (est > 5·cap with >= 25 sampled rows) is over the cap with
+    * overwhelming probability, so the exact tier drops it too. Sources
+    * that report no statistics (e.g. in-memory or synthetic relations)
+    * default to huge and keep the tier on — the safe direction.
+    * Tunable via `spark.graft.lsh.sampledTierMinBytes`.
+    */
+  val DefaultSampledTierMinBytes: Long = 256L << 20
+
   /** Row budget for the serve path's forced broadcasts: when the BATCH
     * exceeds this many documents, the serve joins fall back to
     * `shuffle_hash` hints on the same keys instead of broadcasting —
@@ -517,6 +532,12 @@ object NearDupLsh {
     //      observes its own count (rides the anti-join's shuffle_hash
     //      build side — deliberately NOT broadcast: CollectMetrics
     //      under a broadcast build never reaches observedMetrics).
+    // the sampled tier only engages above the input-size floor (see
+    // DefaultSampledTierMinBytes): small corpora skip its two stages
+    // entirely — same output, none of the fixed overhead
+    val tierMin = spark.conf.getOption("spark.graft.lsh.sampledTierMinBytes")
+      .map(_.toLong).getOrElse(DefaultSampledTierMinBytes)
+    val useSampledTier = docs.queryExecution.optimizedPlan.stats.sizeInBytes > tierMin
     val estOver = bandRows(docs.sample(SampleFrac, SampleSeed))
       .groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("n_s"))
@@ -530,8 +551,12 @@ object NearDupLsh {
       .select(col("band"), col("band_hash"))
       .observe("graft_lsh_catastrophic",
         count(lit(1)).as("catastrophic_buckets"))
-    val buckets = bandRows(docs)
-      .join(estOver.hint("shuffle_hash"), Seq("band", "band_hash"), "left_anti")
+    val guardedBands =
+      if (useSampledTier)
+        bandRows(docs)
+          .join(estOver.hint("shuffle_hash"), Seq("band", "band_hash"), "left_anti")
+      else bandRows(docs)
+    val buckets = guardedBands
       .groupBy(col("band"), col("band_hash"))
       .agg(GraftFunctions.collect_capped(col("doc_id"), maxBucket).as("b"))
       .filter(col("b.n") > 1)

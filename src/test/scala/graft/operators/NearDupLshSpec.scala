@@ -156,6 +156,9 @@ class NearDupLshSpec extends AnyFunSuite {
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
+    // force the tier ON despite the tiny fixture (the size floor would
+    // skip it): the floor-under-test here is the SAMPLE-count floor
+    spark.conf.set("spark.graft.lsh.sampledTierMinBytes", "0")
     try {
       val n = NearDupLsh.pairs(docs, 0.5d, maxBucket = 2).count()
       org.apache.spark.sql.graft.GraftPlans.drainListenerBus(spark)
@@ -163,7 +166,18 @@ class NearDupLshSpec extends AnyFunSuite {
         s"sampled tier must be inert under the floor: ${cata.get()}")
       assert(dropped.get().exists(_ > 0L), "exact tier should see over-cap buckets")
       assert(n > 0L, "size-2 buckets must still produce their pairs")
-    } finally spark.listenerManager.unregister(listener)
+      // and under the default SIZE floor, a small parquet corpus skips
+      // the sampled tier entirely — identical result, no metric emitted
+      spark.conf.unset("spark.graft.lsh.sampledTierMinBytes")
+      cata.set(None)
+      val nSkip = NearDupLsh.pairs(docs, 0.5d, maxBucket = 2).count()
+      org.apache.spark.sql.graft.GraftPlans.drainListenerBus(spark)
+      assert(nSkip == n, s"tier on/off must agree: $nSkip vs $n")
+      assert(cata.get().isEmpty, "small corpus must not pay the sampled tier")
+    } finally {
+      spark.conf.unset("spark.graft.lsh.sampledTierMinBytes")
+      spark.listenerManager.unregister(listener)
+    }
   }
 
   test("skew guard publishes dropped/max bucket sizes as observed metrics") {
@@ -187,6 +201,8 @@ class NearDupLshSpec extends AnyFunSuite {
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
+    // tiny fixture: force the sampled tier on so both metric streams flow
+    spark.conf.set("spark.graft.lsh.sampledTierMinBytes", "0")
     try {
       NearDupLsh.pairs(docs.unionByName(boiler), 0.5d, maxBucket = 100).count()
       org.apache.spark.sql.graft.GraftPlans.drainListenerBus(spark)
@@ -204,6 +220,9 @@ class NearDupLshSpec extends AnyFunSuite {
       // the exact tier; if the sampler caught all 8, max is capped data
       assert(maxBucket >= 300 || catastrophic >= 8L,
         s"max_bucket=$maxBucket catastrophic=$catastrophic")
-    } finally spark.listenerManager.unregister(listener)
+    } finally {
+      spark.conf.unset("spark.graft.lsh.sampledTierMinBytes")
+      spark.listenerManager.unregister(listener)
+    }
   }
 }
