@@ -63,31 +63,44 @@ print(f"PASS {name}: {len(g_rows)} rows")
 """
 
 
+def run_one(args):
+    sfdir, outdir, timeout, name = args
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", CHILD, sfdir, outdir, name],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        out = r.stdout or f"FAIL {name}: {r.stderr.strip()[:300]}\n"
+        return (name, "pass" if r.returncode == 0 else "fail", out)
+    except subprocess.TimeoutExpired:
+        return (name, "timeout",
+                f"ORACLE-TIMEOUT {name} (> {timeout}s in DuckDB; "
+                f"engine output present)\n")
+
+
 def main():
+    # worker pool: each oracle is a single-threaded DuckDB subprocess, so
+    # the sweep parallelizes embarrassingly — sequential, the sf0.1 suite
+    # is hours (231 oracles, several legitimately slow); pooled it's
+    # minutes. Worker count via SWEEP_WORKERS (default: half the cores,
+    # leaving headroom so the sweep can run beside a round close).
+    from concurrent.futures import ThreadPoolExecutor
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf01"
     timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 180
+    workers = int(os.environ.get("SWEEP_WORKERS", max(1, (os.cpu_count() or 2) // 2)))
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
-    n_pass = n_fail = n_to = 0
-    for name in names:
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", CHILD, sfdir, outdir, name],
-                capture_output=True, text=True, timeout=timeout,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            sys.stdout.write(r.stdout or f"FAIL {name}: {r.stderr.strip()[:300]}\n")
-            if r.returncode == 0:
-                n_pass += 1
-            else:
-                n_fail += 1
-        except subprocess.TimeoutExpired:
-            print(f"ORACLE-TIMEOUT {name} (> {timeout}s in DuckDB; "
-                  f"engine output present)")
-            n_to += 1
-        sys.stdout.flush()
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_to} oracle-timeout")
-    sys.exit(1 if n_fail else 0)
+    counts = {"pass": 0, "fail": 0, "timeout": 0}
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for _, status, out in pool.map(
+                run_one, [(sfdir, outdir, timeout, n) for n in names]):
+            counts[status] += 1
+            sys.stdout.write(out)
+            sys.stdout.flush()
+    print(f"\n{counts['pass']} pass, {counts['fail']} fail, "
+          f"{counts['timeout']} oracle-timeout")
+    sys.exit(1 if counts["fail"] else 0)
 
 
 if __name__ == "__main__":
