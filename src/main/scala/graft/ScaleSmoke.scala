@@ -22,11 +22,14 @@ object ScaleSmoke {
     // a 32-wide shuffle puts ~12M rows (~330 MB) in each reduce task's
     // sorter against a ~140 MB per-task execution share — heavy spill
     // at best, executor OOM under concurrent allocation pressure at
-    // worst (observed). ~100k docs per partition keeps each task's
-    // working set inside its share; AQE coalesces whatever ends up
-    // small. This is the local[] version of the 100 TB sizing rule:
-    // partitions sized to fit memory, count grows with data.
-    val shuffleWidth = math.max(cpus.toInt, (nDocs / 100000L).toInt)
+    // worst (observed). ~50k docs per partition keeps each task's
+    // working set inside its share WITH headroom — at 100k/partition
+    // the 10M ppjoin still OOM'd the 8 GB harness heap on an unlucky
+    // allocation interleaving (2 of 3 runs this round); AQE coalesces
+    // whatever ends up small. This is the local[] version of the
+    // 100 TB sizing rule: partitions sized to fit memory, count grows
+    // with data.
+    val shuffleWidth = math.max(cpus.toInt, (nDocs / 50000L).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft_scale_smoke")
@@ -47,6 +50,20 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       val n = body
       ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // Disk hygiene between sections: local-mode shuffle files live until
+    // their ShuffleDependency is GC'd, so a 10M run accumulates the
+    // ppjoin (~25 GB) and span (~70 GB) shuffles on top of every index
+    // artifact and OVERFLOWS the work disk (observed twice). A forced gc
+    // lets ContextCleaner drop unreferenced shuffle files; finished
+    // artifact dirs are deleted explicitly.
+    def reclaim(paths: String*): Unit = {
+      paths.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      System.gc()
     }
 
     // shuffle bytes written while `body` runs — the metric that scales
@@ -105,6 +122,7 @@ object ScaleSmoke {
         dupDocs.select(col("doc_id"), col("text")), num = 4, den = 5).count()
     })
     // the approximate miner on the same planted corpus: recall/cost vs exact
+    reclaim() // ppjoin's freq-join shuffle is ~25 GB at 10M
     System.err.println("[smoke] start lsh_planted")
     val (tLshDup, nLshDup) = minOfT(reps)(time {
       operators.NearDupLsh.pairs(dupDocs.select(col("doc_id"), col("text")), 0.8d).count()
@@ -205,6 +223,8 @@ object ScaleSmoke {
     spark.conf.unset("spark.graft.lsh.serveBroadcastMaxRows")
     require(nIncBig >= nDocs / 10,
       s"oversized-batch serve lost standing twins: $nIncBig")
+    reclaim(lshIdxDir, operators.NearDupLsh.statsPath(lshIdxDir),
+      operators.NearDupLsh.bandsPath(lshIdxDir), incBatchDir, bigBatchDir)
     // streaming near-dup ingest: the corpus arrives as k micro-batches
     // through NearDupIndexStream.applyBatch against a growing index —
     // per-batch wall clock exposes how serve cost grows with standing
@@ -240,6 +260,7 @@ object ScaleSmoke {
         width = shuffleWidth, throughBatch = kBatches - 1L)
       0L
     }
+    reclaim(streamRoot)
     // blocklist decontamination at corpus scale: bloom-prefiltered exact
     // anti-join vs the plain anti-join (identical result, cheaper motion).
     // The blocklist is sized past the broadcast threshold (the regime the
@@ -316,6 +337,7 @@ object ScaleSmoke {
     })
     require(nSpanHash == nSpanText,
       s"hashed span dedup diverged: $nSpanHash vs $nSpanText")
+    reclaim() // span shuffles are ~70 GB at 10M — drop them before the next section
     val dom = nDocs * 10
     val pts = spark.range(nDocs)
       .select(col("id").as("pid"), pmod(hash(col("id")).cast("long") * 2654435761L, lit(dom)).as("p"))
