@@ -438,6 +438,43 @@ object Dedup {
         "FROM documents d LEFT JOIN mixed m ON d.doc_id = m.new_id " +
         "WHERE d.doc_id % 10 = 7 GROUP BY 1")),
 
+    // The PERSISTED-index flavor of dd_incremental_lsh: the standing
+    // corpus is written once through writeIndex (signatures + bucket
+    // stats + the flat sorted band artifact) and the batch is served
+    // by pairsAgainstIndexAt — candidates from the band artifact,
+    // trickle key-prune engaged (the batch is small enough), rescore
+    // from stored sh. Identical oracle to dd_incremental_lsh: banding
+    // is per-document, so the (new, old) pair set must match the
+    // recompute flavor cell-exactly — this row keeps the whole
+    // artifact lifecycle under the DuckDB gate, not just under specs.
+    GraftQuery(
+      "dd_incremental_lsh_indexed",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism) // one input file
+          .select(col("doc_id"), col("text"))
+        val newDocs = docs.filter(col("doc_id") % 10 === 7)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_inc_idx_gate").toString
+        graft.operators.NearDupLsh.writeIndex(
+          docs.filter(col("doc_id") % 10 =!= 7), idx)
+        val matches = graft.operators.NearDupLsh
+          .pairsAgainstIndexAt(s, newDocs, idx, threshold = 0.5d)
+        newDocs.select(col("doc_id").as("new_id"))
+          .join(matches.select(col("new_id"), col("old_id")), Seq("new_id"), "left")
+          .groupBy(col("new_id"))
+          .agg(count(col("old_id")).as("n_dups"), min(col("old_id")).as("first_dup"))
+      },
+      Some(s"WITH p AS (${minhashLshOracle(0.5d)}), " +
+        "mixed AS (SELECT " +
+        "CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS new_id, " +
+        "CASE WHEN doc_a % 10 = 7 THEN doc_b ELSE doc_a END AS old_id " +
+        "FROM p WHERE (doc_a % 10 = 7) <> (doc_b % 10 = 7)) " +
+        "SELECT d.doc_id AS new_id, count(m.old_id) AS n_dups, " +
+        "min(m.old_id) AS first_dup " +
+        "FROM documents d LEFT JOIN mixed m ON d.doc_id = m.new_id " +
+        "WHERE d.doc_id % 10 = 7 GROUP BY 1")),
+
     // SimHash fingerprint per document (native expression). The oracle
     // replays the exact bit-for-bit algorithm in DuckDB HUGEINT
     // arithmetic — see simhashCtes.
