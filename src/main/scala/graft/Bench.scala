@@ -12,12 +12,45 @@ import org.apache.spark.sql.SparkSession
   * time only the scan. `etl_reference_workload` is the reference repo's
   * own end-to-end job (379-row CSV → 123 rows, partitioned CSV sink),
   * directly comparable to BASELINE.md's 42s/87s wall clocks.
+  *
+  * Noise methodology (r11, after BENCH_r10's +46–291% uniform drift was
+  * adjudicated as host noise — same-code min-of-3 runs on this host vary
+  * up to ~2× even at load 0.03):
+  *
+  *  - Repetitions are INTERLEAVED round-robin across queries: one
+  *    untimed warmup round (Janino codegen + JIT per plan), then
+  *    `SPARK_GRAFT_BENCH_REPS` (default 5) timed rounds, each running
+  *    every query once. A noise burst (GC storm, external contention)
+  *    then lands on ONE rep of many queries instead of all reps of one
+  *    query — per-query minima stay comparable.
+  *  - Per rep, a listener sums executor task time; the reported
+  *    `task_sec` (min over reps) and `shuffle_mb` are the PRIMARY
+  *    cross-round drift metrics: task time degrades far less under host
+  *    contention than wall-clock, and shuffle bytes are deterministic.
+  *    Wall-clock minima remain the headline `queries` block but are
+  *    advisory for cross-round comparison (see driftReport).
+  *  - The 1-minute load average is sampled at start and end and recorded
+  *    in the artifact (`load_avg_start/end`, `noisy` when either exceeds
+  *    `SPARK_GRAFT_MAX_LOAD`, default 2.0) so a contaminated artifact
+  *    carries its own evidence instead of poisoning the next round's
+  *    baseline silently.
+  *  - The drift guard diffs against `SPARK_GRAFT_PREV_BENCH` if set,
+  *    else the artifact named in `bench/DRIFT_BASE` (the last CLEAN
+  *    baseline, committed), else the newest BENCH_r*.json.
   */
 object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "2.0").toDouble
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
+    if (loadStart > maxLoad)
+      System.err.println(f"NOISY-HOST: 1-min load $loadStart%.2f > $maxLoad%.2f " +
+        "at bench start — wall-clock in this artifact is not comparison-grade")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft_bench")
@@ -55,90 +88,106 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val headline = GraftQuery.all.filter(_.bench)
       .filter(q => only.forall(_.contains(q.name)))
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // one untimed warmup + three timed runs per query, report the min
-    // (JMH-style): the warmup run pays Janino codegen-compilation + JIT
-    // for the plan's generated classes (seconds for the widest expression
-    // trees) — a per-PLAN constant that amortizes to zero on real data
-    // volumes, so timed runs measure the data-proportional work. The
-    // warmup time is still printed in the RUNS stderr line (first entry,
-    // bracketed) so the constant stays visible. Extra timed runs also ride
-    // out this host's intermittent external contention. Caches are cleared
-    // between runs, so each timed run includes any query-internal cache
-    // build. (Methodology note: rounds ≤6 had no warmup run and their
-    // min-of-3 absorbed part of the codegen constant on short queries —
-    // cross-round deltas on sub-second entries partly reflect that.)
-    // shuffle bytes written during the final timed run — the cluster-cost
-    // metric that scales with data volume where wall-clock on one box
-    // doesn't; reported per query alongside the seconds
-    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    headline.foreach { q =>
+    // one measured execution: wall seconds + summed executor task time +
+    // shuffle bytes written, all from the same run
+    final case class Meas(wall: Double, taskSec: Double, shuffleMb: Double)
+    def measure(body: => Unit): Meas = {
       val listener = new org.apache.spark.scheduler.SparkListener {
         val bytes = new java.util.concurrent.atomic.AtomicLong
+        val taskMs = new java.util.concurrent.atomic.AtomicLong
         override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-      }
-      val runs = (0 to 3).map { i =>
-        if (i == 3) spark.sparkContext.addSparkListener(listener)
-        val dt = time {
-          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
         }
-        spark.catalog.clearCache() // queries may cache internally; no leakage
-        dt
       }
-      org.apache.spark.sql.graft.GraftPlans.drainListenerBus(spark)
-      spark.sparkContext.removeSparkListener(listener)
-      shuffleMb(q.name) = listener.bytes.get() / 1e6
-      System.err.println(f"RUNS ${q.name}: [${runs.head}%.3f] " +
-        runs.tail.map(r => f"$r%.3f").mkString(" ") +
-        f" shuffle=${shuffleMb(q.name)}%.1fMB")
-      results(q.name) = runs.tail.min
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val w = time(body)
+        org.apache.spark.sql.graft.GraftPlans.drainListenerBus(spark)
+        Meas(w, listener.taskMs.get() / 1e3, listener.bytes.get() / 1e6)
+      } finally spark.sparkContext.removeSparkListener(listener)
     }
 
-    // the reference's own workload, end to end (extract → … → sink);
-    // warmup + min of three runs like every other entry — the warmup pays
-    // Janino compilation for the 28-column projection chain, a fixed cost
-    // that amortizes to zero at any real data volume
-    if (only.forall(_.contains("etl_reference_workload")))
-      results("etl_reference_workload") = (0 to 3).map { _ =>
-      time {
-        val out = Files.createTempDirectory("graft_bench_etl").toString
-        val cfg = etl.ConfigLoader.load("/root/repo/config",
-          env = Some("nonexistent"), overrides = Seq(s"paths.output_base=$out"))
-        new etl.EntregasEtl(cfg, spark).run()
-      }
-    }.tail.min
+    def runQuery(q: GraftQuery): Unit = {
+      q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache() // queries may cache internally; no leakage
+    }
+    def runEtl(): Unit = {
+      val out = Files.createTempDirectory("graft_bench_etl").toString
+      val cfg = etl.ConfigLoader.load("/root/repo/config",
+        env = Some("nonexistent"), overrides = Seq(s"paths.output_base=$out"))
+      new etl.EntregasEtl(cfg, spark).run()
+    }
+    val includeEtl = only.forall(_.contains("etl_reference_workload"))
+    val names: Seq[String] =
+      headline.map(_.name) ++ (if (includeEtl) Seq("etl_reference_workload") else Nil)
+    def runByName(n: String): Unit =
+      if (n == "etl_reference_workload") runEtl()
+      else runQuery(headline.find(_.name == n).get)
 
-    // cross-round drift guard: diff against the previous round's BENCH
-    // JSON and flag per-query deltas beyond ±25% so regressions are
-    // caught the round they land, not one judge-cycle later. Shuffle
-    // bytes are diffed alongside seconds — on one box the wall clock
-    // hides the metric that actually scales with cluster cost, so a
-    // bytes regression (e.g. dd_ngram_jaccard's windowed join quietly
-    // reverting toward its pre-rework 476 MB) is the early warning.
-    // Reported on stderr (the stdout contract stays ONE JSON line).
-    driftReport(results, shuffleMb)
+    // warmup round (pays per-plan Janino + JIT; recorded to stderr, never
+    // reported), then `reps` timed rounds INTERLEAVED across queries
+    val warm = names.map(n => n -> time(runByName(n))).toMap
+    val samples = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Meas]](
+      names.map(n => n -> scala.collection.mutable.ArrayBuffer.empty[Meas]): _*)
+    (1 to reps).foreach { r =>
+      names.foreach { n => samples(n) += measure(runByName(n)) }
+      System.err.println(s"ROUND $r/$reps done (load ${f"$loadAvg%.2f"})")
+    }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val taskSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    names.foreach { n =>
+      val ms = samples(n)
+      results(n) = ms.map(_.wall).min
+      taskSec(n) = ms.map(_.taskSec).min
+      shuffleMb(n) = ms.map(_.shuffleMb).max // deterministic; max rides out listener races
+      System.err.println(f"RUNS $n: [${warm(n)}%.3f] " +
+        ms.map(m => f"${m.wall}%.3f").mkString(" ") +
+        f" task=${taskSec(n)}%.2fs shuffle=${shuffleMb(n)}%.1fMB")
+    }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val sh = shuffleMb.map { case (k, v) => "\"" + k + f"""":$v%.1f""" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
+    // cross-round drift guard — see driftReport
+    driftReport(results, taskSec, shuffleMb)
+
+    val loadEnd = loadAvg
+    val noisy = loadStart > maxLoad || loadEnd > maxLoad
+    def block(m: collection.Map[String, Double], fmt: Double => String): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = block(results, _.toString)
+    val ts = block(taskSec, v => f"$v%.3f")
+    val sh = block(shuffleMb, v => f"$v%.1f")
+    println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"task_sec":$ts,"shuffle_mb":$sh,"reps":$reps,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"noisy":$noisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 
-  /** Compare this run against the newest BENCH_r*.json in the repo root
-    * (or `SPARK_GRAFT_PREV_BENCH`) and print queries whose seconds — or
-    * shuffle bytes, above a 1 MB noise floor — drifted >25% either way.
+  /** Compare this run against the last CLEAN baseline artifact —
+    * `SPARK_GRAFT_PREV_BENCH` if set, else the filename committed in
+    * `bench/DRIFT_BASE`, else the newest BENCH_r*.json — and report
+    * per-query drift >25%. Primary metrics: summed executor task time
+    * (when the baseline carries a `task_sec` block) and shuffle bytes
+    * (above a 1 MB floor; a query whose baseline had ZERO shuffle but
+    * now shuffles is reported explicitly — that's a broadcast plan
+    * quietly reverting, the exact scenario the guard exists for).
+    * Wall-clock drift is reported as advisory (`DRIFT-WALL`): this
+    * host's same-code variance reaches ~2× on sub-second queries.
     * Purely advisory — never fails the run.
     */
   private def driftReport(results: collection.Map[String, Double],
+      taskSec: collection.Map[String, Double],
       shuffleMb: collection.Map[String, Double]): Unit = try {
+    val repo = java.nio.file.Paths.get("/root/repo")
     val prev = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(java.nio.file.Paths.get(_))
       .orElse {
-        val repo = java.nio.file.Paths.get("/root/repo")
+        val base = repo.resolve("bench/DRIFT_BASE")
+        if (Files.exists(base))
+          Some(repo.resolve(new String(Files.readAllBytes(base), "UTF-8").trim))
+        else None
+      }
+      .orElse {
         val rx = "BENCH_r(\\d+)\\.json".r
         import scala.jdk.CollectionConverters._
         Files.list(repo).iterator.asScala
@@ -150,7 +199,6 @@ object Bench {
       // carries no queries block; fall back to the newest one that does,
       // so the guard diffs against the last MEANINGFUL baseline
       val candidates = p0 +: {
-        val repo = p0.getParent
         val rx = "BENCH_r(\\d+)\\.json".r
         import scala.jdk.CollectionConverters._
         Files.list(repo).iterator.asScala
@@ -167,23 +215,36 @@ object Bench {
           .getOrElse(Map.empty)
       val withQueries = candidates.iterator.map { q =>
         val text = new String(Files.readAllBytes(q), "UTF-8")
-        (q, block(text, "queries"), block(text, "shuffle_mb"))
+        (q, block(text, "queries"), block(text, "shuffle_mb"), block(text, "task_sec"))
       }.find(_._2.nonEmpty)
       val p = withQueries.map(_._1).getOrElse(p0)
       val old = withQueries.map(_._2).getOrElse(Map.empty[String, Double])
       val oldShuffle = withQueries.map(_._3).getOrElse(Map.empty[String, Double])
-      results.foreach { case (name, now) =>
-        old.get(name).foreach { was =>
-          val delta = (now - was) / was
-          if (math.abs(delta) > 0.25)
-            System.err.println(f"DRIFT $name: ${was}%.3fs -> ${now}%.3fs (${delta * 100}%+.0f%% vs ${p.getFileName})")
+      val oldTask = withQueries.map(_._4).getOrElse(Map.empty[String, Double])
+      def report(tag: String, now: collection.Map[String, Double],
+          was: Map[String, Double], unit: String): Unit =
+        now.foreach { case (name, v) =>
+          was.get(name).foreach { w =>
+            val delta = (v - w) / w
+            if (math.abs(delta) > 0.25)
+              System.err.println(f"$tag $name: $w%.3f$unit -> $v%.3f$unit (${delta * 100}%+.0f%% vs ${p.getFileName})")
+          }
         }
-      }
+      // primary: task time (contention-resistant) — only when the
+      // baseline artifact carries it (r11+)
+      if (oldTask.nonEmpty) report("DRIFT-TASK", taskSec, oldTask, "s")
+      report("DRIFT-WALL", results, old, "s")
       shuffleMb.foreach { case (name, now) =>
-        oldShuffle.get(name).foreach { was =>
-          val delta = if (was > 0) (now - was) / was else 0.0
-          if (math.max(now, was) > 1.0 && math.abs(delta) > 0.25)
-            System.err.println(f"DRIFT-SHUFFLE $name: ${was}%.1fMB -> ${now}%.1fMB (${delta * 100}%+.0f%% vs ${p.getFileName})")
+        oldShuffle.get(name) match {
+          case Some(was) if was > 1.0 =>
+            val delta = (now - was) / was
+            if (math.abs(delta) > 0.25)
+              System.err.println(f"DRIFT-SHUFFLE $name: $was%.1fMB -> $now%.1fMB (${delta * 100}%+.0f%% vs ${p.getFileName})")
+          case Some(was) if now > 1.0 =>
+            // baseline had (effectively) zero shuffle: a broadcast plan
+            // regressing to a real shuffle must be flagged, not divided by 0
+            System.err.println(f"DRIFT-SHUFFLE $name: $was%.1fMB -> $now%.1fMB (new shuffle vs ${p.getFileName})")
+          case _ => ()
         }
       }
       results.keys.filterNot(old.contains)

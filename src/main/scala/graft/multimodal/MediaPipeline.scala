@@ -56,9 +56,42 @@ object MediaDecoder {
     else None
   }
 
+  /** Largest raster (in pixels) a single row may decode. A crafted
+    * header — a 60-byte BMP declaring 100000×100000 — otherwise makes
+    * ImageIO allocate the full raster before any pixel data is even
+    * validated: a one-row allocation bomb that kills the task (and the
+    * job) on adversarial crawl data. 64M pixels ≈ 256 MB ARGB is far
+    * above any legitimate thumbnail/photo and well inside executor
+    * headroom.
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  /** Decode with the failure modes crawl data actually produces handled:
+    * declared dimensions are read from the header FIRST (cheap, no pixel
+    * allocation) and bounded, and the decode catches NonFatal — JDK
+    * ImageIO decoders throw RuntimeExceptions (IllegalArgumentException,
+    * NegativeArraySizeException, CMMException), not just IOException, on
+    * malformed payloads. Any failure degrades to None (the stub/dropped-
+    * row path), never a task failure.
+    */
   private def decodeRaster(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: java.io.IOException => None }
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+            if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Batched decode: one call per partition-batch, mirroring how a real
     * codec amortizes setup (model load, JNI handles) across rows — the

@@ -223,8 +223,32 @@ object NearDupLsh {
     // index sees a real `batch` column (-1 sorts before every micro-batch
     // id, so the strictly-earlier replay filter admits the bootstrap)
     // instead of failing at runtime on a missing column.
-    signatures(docs).write.mode("append").parquet(s"$path/batch=-1")
-    writeSidecars(bandRows(docs), path, -1L, append = true)
+    //
+    // One signature compute per ingest (writeIndexBatch's contract): the
+    // signatures land in a hidden staging dir (dot-prefixed — invisible
+    // to partition discovery, so a concurrent reader never sees a
+    // half-ingest), the sidecars derive from a READ-BACK of the staged
+    // parquet — a pruned column scan, not a second full shingle+minhash
+    // pass over the corpus — and the staged part-files then move into
+    // the batch=-1 partition. Spark part-file names carry a per-task
+    // UUID, so renames into a non-empty partition cannot collide with
+    // earlier appends.
+    val spark = docs.sparkSession
+    val staging = s"$path/.staging-${java.util.UUID.randomUUID()}"
+    signatures(docs).write.mode("overwrite").parquet(staging)
+    val written = spark.read.parquet(staging)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_hash")))
+    writeSidecars(written, path, -1L, append = true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(staging)
+    val fs = src.getFileSystem(conf)
+    val target = new org.apache.hadoop.fs.Path(s"$path/batch=-1")
+    fs.mkdirs(target)
+    fs.listStatus(src).foreach { st =>
+      if (st.getPath.getName.startsWith("part-"))
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(target, st.getPath.getName))
+    }
+    fs.delete(src, true)
   }
 
   /** The idempotent flavor of `writeIndex` for exactly-once streaming
@@ -294,16 +318,40 @@ object NearDupLsh {
     */
   def compactIndex(spark: SparkSession, path: String, targetPath: String,
       width: Int = 0, throughBatch: Long = Long.MaxValue): Unit = {
-    val all = readIndex(spark, path)
+    // Legacy-index migration (compaction is the natural migration step):
+    // a pre-partition-layout index has no `batch` column — treat it all
+    // as the committed bootstrap (batch=-1 semantics) — and a
+    // pre-artifact index has no stats/bands sidecars — derive both from
+    // the signatures' bands arrays (one pruned-column pass), which also
+    // lands the legacy index on the fast flat-artifact serve path.
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    val all0 = readIndex(spark, path)
+    val all =
+      if (all0.columns.contains("batch")) all0
+      else all0.withColumn("batch", lit(-1L))
+    lazy val derivedBands = all
+      .select(col("batch"), col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val stats =
+      if (exists(statsPath(path))) spark.read.parquet(statsPath(path))
+      else derivedBands
+        .groupBy(col("batch"), col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("n"))
+    val bands =
+      if (exists(bandsPath(path))) spark.read.parquet(bandsPath(path))
+      else derivedBands
+        .select(col("batch"), col("doc_id"),
+          bandKey(col("band_hash"), col("band")).as("bk"))
     val sigs = all.filter(col("batch") <= throughBatch)
       .select(col("doc_id"), col("sh"), col("bands"))
     val sized = if (width > 0) sigs.repartition(width) else sigs
     sized.write.mode("overwrite").parquet(s"$targetPath/batch=-1")
-    val stats = spark.read.parquet(statsPath(path))
     stats.filter(col("batch") <= throughBatch)
       .groupBy(col("band"), col("band_hash")).agg(sum(col("n")).as("n"))
       .write.mode("overwrite").parquet(s"${statsPath(targetPath)}/batch=-1")
-    val bands = spark.read.parquet(bandsPath(path))
     bands.filter(col("batch") <= throughBatch)
       .select(col("doc_id"), col("bk"))
       .repartitionByRange(col("bk")).sortWithinPartitions(col("bk"))
@@ -355,9 +403,19 @@ object NearDupLsh {
     * The skip list is tiny (degenerate keys only), so the anti-join is
     * a broadcast against the already-small batch side — O(batch) stays
     * O(batch).
+    *
+    * EAGER at construction time: unless `batchRows` is supplied, building
+    * the returned plan runs a limit-bounded count of `newDocs` (up to
+    * serveBroadcastMaxRows+1 rows) to pick broadcast vs shuffle_hash,
+    * and — for batches under the key-prune limit — a full batch-bands
+    * distinct+collect. A caller that composes/rebuilds the result re-pays
+    * those probe jobs per rebuild; callers that already know the batch
+    * size (e.g. a stream that materialized the batch) pass it via
+    * `batchRows` to skip the count probe entirely.
     */
   def pairsAgainstIndex(newDocs: DataFrame, index: DataFrame,
-      threshold: Double, skipBuckets: Option[DataFrame] = None): DataFrame =
+      threshold: Double, skipBuckets: Option[DataFrame] = None,
+      batchRows: Option[Long] = None): DataFrame =
     // the index's `bands` is a SCAN attribute (parquet column), so
     // posexplode over it infers only a harmless size guard on the
     // column — no recompute risk (unlike an in-line computed array,
@@ -367,7 +425,7 @@ object NearDupLsh {
         posexplode(col("bands")).as(Seq("band", "band_hash")))
         .select(col("old_id"), bandKey(col("band_hash"), col("band")).as("bk")),
       index.select(col("doc_id").as("old_id"), col("sh").as("sh_b")),
-      threshold, skipBuckets)
+      threshold, skipBuckets, batchRows)
 
   /** Serve a batch straight from a persisted index PATH — the
     * production entry point: the candidate stage scans the flat sorted
@@ -377,12 +435,14 @@ object NearDupLsh {
     * back to the array-explode path for indexes written before the
     * artifact existed. `maxBatchExclusive` restricts the served corpus
     * to strictly-earlier batch partitions (the stream's replay filter);
-    * None serves the whole index.
+    * None serves the whole index. Construction is EAGER unless
+    * `batchRows` is supplied — see [[pairsAgainstIndex]]'s probe note.
     */
   def pairsAgainstIndexAt(spark: SparkSession, newDocs: DataFrame,
       path: String, threshold: Double,
       skipBuckets: Option[DataFrame] = None,
-      maxBatchExclusive: Option[Long] = None): DataFrame = {
+      maxBatchExclusive: Option[Long] = None,
+      batchRows: Option[Long] = None): DataFrame = {
     def cut(df: DataFrame): DataFrame =
       maxBatchExclusive.fold(df)(b => df.filter(col("batch") < b))
     val index = cut(readIndex(spark, path))
@@ -397,13 +457,14 @@ object NearDupLsh {
           .select(col("old_id"), bandKey(col("band_hash"), col("band")).as("bk"))
     pairsAgainstImpl(newDocs, corpusBands,
       index.select(col("doc_id").as("old_id"), col("sh").as("sh_b")),
-      threshold, skipBuckets)
+      threshold, skipBuckets, batchRows)
   }
 
   /** Incremental flavor without a persisted index: the corpus signatures
     * are recomputed from text — O(corpus) compute per call, so this is
     * for one-shot jobs; the daily-crawl lifecycle is writeIndex once +
-    * pairsAgainstIndex per batch.
+    * pairsAgainstIndex per batch. Construction is EAGER — see
+    * [[pairsAgainstIndex]]'s probe note.
     */
   def pairsAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame =
     pairsAgainstImpl(newDocs,
@@ -412,14 +473,15 @@ object NearDupLsh {
           bandKey(col("band_hash"), col("band")).as("bk")),
       corpus.select(col("doc_id").as("old_id"),
         shExpr.as("sh_b")),
-      threshold, None)
+      threshold, None, None)
 
   /** Core serve join. `corpusBands` must be (old_id, bk) with bk the
-    * fused band key; `corpusSets` (old_id, sh_b).
+    * fused band key; `corpusSets` (old_id, sh_b). `batchRows`, when
+    * known by the caller, replaces the limit-bounded count probe.
     */
   private def pairsAgainstImpl(newDocs: DataFrame, corpusBands: DataFrame,
       corpusSets: DataFrame, threshold: Double,
-      skipBuckets: Option[DataFrame]): DataFrame = {
+      skipBuckets: Option[DataFrame], batchRows: Option[Long]): DataFrame = {
     val spark = newDocs.sparkSession
     GraftFunctions.register(spark)
     // Size-aware serve joins: in the documented regime (batch ≪ corpus)
@@ -437,7 +499,7 @@ object NearDupLsh {
     val maxRows = spark.conf.getOption("spark.graft.lsh.serveBroadcastMaxRows")
       .map(_.toLong).getOrElse(DefaultServeBroadcastMaxRows)
     val probeCap = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
-    val probedRows = newDocs.limit(probeCap).count()
+    val probedRows = batchRows.getOrElse(newDocs.limit(probeCap).count())
     val oversized = probedRows > maxRows
     def serveSide(df: DataFrame): DataFrame =
       if (!oversized) broadcast(df) else df.hint("shuffle_hash")

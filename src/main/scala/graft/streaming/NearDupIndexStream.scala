@@ -56,6 +56,12 @@ object NearDupIndexStream {
       .withColumn("rn", row_number().over(keepFirst))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("text"))
+    // the batch is pinned and counted ONCE here: the serve path's
+    // broadcast-vs-shuffle_hash decision needs the batch row count, and
+    // without passing it the plan construction re-runs a limit-bounded
+    // count (re-evaluating the window dedup above) per serve call
+    exact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactRows = exact.count()
     // replay safety: read ONLY strictly-earlier batch partitions. A
     // redelivered batch may find its own partition already written
     // (crash after the index write, before the checkpoint commit) —
@@ -84,7 +90,8 @@ object NearDupIndexStream {
         // earlier batch partitions on every relation it reads
         val dupIds = NearDupLsh
           .pairsAgainstIndexAt(spark, exact, indexPath, threshold,
-            Some(hot), maxBatchExclusive = Some(batchId))
+            Some(hot), maxBatchExclusive = Some(batchId),
+            batchRows = Some(exactRows))
           .select(col("new_id").as("doc_id")).distinct()
         exact.join(dupIds, Seq("doc_id"), "left_anti")
       }
@@ -101,7 +108,10 @@ object NearDupIndexStream {
       // membership log, same idempotent partition-overwrite contract
       accepted.select(col("doc_id")).write.mode("overwrite")
         .parquet(s"$logPath/batch=$batchId")
-    } finally accepted.unpersist()
+    } finally {
+      accepted.unpersist()
+      exact.unpersist()
+    }
   }
 
   /** Accepted membership after the stream: (doc_id, batch). */
