@@ -20,7 +20,13 @@ final case class GraftQuery(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
-    bench: Boolean = false)
+    bench: Boolean = false,
+    // true = the oracle is deliberately quadratic (exact all-pairs /
+    // recursive ground truth) and intractable in DuckDB beyond sf0.01.
+    // The sf0.1 sweep (Verify "@sweep") swaps these for their `_sliced`
+    // companions — same program over a deterministic md5 corpus slice,
+    // exactness preserved on the slice, DuckDB-tractable at sf0.1.
+    quadraticOracle: Boolean = false)
 
 object GraftQuery {
   /** All query groups, in inventory order. Names must be unique: the

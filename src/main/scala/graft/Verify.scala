@@ -15,10 +15,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: comma-separated query names (dev iteration);
-    // the driver always runs the full set
+    // optional third arg: comma-separated query names (dev iteration),
+    // or "@sweep" — every query EXCEPT the quadratic-oracle set, whose
+    // `_sliced` companions stand in at big scale factors (the sf0.1
+    // sweep's 0-timeout contract). The driver always runs the full set.
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2 && args(2) == "@sweep")
+        Some(GraftQuery.all.filterNot(_.quadraticOracle).map(_.name).toSet)
+      else if (args.length > 2) Some(args(2).split(",").toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

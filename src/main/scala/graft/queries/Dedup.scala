@@ -25,6 +25,34 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
+  /** Deterministic ~19% corpus slice behind the `_sliced` companions of
+    * the quadratic-oracle queries: first hex char of md5(decimal doc_id)
+    * in 0..2. md5 over the decimal string is engine-portable (identical
+    * bytes hash identically in Spark and DuckDB) and uncorrelated with
+    * the fixtures' planted-duplicate structure, unlike a doc_id modulus.
+    * The sliced variants run the SAME program over the filtered corpus —
+    * exactness on the slice is preserved (slicing before pair generation
+    * IS the query on the subset corpus), while the all-pairs/recursive
+    * DuckDB oracles drop to ~3.5% of the full pair count and become
+    * tractable at sf0.1, giving the quadratic family true sf0.1
+    * cross-engine coverage instead of a timeout skip-list. Sized
+    * empirically: at 25% the recursive-CTE component oracles need
+    * ~205 s sequential at sf0.1 (timeout-prone under sweep-pool
+    * contention); at 19% they fit the 600 s sweep limit with margin.
+    */
+  val sliceSpark: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1", "2")
+  val sliceSql: String =
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')"
+
+  /** Rewrites a `documents`-table oracle to the sliced corpus. */
+  def sliceOracle(sql: String): String =
+    sql.replace("FROM documents",
+      s"FROM (SELECT * FROM documents WHERE $sliceSql)")
+
+  def slicedDocuments(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents").filter(sliceSpark)
+
   // The corpus vocabulary is tiny, so unigram sets saturate (every doc
   // resembles every doc); word-3-gram shingles capture word order and are
   // the discriminative unit for near-dup detection (Broder's shingling).
@@ -222,6 +250,112 @@ object Dedup {
       s"WHERE $jacc >= $threshold"
   }
 
+  // ---- quadratic-oracle query bodies, shared by the full-corpus entry
+  // and its `_sliced` sweep companion (same program, different source) --
+
+  private def ngramJaccardQ(s: SparkSession, documents: DataFrame): DataFrame =
+    graft.operators.PrefixFilterJoin.pairs(
+      documents
+        .repartition(s.sparkContext.defaultParallelism) // one input file
+        .select(col("doc_id"), col("n_chars"), col("text")),
+      num = 4, den = 5, charWindow = 16)
+
+  private val ngramJaccardOracle: String =
+    "WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
+      s"s AS (SELECT doc_id, n_chars, $shingleSetSql AS sh FROM t) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "len(list_intersect(a.sh, b.sh)) / " +
+      "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard " +
+      "FROM s a JOIN s b ON b.n_chars BETWEEN a.n_chars - 16 AND a.n_chars + 16 " +
+      "AND a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh, b.sh)) / " +
+      "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8"
+
+  private def ppjoinQ(s: SparkSession, documents: DataFrame): DataFrame =
+    graft.operators.PrefixFilterJoin.pairs(
+      documents
+        .repartition(s.sparkContext.defaultParallelism) // one input file
+        .select(col("doc_id"), col("text")),
+      num = 4, den = 5)
+
+  private val ppjoinOracle: String =
+    "WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
+      s"s AS (SELECT doc_id, $shingleSetSql AS sh FROM t) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "len(list_intersect(a.sh, b.sh)) / " +
+      "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
+      "len(list_intersect(a.sh, b.sh)) / " +
+      "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8"
+
+  private def clusterCanonicalQ(s: SparkSession, documents: DataFrame): DataFrame = {
+    val pairs = ppjoinQ(s, documents)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.operators.ConnectedComponents.run(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  private val clusterCanonicalOracle: String =
+    "WITH RECURSIVE t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
+      s"s AS (SELECT doc_id, $shingleSetSql AS sh FROM t), " +
+      "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
+      "len(list_intersect(a.sh, b.sh)) / " +
+      "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "comp(node, lbl) AS (" +
+      "SELECT src, src FROM edges " +
+      "UNION " +
+      "SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node) " +
+      "SELECT node AS doc_id, min(lbl) AS component FROM comp GROUP BY node"
+
+  private def clusterKeepBestQ(s: SparkSession, documents: DataFrame): DataFrame = {
+    val docs = documents
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+    val pairs = graft.operators.PrefixFilterJoin.pairs(docs, num = 4, den = 5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val clusters = graft.operators.ConnectedComponents.run(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+    val quality = docs.select(
+      col("doc_id"),
+      (size(array_distinct(split(col("text"), " "))).cast("double") /
+        size(split(col("text"), " ")).cast("double")).as("q"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(
+        min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+  }
+
+  private val clusterKeepBestOracle: String =
+    "WITH RECURSIVE t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
+      s"s AS (SELECT doc_id, $shingleSetSql AS sh FROM t), " +
+      "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
+      "len(list_intersect(a.sh, b.sh)) / " +
+      "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "comp(node, lbl) AS (SELECT src, src FROM edges UNION " +
+      "SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node), " +
+      "clusters AS (SELECT node AS doc_id, min(lbl) AS component FROM comp GROUP BY node), " +
+      "quality AS (SELECT doc_id, " +
+      "CAST(len(list_distinct(tokens)) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) AS q " +
+      "FROM t), " +
+      "ranked AS (SELECT component, doc_id, " +
+      "row_number() OVER (PARTITION BY component ORDER BY q DESC, doc_id ASC) AS rn " +
+      "FROM clusters JOIN quality USING (doc_id)) " +
+      "SELECT component, min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id, " +
+      "count(*) AS n_members FROM ranked GROUP BY component"
+
   def defs: Seq[GraftQuery] = Seq(
 
     // Exact dedup — corpus summary: total vs distinct normalized docs.
@@ -261,21 +395,18 @@ object Dedup {
     // (jaccard identical w.h.p. — 64-bit collisions are negligible).
     GraftQuery(
       "dd_ngram_jaccard",
-      (s, dir) => graft.operators.PrefixFilterJoin.pairs(
-        Tables.table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism) // one input file
-          .select(col("doc_id"), col("n_chars"), col("text")),
-        num = 4, den = 5, charWindow = 16),
-      Some("WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
-        s"s AS (SELECT doc_id, n_chars, $shingleSetSql AS sh FROM t) " +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "len(list_intersect(a.sh, b.sh)) / " +
-        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard " +
-        "FROM s a JOIN s b ON b.n_chars BETWEEN a.n_chars - 16 AND a.n_chars + 16 " +
-        "AND a.doc_id < b.doc_id " +
-        "WHERE len(list_intersect(a.sh, b.sh)) / " +
-        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8"),
-      bench = true),
+      (s, dir) => ngramJaccardQ(s, Tables.table(s, dir, "documents")),
+      Some(ngramJaccardOracle),
+      bench = true,
+      quadraticOracle = true),
+
+    // The sliced sweep companion (see `sliceSpark`): identical program
+    // over the deterministic 25% corpus slice, so the quadratic oracle
+    // stays DuckDB-tractable at sf0.1.
+    GraftQuery(
+      "dd_ngram_jaccard_sliced",
+      (s, dir) => ngramJaccardQ(s, slicedDocuments(s, dir)),
+      Some(sliceOracle(ngramJaccardOracle))),
 
     // PPJoin-style prefix-filtered exact Jaccard join — the all-pairs
     // similarity join without the all-pairs. Shingles are globally
@@ -289,21 +420,16 @@ object Dedup {
     // no false negatives — hence the brute-force all-pairs oracle.
     GraftQuery(
       "dd_jaccard_ppjoin",
-      (s, dir) => graft.operators.PrefixFilterJoin.pairs(
-        Tables.table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism) // one input file
-          .select(col("doc_id"), col("text")),
-        num = 4, den = 5),
-      Some("WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
-        s"s AS (SELECT doc_id, $shingleSetSql AS sh FROM t) " +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "len(list_intersect(a.sh, b.sh)) / " +
-        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard " +
-        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
-        "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
-        "len(list_intersect(a.sh, b.sh)) / " +
-        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8"),
-      bench = true),
+      (s, dir) => ppjoinQ(s, Tables.table(s, dir, "documents")),
+      Some(ppjoinOracle),
+      bench = true,
+      quadraticOracle = true),
+
+    // Sliced sweep companion (see `sliceSpark`).
+    GraftQuery(
+      "dd_jaccard_ppjoin_sliced",
+      (s, dir) => ppjoinQ(s, slicedDocuments(s, dir)),
+      Some(sliceOracle(ppjoinOracle))),
 
     // Near-dup clusters: connected components over the exact-Jaccard
     // pair graph, every member mapped to its component's minimum doc_id
@@ -313,31 +439,16 @@ object Dedup {
     // recursive CTE over the identical pair set.
     GraftQuery(
       "dd_cluster_canonical",
-      (s, dir) => {
-        val pairs = graft.operators.PrefixFilterJoin.pairs(
-          Tables.table(s, dir, "documents")
-            .repartition(s.sparkContext.defaultParallelism)
-            .select(col("doc_id"), col("text")),
-          num = 4, den = 5)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        graft.operators.ConnectedComponents.run(pairs)
-          .select(col("id").as("doc_id"), col("component"))
-      },
-      Some("WITH RECURSIVE t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
-        s"s AS (SELECT doc_id, $shingleSetSql AS sh FROM t), " +
-        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
-        "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
-        "len(list_intersect(a.sh, b.sh)) / " +
-        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "comp(node, lbl) AS (" +
-        "SELECT src, src FROM edges " +
-        "UNION " +
-        "SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node) " +
-        "SELECT node AS doc_id, min(lbl) AS component FROM comp GROUP BY node"),
-      bench = false),
+      (s, dir) => clusterCanonicalQ(s, Tables.table(s, dir, "documents")),
+      Some(clusterCanonicalOracle),
+      bench = false,
+      quadraticOracle = true),
+
+    // Sliced sweep companion (see `sliceSpark`).
+    GraftQuery(
+      "dd_cluster_canonical_sliced",
+      (s, dir) => clusterCanonicalQ(s, slicedDocuments(s, dir)),
+      Some(sliceOracle(clusterCanonicalOracle))),
 
     // The full dedup decision: within each near-dup cluster keep the
     // highest-quality member (distinct-token ratio — pure IEEE division,
@@ -347,47 +458,15 @@ object Dedup {
     // pipeline actually writes: everything else in the cluster drops.
     GraftQuery(
       "dd_cluster_keep_best",
-      (s, dir) => {
-        val docs = Tables.table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("text"))
-        val pairs = graft.operators.PrefixFilterJoin.pairs(docs, num = 4, den = 5)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        val clusters = graft.operators.ConnectedComponents.run(pairs)
-          .select(col("id").as("doc_id"), col("component"))
-        val quality = docs.select(
-          col("doc_id"),
-          (size(array_distinct(split(col("text"), " "))).cast("double") /
-            size(split(col("text"), " ")).cast("double")).as("q"))
-        val w = Window.partitionBy(col("component"))
-          .orderBy(col("q").desc, col("doc_id").asc)
-        clusters.join(quality, "doc_id")
-          .withColumn("rn", row_number().over(w))
-          .groupBy(col("component"))
-          .agg(
-            min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
-            count(lit(1)).as("n_members"))
-      },
-      Some("WITH RECURSIVE t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
-        s"s AS (SELECT doc_id, $shingleSetSql AS sh FROM t), " +
-        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
-        "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
-        "len(list_intersect(a.sh, b.sh)) / " +
-        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "comp(node, lbl) AS (SELECT src, src FROM edges UNION " +
-        "SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node), " +
-        "clusters AS (SELECT node AS doc_id, min(lbl) AS component FROM comp GROUP BY node), " +
-        "quality AS (SELECT doc_id, " +
-        "CAST(len(list_distinct(tokens)) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) AS q " +
-        "FROM t), " +
-        "ranked AS (SELECT component, doc_id, " +
-        "row_number() OVER (PARTITION BY component ORDER BY q DESC, doc_id ASC) AS rn " +
-        "FROM clusters JOIN quality USING (doc_id)) " +
-        "SELECT component, min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id, " +
-        "count(*) AS n_members FROM ranked GROUP BY component")),
+      (s, dir) => clusterKeepBestQ(s, Tables.table(s, dir, "documents")),
+      Some(clusterKeepBestOracle),
+      quadraticOracle = true),
+
+    // Sliced sweep companion (see `sliceSpark`).
+    GraftQuery(
+      "dd_cluster_keep_best_sliced",
+      (s, dir) => clusterKeepBestQ(s, slicedDocuments(s, dir)),
+      Some(sliceOracle(clusterKeepBestOracle))),
 
     // MinHash + LSH near-dup pairs, rescored with exact Jaccard — the
     // graft.operators.NearDupLsh pipeline (shared with ScaleSmoke).

@@ -17,6 +17,102 @@ import graft.operators.PrefixSum
   */
 object Pipeline {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  // ---- quadratic-oracle query bodies, shared by the full-corpus entry
+  // and its `_sliced` sweep companion (see Dedup.sliceSpark) ------------
+
+  private def leakSafeSplitQ(s: SparkSession, documents: DataFrame): DataFrame = {
+    val docs = documents
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+    val pairs = graft.operators.PrefixFilterJoin.pairs(docs, num = 4, den = 5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = graft.operators.ConnectedComponents.run(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+    val canon = docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical"))
+    val b = substring(
+      md5(concat(lit("split:"), col("canonical").cast(StringType))), 1, 2)
+    canon.select(col("doc_id"), col("canonical"),
+      when(b < "fa", "train").when(b < "fd", "val")
+        .otherwise("test").as("split"))
+  }
+
+  private val leakSafeSplitOracle: String =
+    "WITH RECURSIVE t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
+      s"s AS (SELECT doc_id, ${Dedup.shingleSetSql} AS sh FROM t), " +
+      "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
+      "len(list_intersect(a.sh, b.sh)) / " +
+      "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "comp(node, lbl) AS (" +
+      "SELECT src, src FROM edges " +
+      "UNION " +
+      "SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node), " +
+      "cc AS (SELECT node AS doc_id, min(lbl) AS component FROM comp GROUP BY node), " +
+      "canon AS (SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS canonical " +
+      "FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id) " +
+      "SELECT doc_id, canonical, CASE " +
+      "WHEN substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 2) < 'fa' THEN 'train' " +
+      "WHEN substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 2) < 'fd' THEN 'val' " +
+      "ELSE 'test' END AS split FROM canon"
+
+  private def dedupFunnelQ(s: SparkSession, documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("text"))
+    val keepers = docs
+      .groupBy(md5(col("text")).as("sig"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val survivors = docs.join(keepers, Seq("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val pairs = graft.operators.PrefixFilterJoin
+      .pairs(survivors, num = 4, den = 5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = graft.operators.ConnectedComponents.run(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+    val canon = survivors.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("canonical"))
+    val stages = canon.agg(
+      count(lit(1)).as("n_after_exact"),
+      countDistinct(col("canonical")).as("n_after_near"))
+    docs.agg(count(lit(1)).as("n_raw")).crossJoin(stages)
+      .select(col("n_raw"), col("n_after_exact"), col("n_after_near"),
+        (col("n_after_near").cast("double") / col("n_raw").cast("double"))
+          .as("kept_ratio"))
+  }
+
+  private val dedupFunnelOracle: String =
+    "WITH RECURSIVE raw AS (SELECT count(*) AS n_raw FROM documents), " +
+      "surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+      "t AS (SELECT d.doc_id, string_split(d.text, ' ') AS tokens " +
+      "FROM documents d JOIN surv USING (doc_id)), " +
+      s"sh AS (SELECT doc_id, ${Dedup.shingleSetSql} AS sh FROM t), " +
+      "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
+      "len(list_intersect(a.sh, b.sh)) / " +
+      "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "comp(node, lbl) AS (" +
+      "SELECT src, src FROM edges " +
+      "UNION " +
+      "SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node), " +
+      "cc AS (SELECT node AS doc_id, min(lbl) AS component FROM comp GROUP BY node), " +
+      "canon AS (SELECT t.doc_id, COALESCE(cc.component, t.doc_id) AS canonical " +
+      "FROM t LEFT JOIN cc ON t.doc_id = cc.doc_id), " +
+      "f AS (SELECT count(*) AS n_after_exact, " +
+      "count(DISTINCT canonical) AS n_after_near FROM canon) " +
+      "SELECT n_raw, n_after_exact, n_after_near, " +
+      "CAST(n_after_near AS DOUBLE) / CAST(n_raw AS DOUBLE) AS kept_ratio " +
+      "FROM raw, f"
+
   def defs: Seq[GraftQuery] = Seq(
 
     // Repetition/quality stats per document — the Gopher-rules family:
@@ -445,43 +541,17 @@ object Pipeline {
     // the split itself stays a map-side hash, no extra shuffle.
     GraftQuery(
       "pipe_leak_safe_split",
-      (s, dir) => {
-        val docs = Tables.table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("text"))
-        val pairs = graft.operators.PrefixFilterJoin.pairs(docs, num = 4, den = 5)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        val comp = graft.operators.ConnectedComponents.run(pairs)
-          .select(col("id").as("doc_id"), col("component"))
-        val canon = docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("component"), col("doc_id")).as("canonical"))
-        val b = substring(
-          md5(concat(lit("split:"), col("canonical").cast(StringType))), 1, 2)
-        canon.select(col("doc_id"), col("canonical"),
-          when(b < "fa", "train").when(b < "fd", "val")
-            .otherwise("test").as("split"))
-      },
-      Some("WITH RECURSIVE t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents), " +
-        s"s AS (SELECT doc_id, ${Dedup.shingleSetSql} AS sh FROM t), " +
-        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
-        "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
-        "len(list_intersect(a.sh, b.sh)) / " +
-        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "comp(node, lbl) AS (" +
-        "SELECT src, src FROM edges " +
-        "UNION " +
-        "SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node), " +
-        "cc AS (SELECT node AS doc_id, min(lbl) AS component FROM comp GROUP BY node), " +
-        "canon AS (SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS canonical " +
-        "FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id) " +
-        "SELECT doc_id, canonical, CASE " +
-        "WHEN substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 2) < 'fa' THEN 'train' " +
-        "WHEN substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 2) < 'fd' THEN 'val' " +
-        "ELSE 'test' END AS split FROM canon")),
+      (s, dir) => leakSafeSplitQ(s, Tables.table(s, dir, "documents")),
+      Some(leakSafeSplitOracle),
+      quadraticOracle = true),
+
+    // Sliced sweep companion (see Dedup.sliceSpark): identical program
+    // over the deterministic 25% corpus slice, so the quadratic oracle
+    // stays DuckDB-tractable at sf0.1.
+    GraftQuery(
+      "pipe_leak_safe_split_sliced",
+      (s, dir) => leakSafeSplitQ(s, Dedup.slicedDocuments(s, dir)),
+      Some(Dedup.sliceOracle(leakSafeSplitOracle))),
 
     // The whole dedup funnel in one query — raw corpus → exact dedup
     // (md5 keep-first) → near-dup canonicalization (PPJoin jaccard-0.8
@@ -494,55 +564,15 @@ object Pipeline {
     // jaccard pairs, recursive-CTE components) cell-exactly.
     GraftQuery(
       "pipe_dedup_funnel",
-      (s, dir) => {
-        val docs = Tables.table(s, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        val keepers = docs
-          .groupBy(md5(col("text")).as("sig"))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
-        val survivors = docs.join(keepers, Seq("doc_id"))
-          .repartition(s.sparkContext.defaultParallelism)
-        val pairs = graft.operators.PrefixFilterJoin
-          .pairs(survivors, num = 4, den = 5)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        val comp = graft.operators.ConnectedComponents.run(pairs)
-          .select(col("id").as("doc_id"), col("component"))
-        val canon = survivors.select(col("doc_id"))
-          .join(comp, Seq("doc_id"), "left")
-          .select(coalesce(col("component"), col("doc_id")).as("canonical"))
-        val stages = canon.agg(
-          count(lit(1)).as("n_after_exact"),
-          countDistinct(col("canonical")).as("n_after_near"))
-        docs.agg(count(lit(1)).as("n_raw")).crossJoin(stages)
-          .select(col("n_raw"), col("n_after_exact"), col("n_after_near"),
-            (col("n_after_near").cast("double") / col("n_raw").cast("double"))
-              .as("kept_ratio"))
-      },
-      Some("WITH RECURSIVE raw AS (SELECT count(*) AS n_raw FROM documents), " +
-        "surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
-        "t AS (SELECT d.doc_id, string_split(d.text, ' ') AS tokens " +
-        "FROM documents d JOIN surv USING (doc_id)), " +
-        s"sh AS (SELECT doc_id, ${Dedup.shingleSetSql} AS sh FROM t), " +
-        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-        "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
-        "len(list_intersect(a.sh, b.sh)) / " +
-        "CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "comp(node, lbl) AS (" +
-        "SELECT src, src FROM edges " +
-        "UNION " +
-        "SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node), " +
-        "cc AS (SELECT node AS doc_id, min(lbl) AS component FROM comp GROUP BY node), " +
-        "canon AS (SELECT t.doc_id, COALESCE(cc.component, t.doc_id) AS canonical " +
-        "FROM t LEFT JOIN cc ON t.doc_id = cc.doc_id), " +
-        "f AS (SELECT count(*) AS n_after_exact, " +
-        "count(DISTINCT canonical) AS n_after_near FROM canon) " +
-        "SELECT n_raw, n_after_exact, n_after_near, " +
-        "CAST(n_after_near AS DOUBLE) / CAST(n_raw AS DOUBLE) AS kept_ratio " +
-        "FROM raw, f")),
+      (s, dir) => dedupFunnelQ(s, Tables.table(s, dir, "documents")),
+      Some(dedupFunnelOracle),
+      quadraticOracle = true),
+
+    // Sliced sweep companion (see Dedup.sliceSpark).
+    GraftQuery(
+      "pipe_dedup_funnel_sliced",
+      (s, dir) => dedupFunnelQ(s, Dedup.slicedDocuments(s, dir)),
+      Some(Dedup.sliceOracle(dedupFunnelOracle))),
 
     // Single-pass data-quality report: every expectation (null counts,
     // range violations, primary-key uniqueness) evaluated as a
