@@ -93,6 +93,27 @@ object MediaDecoder {
       } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Encode a constant-color raster through the JDK writers — the
+    * fixture path for gate queries and specs that need REAL container
+    * bytes (full PNG/GIF/BMP structure: signatures, chunks/palettes,
+    * compression) without stored binary fixtures. Deterministic for a
+    * given (fmt, w, h, rgb); a constant fill survives GIF palette
+    * derivation exactly.
+    */
+  def encodeRaster(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
   /** Batched decode: one call per partition-batch, mirroring how a real
     * codec amortizes setup (model load, JNI handles) across rows — the
     * Scala analog of a pandas-UDF batch. Raster payloads are REALLY

@@ -126,6 +126,45 @@ object Multimodal {
         "CAST(((doc_id + n_chars) % 256) * (doc_id % 4 + 1) * (n_chars % 4 + 1) AS BIGINT) AS sum_b " +
         "FROM documents")),
 
+    // REAL compressed-container decode, oracle-gated by construction:
+    // per row, a constant-color raster is ENCODED through the JDK
+    // writers (PNG for even doc_ids — zlib'd IDAT, CRC'd chunks; GIF
+    // for odd — LZW data, palette) with dimensions and fill color
+    // derived from fixture columns, then decoded back through the same
+    // javax.imageio batch path the BMP gate row uses. The integer
+    // channel sums over the DECODED raster must equal color ×
+    // pixel-count — this gates the full codec round-trip for two more
+    // container formats than the hand-assembled BMP (any compression,
+    // palette-derivation, or batch-shape bug diverges). Encode runs in
+    // the same mapPartitions batch shape as decode: partition-local,
+    // no shuffle.
+    GraftQuery(
+      "mm_decode_real_png",
+      (s, dir) => {
+        import s.implicits._
+        val images = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .mapPartitions(_.map { case (id, nc) =>
+            val fmt = if (id % 2 == 0) "png" else "gif"
+            val w = (id % 4 + 1).toInt
+            val h = (nc % 4 + 1).toInt
+            val rgb = (((id % 256) << 16) | ((nc % 256) << 8) | ((id + nc) % 256)).toInt
+            graft.multimodal.MediaRow(id, s"image/$fmt",
+              graft.multimodal.MediaDecoder.encodeRaster(fmt, w, h, rgb))
+          })
+          .toDF()
+        graft.multimodal.MediaPipeline.decodeImageStats(images)
+      },
+      Some("SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format, " +
+        "CAST(doc_id % 4 + 1 AS INT) AS width, " +
+        "CAST(n_chars % 4 + 1 AS INT) AS height, " +
+        "CAST((doc_id % 4 + 1) * (n_chars % 4 + 1) AS BIGINT) AS n_pixels, " +
+        "CAST((doc_id % 256) * (doc_id % 4 + 1) * (n_chars % 4 + 1) AS BIGINT) AS sum_r, " +
+        "CAST((n_chars % 256) * (doc_id % 4 + 1) * (n_chars % 4 + 1) AS BIGINT) AS sum_g, " +
+        "CAST(((doc_id + n_chars) % 256) * (doc_id % 4 + 1) * (n_chars % 4 + 1) AS BIGINT) AS sum_b " +
+        "FROM documents")),
+
     // Image-header sniffing, oracle-gated by construction: build a real
     // PNG header per row with dimensions derived from fixture columns
     // (int → 4-byte big-endian via hex/unhex), parse it back with the
