@@ -23,10 +23,14 @@ object LshProbe {
     val cpus = args.lift(1).getOrElse("32")
     val order = args.lift(2).getOrElse("sig,ngram,cand,full,full")
       .split(",").toSeq
+    // default shuffle width = ScaleSmoke's corpus-scaled rule, so probe
+    // runs reproduce the smoke lines' plans (override via 4th arg)
+    val shuffleWidth = args.lift(3).map(_.toInt)
+      .getOrElse(math.max(cpus.toInt, (nDocs / 50000L).toInt))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft_lsh_probe")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleWidth)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -99,6 +103,18 @@ object LshProbe {
       case "cand" => candidates(dupDocs).count()
       case "full" => operators.NearDupLsh.pairs(dupDocs, 0.8d).count()
       case "fullLo" => operators.NearDupLsh.pairs(dupDocs, 0.5d).count()
+      // ScaleSmoke's lsh_guard line exactly: planted corpus + a
+      // boilerplate clique of nDocs/100 identical docs, maxBucket=1024 —
+      // for attributing scale_10m.json's lsh_guard vs lsh_planted delta
+      // with per-stage metrics (VERDICT r10 #2)
+      case "guard" => {
+        val boiler = spark.range(nDocs / 100).select(
+          (col("id") + nDocs * 100).as("doc_id"),
+          lit("identical boilerplate footer with terms of service and a " +
+            "copyright notice repeated on every crawled page of the site").as("text"))
+        operators.NearDupLsh.pairs(
+          dupDocs.unionByName(boiler), 0.8d, maxBucket = 1024).count()
+      }
       // the 10M OOM shape at reduced size: tiny default vocabulary ⇒
       // degenerate band buckets of millions of rows; must complete in
       // bounded memory with the cap dropping them pre-materialization

@@ -155,9 +155,17 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(incBatchDir)
     val incBatch = spark.read.parquet(incBatchDir)
     System.err.println("[smoke] start lsh_inc")
-    val (tInc, nInc) = minOfT(reps)(time {
+    // the serve cost is reported BOTH ways (VERDICT r10 #4): single-shot
+    // (first invocation — what one cold daily-crawl batch pays, including
+    // the serve probe and first-touch of the band artifact) and
+    // steady-state (min of the two repeat invocations — the per-batch
+    // cost once artifacts are page-cached, ServeProbe's regime)
+    val incRuns = (1 to 3).map(_ => time {
       operators.NearDupLsh.pairsAgainstIndexAt(spark, incBatch, lshIdxDir, 0.8d).count()
     })
+    val tIncSingle = incRuns.head._1
+    val tIncSteady = incRuns.tail.map(_._1).min
+    val (tInc, nInc) = (tIncSingle, incRuns.head._2)
     System.err.println("[smoke] start lsh_inc_full")
     val (tIncFull, nIncFull) = minOfT(reps)(time {
       operators.NearDupLsh.pairsAgainst(
@@ -235,7 +243,11 @@ object ScaleSmoke {
       .createTempDirectory("graft_stream_smoke").toString
     val kBatches = 5
     System.err.println("[smoke] start stream_lsh")
-    val streamSecs = (0 until kBatches).map { i =>
+    // per-batch seconds AND the standing-index doc count after each
+    // append (VERDICT r10 #3): the pair exposes the measured ingest
+    // growth law — serve cost grows sublinearly with the standing index
+    // (the O(index) flat-artifact scan floor), NOT flat
+    val streamBatches = (0 until kBatches).map { i =>
       // micro-batches arrive materialized (the write happens off-clock)
       dupDocs.filter(pmod(col("doc_id"), lit(kBatches.toLong)) === i)
         .select(col("doc_id"), col("text"))
@@ -247,9 +259,13 @@ object ScaleSmoke {
           threshold = 0.8, maxBucket = 4096, batchId = i.toLong, batch = b)
         0L
       }
-      System.err.println(f"[smoke] stream_lsh batch $i: $t%.1fs")
-      t
+      // footer-only count of the appended index — off-clock, metadata read
+      val idxDocs = spark.read.parquet(s"$streamRoot/idx").count()
+      System.err.println(f"[smoke] stream_lsh batch $i: $t%.1fs index=$idxDocs docs")
+      (t, idxDocs)
     }
+    val streamSecs = streamBatches.map(_._1)
+    val streamIdxDocs = streamBatches.map(_._2)
     val streamAccepted = streaming.NearDupIndexStream
       .acceptedLog(spark, s"$streamRoot/log").count()
     require(streamAccepted <= nDocs && streamAccepted >= nDocs / 2,
@@ -526,11 +542,13 @@ object ScaleSmoke {
         s""""ppjoin_sec":$tPp,"ppjoin_pairs":$nPp,""" +
         s""""lsh_planted_sec":$tLshDup,"lsh_planted_pairs":$nLshDup,""" +
         s""""lsh_index_build_sec":$tIdxBuild,"lsh_inc_sec":$tInc,""" +
+        s""""lsh_inc_single_shot_sec":$tIncSingle,"lsh_inc_steady_sec":$tIncSteady,""" +
         s""""lsh_inc_full_sec":$tIncFull,"lsh_inc_pairs":$nInc,""" +
         s""""lsh_guard_sec":$tGuard,"lsh_guard_pairs":$nGuard,""" +
         s""""lsh_inc_guard_sec":$tIncGuard,"lsh_inc_guard_pairs":$nIncGuard,""" +
         s""""lsh_inc_big_sec":$tIncBig,"lsh_inc_big_pairs":$nIncBig,""" +
         s""""stream_lsh_batch_secs":[${streamSecs.map(t => f"$t%.2f").mkString(",")}],""" +
+        s""""stream_lsh_index_docs":[${streamIdxDocs.mkString(",")}],""" +
         s""""stream_lsh_accepted":$streamAccepted,""" +
         s""""stream_lsh_docs_per_sec":${(nDocs / streamSecs.sum).toLong},""" +
         s""""stream_lsh_compact_sec":$tStreamCompact,""" +
