@@ -153,8 +153,11 @@ object Bench {
     // cross-round drift guard — see driftReport
     driftReport(results, taskSec, shuffleMb)
 
+    // `noisy` keys off the START load only: the end sample always carries
+    // the bench's own 32 task threads (self-load), so it is recorded for
+    // context but can't condemn the artifact by itself
     val loadEnd = loadAvg
-    val noisy = loadStart > maxLoad || loadEnd > maxLoad
+    val noisy = loadStart > maxLoad
     def block(m: collection.Map[String, Double], fmt: Double => String): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val qs = block(results, _.toString)
