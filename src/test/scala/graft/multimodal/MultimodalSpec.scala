@@ -81,6 +81,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(real.head.width == 7 && real.head.height == 3 && real.head.channels == 3)
   }
 
+  test("malformed and adversarial payloads degrade, never kill the task") {
+    // decompression bomb: a structurally-valid 58-byte BMP DECLARING
+    // 100000x100000 — an unbounded decode would allocate the ~37 GB
+    // raster before seeing any pixel data; the dimension gate must drop
+    // it to the stub/dropped-row path instead
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * k)) & 0xFF).toByte).toArray
+    val bomb = Array[Byte]('B', 'M') ++ le(58, 4) ++ le(0, 4) ++ le(54, 4) ++
+      le(40, 4) ++ le(100000, 4) ++ le(100000, 4) ++
+      le(1, 2) ++ le(24, 2) ++ le(0, 4) ++ le(4, 4) ++
+      le(0, 4) ++ le(0, 4) ++ le(0, 4) ++ le(0, 4) ++ le(0, 4)
+    assert(MediaDecoder.rasterFormat(bomb).contains("bmp"))
+    // truncated PNG: real signature + IHDR, garbage after — JDK decoders
+    // throw RuntimeExceptions (not just IOException) on shapes like this
+    val badPng = MediaDecoder.encodeRaster("png", 4, 4, 0x112233).take(40)
+    // negative declared dimensions in a BMP header
+    val negative = bomb.clone()
+    System.arraycopy(le(-5L & 0xFFFFFFFFL, 4), 0, negative, 18, 4)
+    val rows = Seq(
+      MediaRow(1L, "image/bmp", bomb),
+      MediaRow(2L, "image/png", badPng),
+      MediaRow(3L, "image/bmp", negative),
+      MediaRow(4L, "image/png", MediaDecoder.encodeRaster("png", 3, 2, 0x010203)))
+    // pixel-stats path: the three malformed rows are DROPPED, the good
+    // row decodes — and nothing throws
+    val stats = MediaDecoder.decodeImageBatch(rows.iterator).toSeq
+    assert(stats.map(_.doc_id) == Seq(4L))
+    assert(stats.head.sum_r == 1L * 6 && stats.head.sum_g == 2L * 6 &&
+      stats.head.sum_b == 3L * 6)
+    // feature path: malformed rows fall back to STUB features
+    val feats = MediaDecoder.decodeBatch(rows.iterator).toSeq
+    assert(feats.size == 4)
+    val real = feats.find(_.doc_id == 4L).get
+    assert(real.width == 3 && real.height == 2)
+    assert(feats.filter(_.doc_id != 4L).forall(f => f.n_bytes > 0))
+  }
+
   test("decode runs partition-parallel without shuffle") {
     val ds = MediaPipeline.mediaDataset(spark, dir).repartition(8)
     import spark.implicits._

@@ -33,6 +33,34 @@ class NearDupLshSpec extends AnyFunSuite {
       s"indexed flavor diverged: missing=${recompute -- indexed}, extra=${indexed -- recompute}")
   }
 
+  test("compaction migrates a legacy index onto the flat-artifact serve path") {
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val recompute = pairSet(NearDupLsh.pairsAgainst(newDocs, oldDocs, 0.5d))
+    assert(recompute.nonEmpty, "fixture should contain mixed near-dups")
+    // a pre-partition-layout index: plain signature parquet at the root,
+    // no `batch` column, no stats/bands sidecars
+    val legacy = java.nio.file.Files.createTempDirectory("graft_lsh_legacy").toString
+    NearDupLsh.signatures(oldDocs).write.mode("overwrite").parquet(legacy)
+    assert(!NearDupLsh.readIndex(spark, legacy).columns.contains("batch"))
+    // compaction is the migration step: it must accept the legacy layout
+    // (batch treated as the committed bootstrap) and DERIVE the sidecars
+    val target = java.nio.file.Files.createTempDirectory("graft_lsh_migrated").toString
+    NearDupLsh.compactIndex(spark, legacy, target)
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(NearDupLsh.bandsPath(target))),
+      "migration must land the flat sorted band artifact")
+    assert(NearDupLsh.readBucketStats(spark, target)
+      .agg(sum(col("n"))).head().getLong(0) > 0L,
+      "migration must derive the bucket stats sidecar")
+    // the migrated index serves through the artifact path, same answer
+    val served = pairSet(
+      NearDupLsh.pairsAgainstIndexAt(spark, newDocs, target, 0.5d))
+    assert(served == recompute,
+      s"migrated serve diverged: missing=${recompute -- served}, extra=${served -- recompute}")
+  }
+
   test("persisted bucket stats guard the incremental serve path") {
     val newDocs = docs.filter(col("doc_id") % 10 === 7)
     val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
