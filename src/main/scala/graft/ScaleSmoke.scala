@@ -231,6 +231,33 @@ object ScaleSmoke {
     spark.conf.unset("spark.graft.lsh.serveBroadcastMaxRows")
     require(nIncBig >= nDocs / 10,
       s"oversized-batch serve lost standing twins: $nIncBig")
+    // EXACT incremental serve (PrefixFilterJoin persisted index): the
+    // same 1% batch against the same corpus, zero false negatives —
+    // the ground-truth flavor of the LSH serve above. Build is the
+    // one-time O(corpus) rank+prefix pass; serve is bounded by
+    // rare-shingle collisions, not corpus size. Same single-shot /
+    // steady split as the LSH line.
+    val ppIdxDir = java.nio.file.Files
+      .createTempDirectory("graft_pp_idx_smoke").toString
+    System.err.println("[smoke] start ppjoin_index_build")
+    val (tPpIdxBuild, _) = time {
+      operators.PrefixFilterJoin.writeIndex(
+        dupDocs.select(col("doc_id"), col("text")), ppIdxDir, num = 4, den = 5)
+      0L
+    }
+    System.err.println("[smoke] start ppjoin_inc")
+    val ppIncRuns = (1 to 3).map(_ => time {
+      operators.PrefixFilterJoin.pairsAgainstIndex(
+        spark, incBatch, ppIdxDir, num = 4, den = 5).count()
+    })
+    val tPpInc = ppIncRuns.head._1
+    val tPpIncSteady = ppIncRuns.tail.map(_._1).min
+    val nPpInc = ppIncRuns.head._2
+    // every batch doc is a re-crawl of a standing doc (jaccard 1.0), and
+    // the exact serve may not miss a single one
+    require(nPpInc >= nDocs / 100,
+      s"exact incremental serve lost standing twins: $nPpInc")
+    reclaim(ppIdxDir)
     reclaim(lshIdxDir, operators.NearDupLsh.statsPath(lshIdxDir),
       operators.NearDupLsh.bandsPath(lshIdxDir), incBatchDir, bigBatchDir)
     // streaming near-dup ingest: the corpus arrives as k micro-batches
@@ -547,6 +574,9 @@ object ScaleSmoke {
         s""""lsh_guard_sec":$tGuard,"lsh_guard_pairs":$nGuard,""" +
         s""""lsh_inc_guard_sec":$tIncGuard,"lsh_inc_guard_pairs":$nIncGuard,""" +
         s""""lsh_inc_big_sec":$tIncBig,"lsh_inc_big_pairs":$nIncBig,""" +
+        s""""ppjoin_index_build_sec":$tPpIdxBuild,""" +
+        s""""ppjoin_inc_single_shot_sec":$tPpInc,""" +
+        s""""ppjoin_inc_steady_sec":$tPpIncSteady,"ppjoin_inc_pairs":$nPpInc,""" +
         s""""stream_lsh_batch_secs":[${streamSecs.map(t => f"$t%.2f").mkString(",")}],""" +
         s""""stream_lsh_index_docs":[${streamIdxDocs.mkString(",")}],""" +
         s""""stream_lsh_accepted":$streamAccepted,""" +

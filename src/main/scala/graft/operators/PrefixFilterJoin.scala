@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -162,6 +162,194 @@ object PrefixFilterJoin {
         first(when(col("role") === 1, col("sh")), ignoreNulls = true).as("sh_b"))
       .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"),
         GraftFunctions.sorted_set_jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= lit(threshold))
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted exact-similarity index + incremental serve — the EXACT
+  // analog of NearDupLsh's build→persist→serve lifecycle. A daily crawl
+  // batch is joined against a standing corpus with zero false negatives
+  // (LSH's serve is probabilistic; this one is the ground truth at
+  // O(batch × rare-shingle collisions) instead of O(batch × corpus)).
+  //
+  // Index layout under `path`:
+  //   sets/    (doc_id, sz, sh)       — sorted hashed shingle sets
+  //   freq/    (h, f)                 — BUILD-TIME global shingle counts
+  //   prefix/  (h, doc_id, sz, p)     — prefix postings, range-laid-out
+  //                                     and sorted by h (row-group skips
+  //                                     for trickle batches)
+  //   meta/    (num, den)             — the build threshold
+  //
+  // The rarest-first order is FROZEN at build time: prefix filtering is
+  // lossless under ANY fixed total order (the theorem needs only that
+  // both docs of a pair rank their shingles identically), so appended
+  // batches and serve-side batches rank under the build-time (f, h)
+  // order, with never-seen shingles at f = 0 — rarest, a consistent
+  // extension. Frequency accuracy affects candidate EFFICIENCY only,
+  // never correctness, which is what makes the frozen order safe for
+  // append-only growth; rebuild (re-rank) when drift makes prefixes
+  // fat, exactly like recompacting the LSH index.
+  // ------------------------------------------------------------------
+
+  /** Serve-side broadcast budget (docs) and trickle key-prune cap
+    * (distinct prefix shingles), mirroring the LSH serve guards — see
+    * docs/TUNABLES.md. Tunable via
+    * `spark.graft.ppjoin.serveBroadcastMaxRows` /
+    * `spark.graft.ppjoin.serveKeyPruneLimit`.
+    */
+  val DefaultServeBroadcastMaxRows: Long = 2000000L
+  val DefaultServeKeyPruneLimit: Int = 10000
+
+  private def setsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+
+  private def prefixLenExpr(num: Int, den: Int) =
+    expr(s"sz - (($num * sz + ${den - 1}) div $den) + 1").cast("int")
+
+  /** (h, doc_id, sz, p): each doc's prefix shingles under the (f, h)
+    * rarest-first order, p = 0-based position in the doc's full sorted
+    * shingle list. Shingles absent from `freq` rank at f = 0 (rarest) —
+    * the consistent extension appended/batch docs need.
+    */
+  private def prefixRows(sets: DataFrame, freq: DataFrame,
+      num: Int, den: Int): DataFrame =
+    sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
+      .join(freq, Seq("h"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0L)))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(transform(col("fh"), x => x.getField("h")),
+          lit(1), prefixLenExpr(num, den))).as(Seq("p", "h")))
+
+  private def writePrefix(prefix: DataFrame, path: String, mode: String): Unit =
+    prefix.select(col("h"), col("doc_id"), col("sz"), col("p"))
+      .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
+      .write.mode(mode).parquet(s"$path/prefix")
+
+  /** Build the persisted index at `path` for build threshold num/den.
+    * One shingle compute per doc: sets land first, freq and prefixes
+    * derive from the read-back.
+    */
+  def writeIndex(docs: DataFrame, path: String, num: Int, den: Int): Unit = {
+    require(num > 0 && num <= den, s"threshold must be in (0,1]: $num/$den")
+    val s = docs.sparkSession
+    GraftFunctions.register(s)
+    setsOf(docs).write.mode("overwrite").parquet(s"$path/sets")
+    val sets = s.read.parquet(s"$path/sets")
+    sets.select(explode(col("sh")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("f"))
+      .write.mode("overwrite").parquet(s"$path/freq")
+    writePrefix(prefixRows(sets, s.read.parquet(s"$path/freq"), num, den),
+      path, "overwrite")
+    s.range(1).select(lit(num).as("num"), lit(den).as("den"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append accepted docs under the FROZEN build-time order (ids must be
+    * disjoint from the standing corpus). freq/ is deliberately NOT
+    * updated — see the frozen-order note above. One shingle compute per
+    * append: sets stage into a hidden dir (invisible to concurrent
+    * readers), prefixes derive from the read-back, then the staged
+    * part-files (task-UUID names — collision-free) move into sets/.
+    */
+  def appendIndex(docs: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    GraftFunctions.register(s)
+    val (num, den) = readMeta(s, path)
+    val staging = s"$path/sets/.staging-${java.util.UUID.randomUUID()}"
+    setsOf(docs).write.mode("overwrite").parquet(staging)
+    val written = s.read.parquet(staging)
+    writePrefix(prefixRows(written, s.read.parquet(s"$path/freq"), num, den),
+      path, "append")
+    val src = new org.apache.hadoop.fs.Path(staging)
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(s"$path/sets")
+    fs.listStatus(src).foreach { st =>
+      if (st.getPath.getName.startsWith("part-"))
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(target, st.getPath.getName))
+    }
+    fs.delete(src, true)
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getAs[Int]("num"), r.getAs[Int]("den"))
+  }
+
+  /** EXACT incremental pairs (new_id, old_id, jaccard >= num/den) of a
+    * new batch against the persisted index — zero false negatives.
+    * Serve threshold must be AT OR ABOVE the build threshold (a higher
+    * threshold needs a shorter prefix than the persisted one — still
+    * lossless; a lower one would need postings the index never stored).
+    *
+    * Plan shape mirrors the LSH serve: the batch side broadcasts under
+    * a limit-bounded row probe (skippable via `batchRows`), falls back
+    * to shuffle_hash when oversized, and trickle-sized batches push
+    * their collected prefix-shingle set into the sorted postings scan.
+    */
+  def pairsAgainstIndex(spark: SparkSession, newDocs: DataFrame,
+      path: String, num: Int, den: Int,
+      batchRows: Option[Long] = None): DataFrame = {
+    require(num > 0 && num <= den, s"threshold must be in (0,1]: $num/$den")
+    GraftFunctions.register(spark)
+    val (bNum, bDen) = readMeta(spark, path)
+    require(num.toLong * bDen >= bNum.toLong * den,
+      s"serve threshold $num/$den is below the build threshold $bNum/$bDen — " +
+        "the persisted prefixes are too short to be lossless; rebuild the index")
+    val threshold = num.toDouble / den.toDouble
+    val corpusSets = spark.read.parquet(s"$path/sets")
+      .select(col("doc_id").as("old_id"), col("sh").as("sh_o"))
+    val corpusPrefix = spark.read.parquet(s"$path/prefix")
+      .select(col("h"), col("doc_id").as("old_id"),
+        col("sz").as("sz_o"), col("p").as("p_o"))
+    val freq = spark.read.parquet(s"$path/freq")
+    def batchSets = setsOf(newDocs) // recompute per consumer — zero caches
+    val maxRows = spark.conf.getOption("spark.graft.ppjoin.serveBroadcastMaxRows")
+      .map(_.toLong).getOrElse(DefaultServeBroadcastMaxRows)
+    val probeCap = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val probedRows = batchRows.getOrElse(newDocs.limit(probeCap).count())
+    val oversized = probedRows > maxRows
+    def serveSide(df: DataFrame): DataFrame =
+      if (!oversized) broadcast(df) else df.hint("shuffle_hash")
+    val batchPrefix = prefixRows(batchSets, freq, num, den)
+      .select(col("h"), col("doc_id").as("new_id"),
+        col("sz").as("sz_n"), col("p").as("p_n"))
+    // trickle prune: ~(1-t)·|sh|+1 prefix shingles per doc, so a batch
+    // under pruneLimit keys is a few hundred docs — collect the keys and
+    // let the sorted postings scan skip row groups
+    val pruneLimit = spark.conf.getOption("spark.graft.ppjoin.serveKeyPruneLimit")
+      .map(_.toInt).getOrElse(DefaultServeKeyPruneLimit)
+    val prunedCorpusPrefix =
+      if (oversized || probedRows * 16 > pruneLimit) corpusPrefix
+      else {
+        val keys = batchPrefix.select(col("h")).distinct()
+          .limit(pruneLimit + 1).collect().map(_.getLong(0))
+        if (keys.length <= pruneLimit)
+          corpusPrefix.filter(col("h").isInCollection(keys))
+        else corpusPrefix
+      }
+    // length-ratio + PPJoin positional filter, exactly as in `pairs`
+    val oReq = expr(
+      s"($num * (sz_n + sz_o) + ${num + den - 1}) div ${num + den}")
+    val uBound =
+      least(col("sz_n") - (col("p_n") + 1), col("sz_o") - (col("p_o") + 1)) + 1
+    val candidates = prunedCorpusPrefix
+      .join(serveSide(batchPrefix), Seq("h"))
+      .filter(col("sz_o") * den >= col("sz_n") * num &&
+        col("sz_n") * den >= col("sz_o") * num &&
+        uBound >= oReq)
+      .select(col("new_id"), col("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    corpusSets
+      .join(serveSide(candidates), Seq("old_id"))
+      .join(batchSets.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
+        Seq("new_id"))
+      .select(col("new_id"), col("old_id"),
+        GraftFunctions.sorted_set_jaccard(col("sh_n"), col("sh_o")).as("jaccard"))
       .filter(col("jaccard") >= lit(threshold))
   }
 }

@@ -554,6 +554,39 @@ object Dedup {
         "FROM documents d LEFT JOIN mixed m ON d.doc_id = m.new_id " +
         "WHERE d.doc_id % 10 = 7 GROUP BY 1")),
 
+    // EXACT incremental similarity serve — the PPJoin analog of
+    // dd_incremental_lsh_indexed: the standing corpus is persisted once
+    // (shingle sets + frozen rarest-first shingle frequencies + sorted
+    // prefix postings), and the batch is served by
+    // PrefixFilterJoin.pairsAgainstIndex with ZERO false negatives
+    // (prefix filtering is lossless under any fixed total order, and
+    // frequency staleness affects candidate efficiency, never
+    // correctness). Oracle: brute-force all (new x old) pairs — the
+    // strictest possible gate for an exact operator.
+    GraftQuery(
+      "dd_incremental_ppjoin",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism) // one input file
+          .select(col("doc_id"), col("text"))
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ppjoin_idx_gate").toString
+        graft.operators.PrefixFilterJoin.writeIndex(
+          docs.filter(col("doc_id") % 10 =!= 7), idx, num = 4, den = 5)
+        graft.operators.PrefixFilterJoin.pairsAgainstIndex(
+          s, docs.filter(col("doc_id") % 10 === 7), idx, num = 4, den = 5)
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents), " +
+        s"s AS (SELECT doc_id, $shingleSetSql AS sh FROM t), " +
+        "n AS (SELECT * FROM s WHERE doc_id % 10 = 7 AND len(sh) > 0), " +
+        "o AS (SELECT * FROM s WHERE doc_id % 10 <> 7 AND len(sh) > 0) " +
+        "SELECT n.doc_id AS new_id, o.doc_id AS old_id, " +
+        "len(list_intersect(n.sh, o.sh)) / " +
+        "CAST(len(list_distinct(n.sh || o.sh)) AS DOUBLE) AS jaccard " +
+        "FROM n JOIN o ON true " +
+        "WHERE len(list_intersect(n.sh, o.sh)) / " +
+        "CAST(len(list_distinct(n.sh || o.sh)) AS DOUBLE) >= 0.8")),
+
     // SimHash fingerprint per document (native expression). The oracle
     // replays the exact bit-for-bit algorithm in DuckDB HUGEINT
     // arithmetic — see simhashCtes.
