@@ -315,7 +315,25 @@ object PrefixFilterJoin {
     val oversized = probedRows > maxRows
     def serveSide(df: DataFrame): DataFrame =
       if (!oversized) broadcast(df) else df.hint("shuffle_hash")
-    val batchPrefix = prefixRows(batchSets, freq, num, den)
+    // Ranking the batch needs corpus frequencies, but joining the batch
+    // against the FULL freq relation shuffles O(corpus vocabulary) rows
+    // per serve (measured: the 1M-corpus serve spent ~5 of its 7 s
+    // sorting 38M freq rows). Instead, for batches whose distinct
+    // shingle set is broadcastable (~8 bytes/shingle, ~38/doc), the
+    // batch's shingles broadcast INTO an in-place freq scan as a semi
+    // join, and the batch-sized survivor set broadcasts back into the
+    // rank join — the freq relation is only ever scanned, never
+    // shuffled, which is the same zero-corpus-motion shape as the
+    // candidate join below. Oversized batches fall back to the plain
+    // shuffle join (completing beats the broadcast ceiling).
+    val freqBroadcastable = !oversized && probedRows <= math.max(1L, maxRows / 8)
+    val rankFreq =
+      if (freqBroadcastable)
+        broadcast(freq.join(
+          broadcast(batchSets.select(explode(col("sh")).as("h")).distinct()),
+          Seq("h"), "left_semi"))
+      else freq
+    val batchPrefix = prefixRows(batchSets, rankFreq, num, den)
       .select(col("h"), col("doc_id").as("new_id"),
         col("sz").as("sz_n"), col("p").as("p_n"))
     // trickle prune: ~(1-t)·|sh|+1 prefix shingles per doc, so a batch
