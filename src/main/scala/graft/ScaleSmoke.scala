@@ -121,8 +121,51 @@ object ScaleSmoke {
       operators.PrefixFilterJoin.pairs(
         dupDocs.select(col("doc_id"), col("text")), num = 4, den = 5).count()
     })
-    // the approximate miner on the same planted corpus: recall/cost vs exact
     reclaim() // ppjoin's freq-join shuffle is ~25 GB at 10M
+    // batch: 1% of the corpus re-crawled under fresh ids — every batch
+    // doc has at least its own source twin standing (jaccard 1.0).
+    // MATERIALIZED once (a crawl drop is its own files) and served by
+    // BOTH index flavors below — the exact (ppjoin) and the approximate
+    // (LSH): a lazily filtered batch re-generates the whole synthetic
+    // corpus on every serve-side evaluation, and that harness artifact —
+    // not the index — dominates the measurement (observed ~70% of serve
+    // wall at 10M).
+    val incBatchDir = java.nio.file.Files
+      .createTempDirectory("graft_smoke_batch").toString
+    dupDocs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + nDocs * 10).as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(incBatchDir)
+    val incBatch = spark.read.parquet(incBatchDir)
+    // EXACT incremental serve (PrefixFilterJoin persisted index): the
+    // 1% batch against the standing corpus with zero false negatives —
+    // the ground-truth flavor of the LSH serve below. Build is the
+    // one-time O(corpus) rank+prefix pass (sets files sized by the
+    // shuffle width — see writeIndex's sizing note); serve is bounded
+    // by rare-shingle collisions, not corpus size. Runs here, right
+    // after the in-line join, so the build's heavy freq/prefix stages
+    // see the same heap headroom pairs() just proved sufficient.
+    val ppIdxDir = java.nio.file.Files
+      .createTempDirectory("graft_pp_idx_smoke").toString
+    System.err.println("[smoke] start ppjoin_index_build")
+    val (tPpIdxBuild, _) = time {
+      operators.PrefixFilterJoin.writeIndex(
+        dupDocs.select(col("doc_id"), col("text")), ppIdxDir, num = 4, den = 5)
+      0L
+    }
+    System.err.println("[smoke] start ppjoin_inc")
+    val ppIncRuns = (1 to 3).map(_ => time {
+      operators.PrefixFilterJoin.pairsAgainstIndex(
+        spark, incBatch, ppIdxDir, num = 4, den = 5).count()
+    })
+    val tPpIdxInc = ppIncRuns.head._1
+    val tPpIdxIncSteady = ppIncRuns.tail.map(_._1).min
+    val nPpIdxInc = ppIncRuns.head._2
+    // every batch doc is a re-crawl of a standing doc (jaccard 1.0), and
+    // the exact serve may not miss a single one
+    require(nPpIdxInc >= nDocs / 100,
+      s"exact incremental serve lost standing twins: $nPpIdxInc")
+    reclaim(ppIdxDir)
+    // the approximate miner on the same planted corpus: recall/cost vs exact
     System.err.println("[smoke] start lsh_planted")
     val (tLshDup, nLshDup) = minOfT(reps)(time {
       operators.NearDupLsh.pairs(dupDocs.select(col("doc_id"), col("text")), 0.8d).count()
@@ -142,18 +185,8 @@ object ScaleSmoke {
         dupDocs.select(col("doc_id"), col("text")), lshIdxDir)
       0L
     }
-    // batch: 1% of the corpus re-crawled under fresh ids — every batch
-    // doc has at least its own source twin standing (jaccard 1.0).
-    // MATERIALIZED first (a crawl drop is its own files): a lazily
-    // filtered batch re-generates the whole synthetic corpus on every
-    // serve-side evaluation, and that harness artifact — not the index
-    // — dominates the measurement (observed ~70% of serve wall at 10M).
-    val incBatchDir = java.nio.file.Files
-      .createTempDirectory("graft_smoke_batch").toString
-    dupDocs.filter(col("doc_id") % 100 === 0)
-      .select((col("doc_id") + nDocs * 10).as("doc_id"), col("text"))
-      .write.mode("overwrite").parquet(incBatchDir)
-    val incBatch = spark.read.parquet(incBatchDir)
+    // the 1% batch (incBatch) was materialized above, before the exact
+    // serve section — both index flavors serve the same files
     System.err.println("[smoke] start lsh_inc")
     // the serve cost is reported BOTH ways (VERDICT r10 #4): single-shot
     // (first invocation — what one cold daily-crawl batch pays, including
@@ -231,33 +264,6 @@ object ScaleSmoke {
     spark.conf.unset("spark.graft.lsh.serveBroadcastMaxRows")
     require(nIncBig >= nDocs / 10,
       s"oversized-batch serve lost standing twins: $nIncBig")
-    // EXACT incremental serve (PrefixFilterJoin persisted index): the
-    // same 1% batch against the same corpus, zero false negatives —
-    // the ground-truth flavor of the LSH serve above. Build is the
-    // one-time O(corpus) rank+prefix pass; serve is bounded by
-    // rare-shingle collisions, not corpus size. Same single-shot /
-    // steady split as the LSH line.
-    val ppIdxDir = java.nio.file.Files
-      .createTempDirectory("graft_pp_idx_smoke").toString
-    System.err.println("[smoke] start ppjoin_index_build")
-    val (tPpIdxBuild, _) = time {
-      operators.PrefixFilterJoin.writeIndex(
-        dupDocs.select(col("doc_id"), col("text")), ppIdxDir, num = 4, den = 5)
-      0L
-    }
-    System.err.println("[smoke] start ppjoin_inc")
-    val ppIncRuns = (1 to 3).map(_ => time {
-      operators.PrefixFilterJoin.pairsAgainstIndex(
-        spark, incBatch, ppIdxDir, num = 4, den = 5).count()
-    })
-    val tPpInc = ppIncRuns.head._1
-    val tPpIncSteady = ppIncRuns.tail.map(_._1).min
-    val nPpInc = ppIncRuns.head._2
-    // every batch doc is a re-crawl of a standing doc (jaccard 1.0), and
-    // the exact serve may not miss a single one
-    require(nPpInc >= nDocs / 100,
-      s"exact incremental serve lost standing twins: $nPpInc")
-    reclaim(ppIdxDir)
     reclaim(lshIdxDir, operators.NearDupLsh.statsPath(lshIdxDir),
       operators.NearDupLsh.bandsPath(lshIdxDir), incBatchDir, bigBatchDir)
     // streaming near-dup ingest: the corpus arrives as k micro-batches
@@ -575,8 +581,8 @@ object ScaleSmoke {
         s""""lsh_inc_guard_sec":$tIncGuard,"lsh_inc_guard_pairs":$nIncGuard,""" +
         s""""lsh_inc_big_sec":$tIncBig,"lsh_inc_big_pairs":$nIncBig,""" +
         s""""ppjoin_index_build_sec":$tPpIdxBuild,""" +
-        s""""ppjoin_inc_single_shot_sec":$tPpInc,""" +
-        s""""ppjoin_inc_steady_sec":$tPpIncSteady,"ppjoin_inc_pairs":$nPpInc,""" +
+        s""""ppjoin_inc_single_shot_sec":$tPpIdxInc,""" +
+        s""""ppjoin_inc_steady_sec":$tPpIdxIncSteady,"ppjoin_inc_pairs":$nPpIdxInc,""" +
         s""""stream_lsh_batch_secs":[${streamSecs.map(t => f"$t%.2f").mkString(",")}],""" +
         s""""stream_lsh_index_docs":[${streamIdxDocs.mkString(",")}],""" +
         s""""stream_lsh_accepted":$streamAccepted,""" +

@@ -238,7 +238,18 @@ object PrefixFilterJoin {
     require(num > 0 && num <= den, s"threshold must be in (0,1]: $num/$den")
     val s = docs.sparkSession
     GraftFunctions.register(s)
-    setsOf(docs).write.mode("overwrite").parquet(s"$path/sets")
+    // sets files are sized by the session's shuffle width, not the
+    // source's partitioning: the freq/prefix derivations below scan the
+    // read-back with per-task partial-aggregation state proportional to
+    // the file shard (~38 exploded rows per doc), and corpus-partitioned
+    // files concentrate millions of docs per scan task (observed: a
+    // 10M-doc corpus staged as 64 files put ~6M exploded rows of hash-map
+    // state in each concurrent scan task and OOM'd an 8 GB harness
+    // heap). shuffle.partitions is the deployment-tunable shard knob —
+    // the same partitions-sized-to-memory rule as the in-line join.
+    setsOf(docs)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .write.mode("overwrite").parquet(s"$path/sets")
     val sets = s.read.parquet(s"$path/sets")
     sets.select(explode(col("sh")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("f"))
