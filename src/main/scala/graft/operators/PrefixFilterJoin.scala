@@ -213,22 +213,43 @@ object PrefixFilterJoin {
     * rarest-first order, p = 0-based position in the doc's full sorted
     * shingle list. Shingles absent from `freq` rank at f = 0 (rarest) —
     * the consistent extension appended/batch docs need.
+    *
+    * Ranked with a window row_number, NOT collect_list+array_sort: the
+    * object-hash aggregate buffers per-doc struct lists as plain JVM
+    * objects outside the managed memory pool, and at 10M docs the
+    * 200-wide derivation exhausted the unified pool
+    * (UNABLE_TO_ACQUIRE_MEMORY) where the window's Tungsten sort spills
+    * cleanly. Same rows either way — ordering and positions identical.
     */
   private def prefixRows(sets: DataFrame, freq: DataFrame,
-      num: Int, den: Int): DataFrame =
+      num: Int, den: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
     sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
       .join(freq, Seq("h"), "left")
       .withColumn("f", coalesce(col("f"), lit(0L)))
-      .groupBy(col("doc_id"), col("sz"))
-      .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
-      .select(col("doc_id"), col("sz"),
-        posexplode(slice(transform(col("fh"), x => x.getField("h")),
-          lit(1), prefixLenExpr(num, den))).as(Seq("p", "h")))
+      .withColumn("p", row_number().over(w) - 1)
+      .filter(col("p") < prefixLenExpr(num, den))
+      .select(col("doc_id"), col("sz"), col("p"), col("h"))
+  }
 
-  private def writePrefix(prefix: DataFrame, path: String, mode: String): Unit =
+  /** The postings artifact is h-sorted for row-group skipping. The sort
+    * happens over a STAGED copy of the prefix rows: repartitionByRange
+    * samples its child with a separate job, which would re-execute the
+    * whole explode+join+window derivation twice — staging makes both
+    * the sample and the sort read back 4 narrow columns instead.
+    */
+  private def writePrefix(prefix: DataFrame, path: String, mode: String): Unit = {
+    val s = prefix.sparkSession
+    val staging = s"$path/prefix-staging-${java.util.UUID.randomUUID()}"
     prefix.select(col("h"), col("doc_id"), col("sz"), col("p"))
+      .write.mode("overwrite").parquet(staging)
+    s.read.parquet(staging)
       .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
       .write.mode(mode).parquet(s"$path/prefix")
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+  }
 
   /** Build the persisted index at `path` for build threshold num/den.
     * One shingle compute per doc: sets land first, freq and prefixes
