@@ -47,10 +47,25 @@ object Bench {
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "2.0").toDouble
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // bounded idle-wait (VERDICT r11 #5): rather than stamping the
+    // artifact `noisy` and carrying contaminated numbers for a round,
+    // poll the 1-min load and start when the host quiets down — or give
+    // up after SPARK_GRAFT_MAX_WAIT_SEC (default 300 s) and record that
+    // the wait capped out. The artifact carries `waited_sec` either way.
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_MAX_WAIT_SEC", "300").toInt
+    val waitStart = System.nanoTime()
+    while (loadAvg > maxLoad &&
+        (System.nanoTime() - waitStart) / 1e9 < maxWaitSec) {
+      System.err.println(f"IDLE-WAIT: 1-min load $loadAvg%.2f > $maxLoad%.2f — " +
+        "sleeping 15 s")
+      Thread.sleep(15000)
+    }
+    val waitedSec = (System.nanoTime() - waitStart) / 1e9
     val loadStart = loadAvg
     if (loadStart > maxLoad)
       System.err.println(f"NOISY-HOST: 1-min load $loadStart%.2f > $maxLoad%.2f " +
-        "at bench start — wall-clock in this artifact is not comparison-grade")
+        f"after a ${waitedSec}%.0f s idle-wait cap — wall-clock in this " +
+        "artifact is not comparison-grade")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft_bench")
@@ -163,7 +178,7 @@ object Bench {
     val qs = block(results, _.toString)
     val ts = block(taskSec, v => f"$v%.3f")
     val sh = block(shuffleMb, v => f"$v%.1f")
-    println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"task_sec":$ts,"shuffle_mb":$sh,"reps":$reps,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"noisy":$noisy,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"task_sec":$ts,"shuffle_mb":$sh,"reps":$reps,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"noisy":$noisy,"waited_sec":${f"$waitedSec%.0f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -245,8 +245,14 @@ object NearDupLsh {
     val target = new org.apache.hadoop.fs.Path(s"$path/batch=-1")
     fs.mkdirs(target)
     fs.listStatus(src).foreach { st =>
-      if (st.getPath.getName.startsWith("part-"))
-        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(target, st.getPath.getName))
+      if (st.getPath.getName.startsWith("part-")) {
+        val dst = new org.apache.hadoop.fs.Path(target, st.getPath.getName)
+        // rename reports some failures (cross-volume moves, HDFS edge
+        // cases) by RETURNING false — silently dropping a signature file
+        // would mean an index missing documents, i.e. false negatives
+        require(fs.rename(st.getPath, dst),
+          s"staged index file failed to move: ${st.getPath} -> $dst")
+      }
     }
     fs.delete(src, true)
   }

@@ -40,6 +40,22 @@ object PqEncoder {
     }: _*)
   }
 
+  /** Per-vector total squared quantization error: Σ over subspaces of
+    * the squared-L2 distance to the NEAREST codebook entry — the
+    * objective Lloyd training minimizes. Same expanded-dot distance and
+    * fold order as [[codes]], so the error is exactly the one the
+    * chosen codes realize.
+    */
+  def distortion(v: Column, codebook: IndexedSeq[Seq[Double]],
+      sub: Int, dim: Int): Column =
+    (0 until sub).map { sp =>
+      val xs = slice(v, sp * dim + 1, dim)
+      array_min(array(codebook.indices.map { c =>
+        val cs = typedlit(codebook(c).slice(sp * dim, (sp + 1) * dim))
+        dot(xs, xs) - lit(2.0d) * dot(xs, cs) + dot(cs, cs)
+      }: _*))
+    }.reduce(_ + _)
+
   /** Codebook lookup + concat: the reconstruction. ADC serve paths
     * should score via [[adcLut]]/[[adcSum]] instead — reconstructing per
     * row defeats the point of the codes.

@@ -77,16 +77,12 @@ object PrefixFilterJoin {
     // combinable, skew-free (no per-shingle doc lists materialized).
     val freq = sets.select(explode(col("sh")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("f"))
-    // per-doc prefix under that order: sz - ceil(t*sz) + 1 rarest shingles
-    val prefixLen = expr(s"sz - (($num * sz + ${den - 1}) div $den) + 1").cast("int")
-    val pref = sets.select(
-        Seq(col("doc_id"), col("sz")) ++ ncCols :+ explode(col("sh")).as("h"): _*)
-      .join(freq, Seq("h"))
-      .groupBy(Seq(col("doc_id"), col("sz")) ++ ncCols: _*)
-      .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
-      .select(Seq(col("doc_id"), col("sz")) ++ ncCols :+
-        posexplode(slice(transform(col("fh"), x => x.getField("h")), lit(1), prefixLen))
-          .as(Seq("p", "h")): _*)
+    // per-doc prefix under that order — the SAME spill-safe window
+    // derivation as the persisted-index path (see prefixRows): the
+    // former collect_list+array_sort variant buffered per-doc struct
+    // lists in an object-hash aggregate outside the managed memory
+    // pool and exhausted the unified pool at 10M docs.
+    val pref = prefixRows(sets, freq, num, den, carry = ncCols)
     // inverted index on prefix shingles: pairs are generated inside each
     // bucket, so the ranked-prefix subtree above is computed exactly once
     // (a prefix self-JOIN would read it twice, forcing a cache + eager
@@ -172,13 +168,24 @@ object PrefixFilterJoin {
   // (LSH's serve is probabilistic; this one is the ground truth at
   // O(batch × rare-shingle collisions) instead of O(batch × corpus)).
   //
-  // Index layout under `path`:
-  //   sets/    (doc_id, sz, sh)       — sorted hashed shingle sets
-  //   freq/    (h, f)                 — BUILD-TIME global shingle counts
-  //   prefix/  (h, doc_id, sz, p)     — prefix postings, range-laid-out
-  //                                     and sorted by h (row-group skips
-  //                                     for trickle batches)
-  //   meta/    (num, den)             — the build threshold
+  // Index layout under `path` — every per-document artifact is
+  // partitioned by ingest batch (`batch=<id>`, build = -1) and written
+  // with OVERWRITE into its own partition, so a redelivered append
+  // (crash between any two writes, then retry) REPLACES its partitions
+  // instead of double-appending — the same crash-idempotent layout as
+  // NearDupLsh.writeIndexBatch, and the reason this lifecycle needs no
+  // file renames at all:
+  //   sets/batch=<id>/    (doc_id, sz, sh)  — sorted hashed shingle sets
+  //   prefix/batch=<id>/  (h, doc_id, sz, p) — prefix postings, range-
+  //                                     laid-out and sorted by h (row-
+  //                                     group skips for trickle batches)
+  //   pstats/batch=<id>/  (h, n)        — per-batch prefix-posting
+  //                                     counts (the serve path's exact
+  //                                     candidate-fanout bound)
+  //   freq/    (h, f)                  — BUILD-TIME global shingle
+  //                                     counts, h-sorted for row-group
+  //                                     skipping under trickle key lists
+  //   meta/    (num, den)              — the build threshold
   //
   // The rarest-first order is FROZEN at build time: prefix filtering is
   // lossless under ANY fixed total order (the theorem needs only that
@@ -200,6 +207,20 @@ object PrefixFilterJoin {
   val DefaultServeBroadcastMaxRows: Long = 2000000L
   val DefaultServeKeyPruneLimit: Int = 10000
 
+  /** Broadcast budget for the serve path's CANDIDATE relation. Candidate
+    * cardinality is batch-size × prefix-collision fanout — unbounded by
+    * batch size (a boilerplate-heavy corpus can fan a tiny batch into
+    * hundreds of millions of candidate rows), so the batch-row probe
+    * alone cannot authorize this broadcast. The serve computes the EXACT
+    * pre-filter candidate row count from the `pstats` sidecar
+    * (Σ over batch prefix rows of the corpus posting count for that
+    * shingle — one tiny aggregate against a key-pruned scan) and falls
+    * back to `shuffle_hash` above the budget. 8M pairs ≈ 128 MB — far
+    * inside the broadcast ceiling, far above any benign serve. Tunable
+    * via `spark.graft.ppjoin.serveCandidateBroadcastMaxRows`.
+    */
+  val DefaultServeCandidateBroadcastMaxRows: Long = 8000000L
+
   private def setsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
@@ -209,51 +230,82 @@ object PrefixFilterJoin {
   private def prefixLenExpr(num: Int, den: Int) =
     expr(s"sz - (($num * sz + ${den - 1}) div $den) + 1").cast("int")
 
-  /** (h, doc_id, sz, p): each doc's prefix shingles under the (f, h)
-    * rarest-first order, p = 0-based position in the doc's full sorted
-    * shingle list. Shingles absent from `freq` rank at f = 0 (rarest) —
-    * the consistent extension appended/batch docs need.
+  /** (doc_id, sz [, carry...], p, h): each doc's prefix shingles under
+    * the (f, h) rarest-first order, p = 0-based position in the doc's
+    * full rank-sorted shingle list. Shingles absent from `freq` rank at
+    * f = 0 (rarest) — the consistent extension appended/batch docs
+    * need; for a build-corpus freq (every shingle present by
+    * construction) the coalesce is a no-op and the left join matches
+    * every row. The ONE prefix derivation — shared by the in-line join
+    * and the persisted-index lifecycle.
     *
     * Ranked with a window row_number, NOT collect_list+array_sort: the
     * object-hash aggregate buffers per-doc struct lists as plain JVM
     * objects outside the managed memory pool, and at 10M docs the
     * 200-wide derivation exhausted the unified pool
     * (UNABLE_TO_ACQUIRE_MEMORY) where the window's Tungsten sort spills
-    * cleanly. Same rows either way — ordering and positions identical.
+    * cleanly. Same rows either way — (f, h) is a total order within a
+    * doc (shingle hashes are distinct per doc), so ordering and
+    * positions are identical and deterministic.
     */
   private def prefixRows(sets: DataFrame, freq: DataFrame,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int,
+      carry: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
-    sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
+    sets.select(
+        Seq(col("doc_id"), col("sz")) ++ carry :+ explode(col("sh")).as("h"): _*)
       .join(freq, Seq("h"), "left")
       .withColumn("f", coalesce(col("f"), lit(0L)))
       .withColumn("p", row_number().over(w) - 1)
       .filter(col("p") < prefixLenExpr(num, den))
-      .select(col("doc_id"), col("sz"), col("p"), col("h"))
+      .select(Seq(col("doc_id"), col("sz")) ++ carry ++
+        Seq(col("p"), col("h")): _*)
   }
 
-  /** The postings artifact is h-sorted for row-group skipping. The sort
-    * happens over a STAGED copy of the prefix rows: repartitionByRange
-    * samples its child with a separate job, which would re-execute the
-    * whole explode+join+window derivation twice — staging makes both
-    * the sample and the sort read back 4 narrow columns instead.
+  /** Write a relation h-sorted into `targetDir` (overwrite). The sort
+    * happens over a STAGED copy: repartitionByRange samples its child
+    * with a separate job, which would re-execute the whole derivation
+    * twice — staging makes both the sample and the sort read back a few
+    * narrow columns instead. The dot-prefixed staging dir is invisible
+    * to partition discovery, so concurrent readers never see it.
     */
-  private def writePrefix(prefix: DataFrame, path: String, mode: String): Unit = {
-    val s = prefix.sparkSession
-    val staging = s"$path/prefix-staging-${java.util.UUID.randomUUID()}"
-    prefix.select(col("h"), col("doc_id"), col("sz"), col("p"))
-      .write.mode("overwrite").parquet(staging)
+  private def writeSortedByH(rows: DataFrame, path: String,
+      targetDir: String): Unit = {
+    val s = rows.sparkSession
+    val staging = s"$path/.staging-${java.util.UUID.randomUUID()}"
+    rows.write.mode("overwrite").parquet(staging)
     s.read.parquet(staging)
       .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
-      .write.mode(mode).parquet(s"$path/prefix")
+      .write.mode("overwrite").parquet(targetDir)
     val sp = new org.apache.hadoop.fs.Path(staging)
     sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
   }
 
+  /** Derive batch `batchId`'s prefix and pstats partitions from its
+    * already-written sets partition — the shared tail of build and
+    * append. Both artifacts land with OVERWRITE in the batch's own
+    * partitions; pstats derives from the prefix read-back — a narrow
+    * two-column on-disk scan, cheap enough that the range
+    * partitioner's sampling pass re-reading it (no staging) is fine.
+    */
+  private def writePrefixAndStats(s: SparkSession, path: String,
+      batchId: Long, num: Int, den: Int): Unit = {
+    val sets = s.read.parquet(s"$path/sets/batch=$batchId")
+    writeSortedByH(
+      prefixRows(sets, s.read.parquet(s"$path/freq"), num, den)
+        .select(col("h"), col("doc_id"), col("sz"), col("p")),
+      path, s"$path/prefix/batch=$batchId")
+    s.read.parquet(s"$path/prefix/batch=$batchId")
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
+      .write.mode("overwrite").parquet(s"$path/pstats/batch=$batchId")
+  }
+
   /** Build the persisted index at `path` for build threshold num/den.
-    * One shingle compute per doc: sets land first, freq and prefixes
-    * derive from the read-back.
+    * One shingle compute per doc: sets land first (in the `batch=-1`
+    * bootstrap partition), freq, prefixes, and pstats derive from
+    * read-backs.
     */
   def writeIndex(docs: DataFrame, path: String, num: Int, den: Int): Unit = {
     require(num > 0 && num <= den, s"threshold must be in (0,1]: $num/$den")
@@ -268,43 +320,40 @@ object PrefixFilterJoin {
     // state in each concurrent scan task and OOM'd an 8 GB harness
     // heap). shuffle.partitions is the deployment-tunable shard knob —
     // the same partitions-sized-to-memory rule as the in-line join.
-    setsOf(docs)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-      .write.mode("overwrite").parquet(s"$path/sets")
-    val sets = s.read.parquet(s"$path/sets")
-    sets.select(explode(col("sh")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("f"))
-      .write.mode("overwrite").parquet(s"$path/freq")
-    writePrefix(prefixRows(sets, s.read.parquet(s"$path/freq"), num, den),
-      path, "overwrite")
+    //
+    // freq must exist before the prefix derivation, so it lands from its
+    // own read-back of the sets partition, h-sorted (staged — see
+    // writeSortedByH) so trickle serves can push a collected key list
+    // into a row-group-skipping scan instead of scanning the vocabulary.
+    val setsWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val setsDir = s"$path/sets/batch=-1"
+    setsOf(docs).repartition(setsWidth)
+      .write.mode("overwrite").parquet(setsDir)
+    writeSortedByH(
+      s.read.parquet(setsDir).select(explode(col("sh")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("f")),
+      path, s"$path/freq")
+    writePrefixAndStats(s, path, batchId = -1L, num, den)
     s.range(1).select(lit(num).as("num"), lit(den).as("den"))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Append accepted docs under the FROZEN build-time order (ids must be
-    * disjoint from the standing corpus). freq/ is deliberately NOT
-    * updated — see the frozen-order note above. One shingle compute per
-    * append: sets stage into a hidden dir (invisible to concurrent
-    * readers), prefixes derive from the read-back, then the staged
-    * part-files (task-UUID names — collision-free) move into sets/.
+  /** Append batch `batchId`'s accepted docs under the FROZEN build-time
+    * order (ids must be disjoint from the standing corpus, batch ids
+    * >= 0 and unique per DELIVERY — a redelivered batch reuses its id).
+    * freq/ is deliberately NOT updated — see the frozen-order note
+    * above. CRASH-IDEMPOTENT: all three artifacts land with OVERWRITE
+    * in the batch's own partitions, so a retry after a crash anywhere
+    * in the cascade replaces partial state; duplicate serve pairs from
+    * a redelivered append are impossible by layout, not by cleanup.
     */
-  def appendIndex(docs: DataFrame, path: String): Unit = {
+  def appendIndex(docs: DataFrame, path: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"append batch ids are >= 0 (build owns -1): $batchId")
     val s = docs.sparkSession
     GraftFunctions.register(s)
     val (num, den) = readMeta(s, path)
-    val staging = s"$path/sets/.staging-${java.util.UUID.randomUUID()}"
-    setsOf(docs).write.mode("overwrite").parquet(staging)
-    val written = s.read.parquet(staging)
-    writePrefix(prefixRows(written, s.read.parquet(s"$path/freq"), num, den),
-      path, "append")
-    val src = new org.apache.hadoop.fs.Path(staging)
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(s"$path/sets")
-    fs.listStatus(src).foreach { st =>
-      if (st.getPath.getName.startsWith("part-"))
-        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(target, st.getPath.getName))
-    }
-    fs.delete(src, true)
+    setsOf(docs).write.mode("overwrite").parquet(s"$path/sets/batch=$batchId")
+    writePrefixAndStats(s, path, batchId, num, den)
   }
 
   private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
@@ -321,11 +370,25 @@ object PrefixFilterJoin {
     * Plan shape mirrors the LSH serve: the batch side broadcasts under
     * a limit-bounded row probe (skippable via `batchRows`), falls back
     * to shuffle_hash when oversized, and trickle-sized batches push
-    * their collected prefix-shingle set into the sorted postings scan.
+    * their collected shingle sets into the sorted freq/postings/pstats
+    * scans (row-group skipping). The CANDIDATE relation has its own
+    * broadcast guard: its cardinality is batch × prefix-collision
+    * fanout — unbounded by batch size — so the serve computes the exact
+    * pre-filter candidate count from the pstats sidecar and degrades
+    * that join to shuffle_hash above the budget (see
+    * DefaultServeCandidateBroadcastMaxRows). No skip list: unlike the
+    * LSH serve's hot-bucket guard, dropping keys here would break the
+    * zero-false-negative contract, so hot fanout changes the PLAN,
+    * never the answer.
+    *
+    * `maxBatchExclusive` restricts the served corpus to strictly-earlier
+    * batch partitions (a stream's replay filter, mirroring
+    * NearDupLsh.pairsAgainstIndexAt); None serves the whole index.
     */
   def pairsAgainstIndex(spark: SparkSession, newDocs: DataFrame,
       path: String, num: Int, den: Int,
-      batchRows: Option[Long] = None): DataFrame = {
+      batchRows: Option[Long] = None,
+      maxBatchExclusive: Option[Long] = None): DataFrame = {
     require(num > 0 && num <= den, s"threshold must be in (0,1]: $num/$den")
     GraftFunctions.register(spark)
     val (bNum, bDen) = readMeta(spark, path)
@@ -333,9 +396,16 @@ object PrefixFilterJoin {
       s"serve threshold $num/$den is below the build threshold $bNum/$bDen — " +
         "the persisted prefixes are too short to be lossless; rebuild the index")
     val threshold = num.toDouble / den.toDouble
-    val corpusSets = spark.read.parquet(s"$path/sets")
+    // strictly-earlier cut on the batch partition column; legacy
+    // (pre-partition-layout) indexes carry no `batch` column and serve
+    // whole, exactly as before
+    def cut(df: DataFrame): DataFrame = maxBatchExclusive match {
+      case Some(b) if df.columns.contains("batch") => df.filter(col("batch") < b)
+      case _ => df
+    }
+    val corpusSets = cut(spark.read.parquet(s"$path/sets"))
       .select(col("doc_id").as("old_id"), col("sh").as("sh_o"))
-    val corpusPrefix = spark.read.parquet(s"$path/prefix")
+    val corpusPrefix = cut(spark.read.parquet(s"$path/prefix"))
       .select(col("h"), col("doc_id").as("old_id"),
         col("sz").as("sz_o"), col("p").as("p_o"))
     val freq = spark.read.parquet(s"$path/freq")
@@ -347,41 +417,81 @@ object PrefixFilterJoin {
     val oversized = probedRows > maxRows
     def serveSide(df: DataFrame): DataFrame =
       if (!oversized) broadcast(df) else df.hint("shuffle_hash")
+    val pruneLimit = spark.conf.getOption("spark.graft.ppjoin.serveKeyPruneLimit")
+      .map(_.toInt).getOrElse(DefaultServeKeyPruneLimit)
     // Ranking the batch needs corpus frequencies, but joining the batch
     // against the FULL freq relation shuffles O(corpus vocabulary) rows
     // per serve (measured: the 1M-corpus serve spent ~5 of its 7 s
-    // sorting 38M freq rows). Instead, for batches whose distinct
-    // shingle set is broadcastable (~8 bytes/shingle, ~38/doc), the
-    // batch's shingles broadcast INTO an in-place freq scan as a semi
-    // join, and the batch-sized survivor set broadcasts back into the
-    // rank join — the freq relation is only ever scanned, never
-    // shuffled, which is the same zero-corpus-motion shape as the
-    // candidate join below. Oversized batches fall back to the plain
-    // shuffle join (completing beats the broadcast ceiling).
+    // sorting 38M freq rows). Three tiers, cheapest first:
+    //  - TRICKLE (distinct batch shingles fit the key-prune limit): the
+    //    collected key list pushes into the h-SORTED freq artifact as an
+    //    In filter — parquet min/max stats skip the row groups that hold
+    //    no batch shingle, so the vocabulary is mostly never read;
+    //  - BROADCASTABLE batch (~38 shingles/doc, 8 bytes each): the
+    //    batch's shingles broadcast INTO an in-place freq scan as a semi
+    //    join, and the batch-sized survivor set broadcasts back into the
+    //    rank join — freq is scanned once, never shuffled;
+    //  - OVERSIZED: plain shuffle join (completing beats the ceiling).
     val freqBroadcastable = !oversized && probedRows <= math.max(1L, maxRows / 8)
-    val rankFreq =
-      if (freqBroadcastable)
+    val batchShingleKeys: Option[Array[Long]] =
+      if (oversized || probedRows * 64 > pruneLimit) None
+      else {
+        val ks = batchSets.select(explode(col("sh")).as("h")).distinct()
+          .limit(pruneLimit + 1).collect().map(_.getLong(0))
+        if (ks.length <= pruneLimit) Some(ks) else None
+      }
+    val rankFreq = batchShingleKeys match {
+      case Some(ks) => broadcast(freq.filter(col("h").isInCollection(ks)))
+      case None if freqBroadcastable =>
         broadcast(freq.join(
           broadcast(batchSets.select(explode(col("sh")).as("h")).distinct()),
           Seq("h"), "left_semi"))
-      else freq
+      case None => freq
+    }
     val batchPrefix = prefixRows(batchSets, rankFreq, num, den)
       .select(col("h"), col("doc_id").as("new_id"),
         col("sz").as("sz_n"), col("p").as("p_n"))
     // trickle prune: ~(1-t)·|sh|+1 prefix shingles per doc, so a batch
     // under pruneLimit keys is a few hundred docs — collect the keys and
-    // let the sorted postings scan skip row groups
-    val pruneLimit = spark.conf.getOption("spark.graft.ppjoin.serveKeyPruneLimit")
-      .map(_.toInt).getOrElse(DefaultServeKeyPruneLimit)
-    val prunedCorpusPrefix =
-      if (oversized || probedRows * 16 > pruneLimit) corpusPrefix
+    // let the sorted postings (and pstats, below) scans skip row groups
+    val batchPrefixKeys: Option[Array[Long]] =
+      if (oversized || probedRows * 16 > pruneLimit) None
       else {
         val keys = batchPrefix.select(col("h")).distinct()
           .limit(pruneLimit + 1).collect().map(_.getLong(0))
-        if (keys.length <= pruneLimit)
-          corpusPrefix.filter(col("h").isInCollection(keys))
-        else corpusPrefix
+        if (keys.length <= pruneLimit) Some(keys) else None
       }
+    val prunedCorpusPrefix = batchPrefixKeys.fold(corpusPrefix)(ks =>
+      corpusPrefix.filter(col("h").isInCollection(ks)))
+    // Candidate-broadcast guard: Σ over batch prefix rows of the corpus
+    // posting count for that shingle = the EXACT pre-filter candidate
+    // row count — one tiny aggregate (batch-side counts broadcast into
+    // a key-pruned pstats scan). Computed only in the regime where it
+    // is cheap (broadcastable batches); larger batches produce at least
+    // batch-scale candidate sets and go to shuffle_hash outright.
+    // Legacy indexes without the sidecar keep the pre-sidecar behavior
+    // (batch-probe-only guard).
+    val candCap = spark.conf
+      .getOption("spark.graft.ppjoin.serveCandidateBroadcastMaxRows")
+      .map(_.toLong).getOrElse(DefaultServeCandidateBroadcastMaxRows)
+    val pstatsPath = new org.apache.hadoop.fs.Path(s"$path/pstats")
+    val hasPstats = pstatsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pstatsPath)
+    val candBound: Long =
+      if (oversized || !freqBroadcastable) Long.MaxValue
+      else if (!hasPstats) 0L
+      else {
+        val ps0 = cut(spark.read.parquet(s"$path/pstats"))
+        val ps = batchPrefixKeys.fold(ps0)(ks =>
+          ps0.filter(col("h").isInCollection(ks)))
+        ps.join(broadcast(batchPrefix.groupBy(col("h")).agg(count(lit(1)).as("m"))),
+            Seq("h"))
+          .agg(coalesce(sum(col("n") * col("m")), lit(0L)))
+          .head().getLong(0)
+      }
+    def candSide(df: DataFrame): DataFrame =
+      if (!oversized && candBound <= candCap) broadcast(df)
+      else df.hint("shuffle_hash")
     // length-ratio + PPJoin positional filter, exactly as in `pairs`
     val oReq = expr(
       s"($num * (sz_n + sz_o) + ${num + den - 1}) div ${num + den}")
@@ -395,7 +505,7 @@ object PrefixFilterJoin {
       .select(col("new_id"), col("old_id"))
       .dropDuplicates("new_id", "old_id")
     corpusSets
-      .join(serveSide(candidates), Seq("old_id"))
+      .join(candSide(candidates), Seq("old_id"))
       .join(batchSets.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
         Seq("new_id"))
       .select(col("new_id"), col("old_id"),

@@ -356,6 +356,34 @@ object Dedup {
       "SELECT component, min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id, " +
       "count(*) AS n_members FROM ranked GROUP BY component"
 
+  /** The dd_incremental_ppjoin program over an arbitrary documents frame
+    * (full corpus or the sweep slice): build the exact index on the
+    * standing 90%, serve today's 10% batch against it losslessly.
+    */
+  private def incrementalPpjoinQ(s: SparkSession, docs0: DataFrame): DataFrame = {
+    val docs = docs0
+      .repartition(s.sparkContext.defaultParallelism) // one input file
+      .select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ppjoin_idx_gate").toString
+    graft.operators.PrefixFilterJoin.writeIndex(
+      docs.filter(col("doc_id") % 10 =!= 7), idx, num = 4, den = 5)
+    graft.operators.PrefixFilterJoin.pairsAgainstIndex(
+      s, docs.filter(col("doc_id") % 10 === 7), idx, num = 4, den = 5)
+  }
+
+  private val incrementalPpjoinOracle: String =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents), " +
+      s"s AS (SELECT doc_id, $shingleSetSql AS sh FROM t), " +
+      "n AS (SELECT * FROM s WHERE doc_id % 10 = 7 AND len(sh) > 0), " +
+      "o AS (SELECT * FROM s WHERE doc_id % 10 <> 7 AND len(sh) > 0) " +
+      "SELECT n.doc_id AS new_id, o.doc_id AS old_id, " +
+      "len(list_intersect(n.sh, o.sh)) / " +
+      "CAST(len(list_distinct(n.sh || o.sh)) AS DOUBLE) AS jaccard " +
+      "FROM n JOIN o ON true " +
+      "WHERE len(list_intersect(n.sh, o.sh)) / " +
+      "CAST(len(list_distinct(n.sh || o.sh)) AS DOUBLE) >= 0.8"
+
   def defs: Seq[GraftQuery] = Seq(
 
     // Exact dedup — corpus summary: total vs distinct normalized docs.
@@ -401,7 +429,7 @@ object Dedup {
       quadraticOracle = true),
 
     // The sliced sweep companion (see `sliceSpark`): identical program
-    // over the deterministic 25% corpus slice, so the quadratic oracle
+    // over the deterministic ~19% corpus slice, so the quadratic oracle
     // stays DuckDB-tractable at sf0.1.
     GraftQuery(
       "dd_ngram_jaccard_sliced",
@@ -565,27 +593,18 @@ object Dedup {
     // strictest possible gate for an exact operator.
     GraftQuery(
       "dd_incremental_ppjoin",
-      (s, dir) => {
-        val docs = Tables.table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism) // one input file
-          .select(col("doc_id"), col("text"))
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft_ppjoin_idx_gate").toString
-        graft.operators.PrefixFilterJoin.writeIndex(
-          docs.filter(col("doc_id") % 10 =!= 7), idx, num = 4, den = 5)
-        graft.operators.PrefixFilterJoin.pairsAgainstIndex(
-          s, docs.filter(col("doc_id") % 10 === 7), idx, num = 4, den = 5)
-      },
-      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents), " +
-        s"s AS (SELECT doc_id, $shingleSetSql AS sh FROM t), " +
-        "n AS (SELECT * FROM s WHERE doc_id % 10 = 7 AND len(sh) > 0), " +
-        "o AS (SELECT * FROM s WHERE doc_id % 10 <> 7 AND len(sh) > 0) " +
-        "SELECT n.doc_id AS new_id, o.doc_id AS old_id, " +
-        "len(list_intersect(n.sh, o.sh)) / " +
-        "CAST(len(list_distinct(n.sh || o.sh)) AS DOUBLE) AS jaccard " +
-        "FROM n JOIN o ON true " +
-        "WHERE len(list_intersect(n.sh, o.sh)) / " +
-        "CAST(len(list_distinct(n.sh || o.sh)) AS DOUBLE) >= 0.8")),
+      (s, dir) => incrementalPpjoinQ(s, Tables.table(s, dir, "documents")),
+      Some(incrementalPpjoinOracle),
+      // the brute oracle is all (new × old) pairs — ~0.09·n² mixed pairs,
+      // quadratic like the in-line families above; the sweep swaps in the
+      // sliced companion at sf0.1
+      quadraticOracle = true),
+
+    // Sliced sweep companion (see `sliceSpark`).
+    GraftQuery(
+      "dd_incremental_ppjoin_sliced",
+      (s, dir) => incrementalPpjoinQ(s, slicedDocuments(s, dir)),
+      Some(sliceOracle(incrementalPpjoinOracle))),
 
     // SimHash fingerprint per document (native expression). The oracle
     // replays the exact bit-for-bit algorithm in DuckDB HUGEINT

@@ -546,7 +546,7 @@ object Pipeline {
       quadraticOracle = true),
 
     // Sliced sweep companion (see Dedup.sliceSpark): identical program
-    // over the deterministic 25% corpus slice, so the quadratic oracle
+    // over the deterministic ~19% corpus slice, so the quadratic oracle
     // stays DuckDB-tractable at sf0.1.
     GraftQuery(
       "pipe_leak_safe_split_sliced",

@@ -52,7 +52,7 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
     // prefixes rank under build-time frequencies (some shingles unseen,
     // f=0) — the served answer must still be the exact ground truth
     PrefixFilterJoin.writeIndex(oldDocs.filter(col("doc_id") % 2 === 0), idx, 4, 5)
-    PrefixFilterJoin.appendIndex(oldDocs.filter(col("doc_id") % 2 =!= 0), idx)
+    PrefixFilterJoin.appendIndex(oldDocs.filter(col("doc_id") % 2 =!= 0), idx, batchId = 1L)
     val newDocs = docs.filter(col("doc_id") % 10 === 7)
     val served = pairSet(PrefixFilterJoin.pairsAgainstIndex(spark, newDocs, idx, 4, 5))
     assert(served == bruteMixed(4, 5),
@@ -69,6 +69,45 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("build threshold"))
   }
 
+  test("redelivered / crash-window appends replace their partitions — no duplicate pairs") {
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pp_replay").toString
+    PrefixFilterJoin.writeIndex(oldDocs.filter(col("doc_id") % 2 === 0), idx, 4, 5)
+    val b1 = oldDocs.filter(col("doc_id") % 2 =!= 0)
+    PrefixFilterJoin.appendIndex(b1, idx, batchId = 1L)
+    // serve returns a LIST, not a set: a duplicated sets/prefix row
+    // would surface as a duplicated output pair — the exact failure the
+    // batch=<id> overwrite layout makes impossible
+    def servedRows(): List[(Long, Long)] =
+      PrefixFilterJoin.pairsAgainstIndex(spark, newDocs, idx, 4, 5)
+        .select(col("new_id"), col("old_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val once = servedRows()
+    assert(once.toSet == bruteMixed(4, 5))
+    assert(once.size == once.toSet.size, "serve emitted duplicate pairs")
+    // crash window A: sets landed, prefix/pstats did not — redelivery
+    // must complete the batch, not double it
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/prefix/batch=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/pstats/batch=1"), true)
+    PrefixFilterJoin.appendIndex(b1, idx, batchId = 1L)
+    assert(servedRows().sorted == once.sorted)
+    // crash window B: everything landed, the downstream commit didn't —
+    // a FULL redelivery of the same batch id must be a no-op
+    PrefixFilterJoin.appendIndex(b1, idx, batchId = 1L)
+    assert(servedRows().sorted == once.sorted)
+    // replay filter: serving strictly-earlier batches excludes batch 1,
+    // leaving exactly the bootstrap-half answer
+    val bootOnly = PrefixFilterJoin.pairsAgainstIndex(
+        spark, newDocs, idx, 4, 5, maxBatchExclusive = Some(1L))
+      .select(col("new_id"), col("old_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bootOnly == bruteMixed(4, 5).filter(_._2 % 2 == 0))
+    assert(bootOnly != once.toSet, "fixture should place near-dups in both halves")
+  }
+
   test("oversized batches degrade to shuffle_hash with the identical answer") {
     val idx = java.nio.file.Files.createTempDirectory("graft_pp_big").toString
     PrefixFilterJoin.writeIndex(docs.filter(col("doc_id") % 10 =!= 7), idx, 4, 5)
@@ -81,5 +120,14 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
         PrefixFilterJoin.pairsAgainstIndex(spark, newDocs, idx, 4, 5))
       assert(fallback == broadcastAnswer)
     } finally spark.conf.unset("spark.graft.ppjoin.serveBroadcastMaxRows")
+    // candidate-fanout guard: with the candidate broadcast budget forced
+    // to 1 row, the pstats bound exceeds it and the candidates join must
+    // degrade to shuffle_hash — identical answer, no broadcast
+    spark.conf.set("spark.graft.ppjoin.serveCandidateBroadcastMaxRows", "1")
+    try {
+      val guarded = pairSet(
+        PrefixFilterJoin.pairsAgainstIndex(spark, newDocs, idx, 4, 5))
+      assert(guarded == broadcastAnswer)
+    } finally spark.conf.unset("spark.graft.ppjoin.serveCandidateBroadcastMaxRows")
   }
 }
