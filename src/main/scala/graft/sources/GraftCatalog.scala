@@ -81,7 +81,7 @@ class GraftCatalog extends TableCatalog {
     val schema = DataType.fromJson(
       new String(Files.readAllBytes(f), StandardCharsets.UTF_8)).asInstanceOf[StructType]
     new GraftCatalogTable(ident.toString, dirFor(ident), schema, None,
-      partitionColOf(ident))
+      partitionColOf(ident), format = GraftFormat.at(dirFor(ident)))
   }
 
   /** Time travel: `SELECT ... FROM t VERSION AS OF n` reads the immutable
@@ -110,7 +110,8 @@ class GraftCatalog extends TableCatalog {
           throw new IllegalArgumentException(
             s"version $v of table $ident is a staged snapshot of branch " +
               s"'$b', not main history — read it with VERSION AS OF '$b'"))
-        new GraftCatalogTable(s"$ident@v$v", dir, schema, Some(v), partitionColOf(ident))
+        new GraftCatalogTable(s"$ident@v$v", dir, schema, Some(v), partitionColOf(ident),
+          format = GraftFormat.at(dir))
       case None =>
         // validate BEFORE path-resolving: a version string with path
         // separators must not escape the table directory
@@ -119,7 +120,7 @@ class GraftCatalog extends TableCatalog {
           s"table $ident has no version or branch '$version' " +
             s"(branches: ${GraftJsonSink.listBranches(dir).mkString(", ")})")
         new GraftCatalogTable(s"$ident@$version", dir, schema, None,
-          partitionColOf(ident), branch = Some(version))
+          partitionColOf(ident), branch = Some(version), format = GraftFormat.at(dir))
     }
   }
 
@@ -141,7 +142,8 @@ class GraftCatalog extends TableCatalog {
       s"table $ident has no snapshot at or before timestamp $timestamp"))
     val schema = DataType.fromJson(
       new String(Files.readAllBytes(f), StandardCharsets.UTF_8)).asInstanceOf[StructType]
-    new GraftCatalogTable(s"$ident@v$chosen", dir, schema, Some(chosen), partitionColOf(ident))
+    new GraftCatalogTable(s"$ident@v$chosen", dir, schema, Some(chosen), partitionColOf(ident),
+      format = GraftFormat.at(dir))
   }
 
   override def createTable(
@@ -174,12 +176,18 @@ class GraftCatalog extends TableCatalog {
         s"graft-json supports atomic string/long/int/double/boolean columns, " +
           s"got ${field.dataType} for ${field.name}")
     }
+    // data-file format, fixed at CREATE: TBLPROPERTIES('format'='parquet')
+    // stores columnar data files under the identical table protocol
+    val format = Option(properties.get("format"))
+      .map(GraftFormat.forName).getOrElse(JsonFormat)
     Files.createDirectories(dirFor(ident))
     Files.write(f, schema.json.getBytes(StandardCharsets.UTF_8))
+    GraftFormat.write(dirFor(ident), format)
     partitionCol.foreach(c => Files.write(
       dirFor(ident).resolve(GraftCatalog.PartitionFileName),
       c.getBytes(StandardCharsets.UTF_8)))
-    new GraftCatalogTable(ident.toString, dirFor(ident), schema, None, partitionCol)
+    new GraftCatalogTable(ident.toString, dirFor(ident), schema, None, partitionCol,
+      format = format)
   }
 
   /** Metadata-only schema evolution, never rewriting a data file:
@@ -311,7 +319,7 @@ class GraftCatalog extends TableCatalog {
     }
     Files.write(f, schema.json.getBytes(StandardCharsets.UTF_8))
     new GraftCatalogTable(ident.toString, dirFor(ident), schema, None,
-      partitionColOf(ident))
+      partitionColOf(ident), format = GraftFormat.at(dirFor(ident)))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -362,6 +370,15 @@ object GraftCatalog {
       body.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** The table's CREATE-time schema from its sidecar, when present. */
+  private[sources] def tableSchemaAt(dir: Path): Option[StructType] = {
+    val f = dir.resolve(TableFileName)
+    if (!Files.exists(f)) None
+    else Some(DataType.fromJson(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType])
+  }
+
   /** Typed single-column partition key row from its canonical text. */
   private[sources] def partitionKeyRow(
       v: Option[String], dt: DataType): InternalRow =
@@ -393,21 +410,40 @@ object GraftCatalog {
   def compact(tableDir: Path, schema: Option[StructType]): (Int, Int) = {
     val (rows, files, dvs) = GraftJsonSink.readState(tableDir)
     if (files.size <= 1 && dvs.isEmpty) return (files.size, files.size)
+    val format = GraftFormat.at(tableDir)
     val target = tableDir.resolve(
-      s"part-compact-${java.util.UUID.randomUUID().toString.take(8)}.json")
-    val out = Files.newOutputStream(target)
+      s"part-compact-${java.util.UUID.randomUUID().toString.take(8)}.${format.ext}")
     // deletion vectors materialize here: a file with a vector streams
-    // only its live lines into the compacted output
-    try files.foreach { f =>
-      dvs.get(f) match {
-        case None => out.write(Files.readAllBytes(tableDir.resolve(f)))
-        case Some(dv) =>
-          GraftDv.liveLines(tableDir, f, dv).foreach { l =>
-            out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+    // only its live rows into the compacted output
+    format match {
+      case JsonFormat =>
+        // byte-level concatenation: JSON-lines files concatenate to a
+        // JSON-lines file, no parse needed (and no schema required)
+        val out = Files.newOutputStream(target)
+        try files.foreach { f =>
+          dvs.get(f) match {
+            case None => out.write(Files.readAllBytes(tableDir.resolve(f)))
+            case Some(dv) =>
+              GraftDv.liveLines(tableDir, f, dv).foreach { l =>
+                out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+              }
           }
-      }
+        }
+        finally out.close()
+      case _ =>
+        // columnar files never concatenate byte-wise: stream live rows
+        // through one writer (needs the schema — catalog tables carry it
+        // in their sidecar when the caller didn't pass one)
+        val sch = schema.orElse(tableSchemaAt(tableDir)).getOrElse(
+          sys.error(s"compacting a ${format.name} table requires its schema"))
+        val aliases = renamesAt(tableDir)
+        val w = format.newWriter(target, sch)
+        try files.foreach { f =>
+          GraftFormat.liveRows(format, tableDir, f,
+            dvs.getOrElse(f, Array.empty), sch, aliases).foreach(w.write)
+        }
+        finally w.close()
     }
-    finally out.close()
     // streaming-txn markers survive compaction: a restarted stream must
     // still see its last applied batch id after maintenance runs
     val manifest =
@@ -445,9 +481,7 @@ object GraftCatalog {
       case Some(sch) if dvs.nonEmpty =>
         val aliases = renamesAt(tableDir)
         val c = new GraftStats.Collector(sch)
-        Files.readAllLines(target, StandardCharsets.UTF_8).asScala
-          .filter(_.nonEmpty)
-          .foreach(l => c.observe(JsonLineParser.parse(l, sch, sch, aliases)))
+        format.readRows(target, sch, sch, aliases).foreach(c.observe)
         GraftStats.write(tableDir, Map(keep -> c.result()), sch)
       case Some(sch) =>
         val prev = GraftStats.read(tableDir, sch)
@@ -521,28 +555,39 @@ object GraftCatalog {
       var newParts = Map.empty[String, Option[String]]
       val replaced = bins.flatMap(_._2).toSet
       val aliases = renamesAt(tableDir)
+      val format = GraftFormat.at(tableDir)
       val newFiles = bins.map { case (pv, members) =>
-        val name = s"part-merged-${java.util.UUID.randomUUID().toString.take(8)}.json"
-        val out = Files.newOutputStream(tableDir.resolve(name))
+        val name =
+          s"part-merged-${java.util.UUID.randomUUID().toString.take(8)}.${format.ext}"
         // a member with a deletion vector contributes only its live
-        // lines — the merge materializes the vector
-        try members.foreach { f =>
-          dvs.get(f) match {
-            case None => out.write(Files.readAllBytes(tableDir.resolve(f)))
-            case Some(dv) =>
-              GraftDv.liveLines(tableDir, f, dv).foreach { l =>
-                out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+        // rows — the merge materializes the vector
+        format match {
+          case JsonFormat => // byte-level concatenation, no parse needed
+            val out = Files.newOutputStream(tableDir.resolve(name))
+            try members.foreach { f =>
+              dvs.get(f) match {
+                case None => out.write(Files.readAllBytes(tableDir.resolve(f)))
+                case Some(dv) =>
+                  GraftDv.liveLines(tableDir, f, dv).foreach { l =>
+                    out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+                  }
               }
-          }
+            }
+            finally out.close()
+          case _ => // columnar: stream live rows through one writer
+            val w = format.newWriter(tableDir.resolve(name), schema)
+            try members.foreach { f =>
+              GraftFormat.liveRows(format, tableDir, f,
+                dvs.getOrElse(f, Array.empty), schema, aliases).foreach(w.write)
+            }
+            finally w.close()
         }
-        finally out.close()
         val memberStats = members.flatMap(prevStats.get)
         if (members.exists(dvs.contains)) {
           // the fold would count materialized-away rows; recollect
           val c = new GraftStats.Collector(schema)
-          Files.readAllLines(tableDir.resolve(name), StandardCharsets.UTF_8)
-            .asScala.filter(_.nonEmpty)
-            .foreach(l => c.observe(JsonLineParser.parse(l, schema, schema, aliases)))
+          format.readRows(tableDir.resolve(name), schema, schema, aliases)
+            .foreach(c.observe)
           newStats += name -> c.result()
         } else if (memberStats.size == members.size)
           newStats += name -> memberStats.reduce(GraftStats.merge)
@@ -729,15 +774,16 @@ object GraftCatalog {
     val covered = files.filter(f =>
       existing.get(f).exists(cols => columns.forall(cols.contains)))
     val todo = files.filterNot(covered.toSet)
+    val format = GraftFormat.at(tableDir)
     val fresh = todo.map { f =>
       // deleted rows would only add safe false positives, but indexing
-      // live lines keeps the filter as selective as the data
-      val lines = GraftDv.liveLines(tableDir, f, dvs.getOrElse(f, Array.empty))
+      // live rows keeps the filter as selective as the data
+      val rows = GraftFormat.liveRows(format, tableDir, f,
+        dvs.getOrElse(f, Array.empty), schema, aliases).toVector
       val builders = idx.map { case (c, _) =>
-        c -> new GraftBloom.Builder(lines.size.toLong, bitsPerKey)
+        c -> new GraftBloom.Builder(rows.size.toLong, bitsPerKey)
       }
-      lines.foreach { line =>
-        val row = JsonLineParser.parse(line, schema, schema, aliases)
+      rows.foreach { row =>
         builders.zip(idx).foreach { case ((_, b), (_, i)) =>
           if (!row.isNullAt(i)) {
             val v: Any = schema(i).dataType match {
@@ -771,7 +817,8 @@ private[sources] class GraftCatalogTable(
     tableName: String, dir: Path, tableSchema: StructType,
     version: Option[Long] = None,
     partitionCol: Option[String] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    format: GraftFormat = JsonFormat)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -833,41 +880,37 @@ private[sources] class GraftCatalogTable(
         keptRows += fileStats.get.rows - dv.length
         if (dv.nonEmpty) keptDvs += f -> dv
       } else {
-        val lines = Files.readAllLines(dir.resolve(f), StandardCharsets.UTF_8)
-          .asScala.filter(_.nonEmpty)
+        val rows = format.readRows(dir.resolve(f), tableSchema, tableSchema,
+          renameAliases).toVector
         val dead = dv.toSet
         if (mor) {
-          // ordinals (among non-empty lines) where the conjunction is
-          // definitely TRUE and the row is still live
-          val hits = lines.zipWithIndex.collect {
-            case (line, i) if !dead(i) && filters.forall(
-              FilterEval.eval(_,
-                JsonLineParser.parse(line, tableSchema, tableSchema, renameAliases),
-                tableSchema) == java.lang.Boolean.TRUE) => i
+          // ordinals (among the file's physical rows) where the
+          // conjunction is definitely TRUE and the row is still live
+          val hits = rows.zipWithIndex.collect {
+            case (row, i) if !dead(i) && filters.forall(
+              FilterEval.eval(_, row, tableSchema) == java.lang.Boolean.TRUE) => i
           }
           val merged = (dv ++ hits).sorted
-          if (merged.length == lines.size) {
+          if (merged.length == rows.size) {
             // every physical row deleted: the file (and its vector) drops
           } else {
             keptFiles += f
-            keptRows += lines.size - merged.length
+            keptRows += rows.size - merged.length
             if (merged.nonEmpty) keptDvs += f -> merged.toArray
           }
         } else {
           val collector = new GraftStats.Collector(tableSchema)
-          val kept = lines.zipWithIndex.collect { case (line, i) if !dead(i) => line }
-            .filter { line =>
-              val row = JsonLineParser.parse(line, tableSchema, tableSchema,
-                renameAliases)
+          val kept = rows.zipWithIndex.collect { case (row, i) if !dead(i) => row }
+            .filter { row =>
               val isDeleted = filters.forall(
                 FilterEval.eval(_, row, tableSchema) == java.lang.Boolean.TRUE)
               if (!isDeleted) collector.observe(row)
               !isDeleted
             }
-          if (kept.size == lines.size) { // no hit, no vector: keep as-is
+          if (kept.size == rows.size) { // no hit, no vector: keep as-is
             keptFiles += f
-            keptRows += lines.size
-          } else if (kept.size == lines.size - dv.length) {
+            keptRows += rows.size
+          } else if (kept.size == rows.size - dv.length) {
             // no predicate hit; the file only carries its prior vector
             keptFiles += f
             keptRows += kept.size
@@ -875,9 +918,9 @@ private[sources] class GraftCatalogTable(
           } else if (kept.nonEmpty) { // mixed: rewrite survivors
             // the rewrite materializes the prior vector too — the new
             // file holds only live rows and needs no vector entry
-            val nf = f"part-$writeId-rw$idx%05d.json"
-            Files.write(dir.resolve(nf),
-              (kept.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+            val nf = f"part-$writeId-rw$idx%05d.${format.ext}"
+            val w = format.newWriter(dir.resolve(nf), tableSchema)
+            try kept.foreach(w.write) finally w.close()
             keptFiles += nf
             keptRows += kept.size
             newStats += nf -> collector.result()
@@ -1033,7 +1076,7 @@ private[sources] class GraftCatalogTable(
             s"cannot stream from a historical version of $tableName")
           require(branch.isEmpty,
             s"cannot stream from a branch of $tableName — publish it first")
-          new GraftTableStream(dir, tableSchema, required)
+          new GraftTableStream(dir, tableSchema, required, format)
         }
         override def planInputPartitions(): Array[InputPartition] =
           grouping match {
@@ -1098,9 +1141,9 @@ private[sources] class GraftCatalogTable(
         override def estimateStatistics():
             org.apache.spark.sql.connector.read.Statistics = reportedStats
         override def description(): String =
-          s"graft-json $tableName, skipping filters: [${skippingFilters.mkString(", ")}]"
+          s"graft-${format.name} $tableName, skipping filters: [${skippingFilters.mkString(", ")}]"
         override def createReaderFactory(): PartitionReaderFactory =
-          new JsonFileReaderFactory(tableSchema, required, renameAliases, dvs)
+          new JsonFileReaderFactory(tableSchema, required, renameAliases, dvs, format)
       }
     }
 
@@ -1113,7 +1156,7 @@ private[sources] class GraftCatalogTable(
     // GraftCatalog.publishBranch fast-forwards main to the audited state
     val writeBranch = Option(info.options.get("branch"))
     new GraftJsonWriteBuilder(dir.toString, tableSchema, None,
-      partitionCol = partitionCol, branch = writeBranch)
+      partitionCol = partitionCol, branch = writeBranch, format = format)
   }
 }
 
@@ -1166,7 +1209,8 @@ private case class JsonFilesPartition(
 
 private class JsonFileReaderFactory(fileSchema: StructType, required: StructType,
     aliases: Map[String, Set[String]] = Map.empty,
-    dvs: Map[String, Array[Int]] = Map.empty)
+    dvs: Map[String, Array[Int]] = Map.empty,
+    format: GraftFormat = JsonFormat)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1175,23 +1219,23 @@ private class JsonFileReaderFactory(fileSchema: StructType, required: StructType
       case JsonFilesPartition(ps, _, _) => ps
     }
     // deletion vectors subtract by ordinal (a row's index among its
-    // file's non-empty lines) — the merge-on-read half of MOR deletes
-    val lines = paths.iterator.flatMap { p =>
-      val all = Files.readAllLines(Paths.get(p), StandardCharsets.UTF_8)
-        .asScala.iterator.filter(_.nonEmpty)
+    // file's physical rows, in file order) — the merge-on-read half of
+    // MOR deletes; GraftFormat.readRows is dv-unaware by contract, so
+    // the ordinal spaces agree
+    val rows = paths.iterator.flatMap { p =>
+      val all = format.readRows(Paths.get(p), fileSchema, required, aliases)
       dvs.get(Paths.get(p).getFileName.toString) match {
         case None | Some(Array()) => all
         case Some(dv) =>
           val dead = dv.toSet
-          all.zipWithIndex.collect { case (l, i) if !dead(i) => l }
+          all.zipWithIndex.collect { case (r, i) if !dead(i) => r }
       }
     }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean = {
-        if (!lines.hasNext) return false
-        current = JsonLineParser.parse(lines.next(), fileSchema, required,
-          aliases)
+        if (!rows.hasNext) return false
+        current = rows.next()
         true
       }
       override def get(): InternalRow = current

@@ -105,16 +105,17 @@ object GraftDv {
       else {
       val stats = GraftStats.read(dir, schema)
       val aliases = GraftCatalog.renamesAt(dir)
+      val format = GraftFormat.at(dir)
       val writeId = java.util.UUID.randomUUID().toString.take(8)
       var renamed = Map.empty[String, String]
       var newStats = Map.empty[String, GraftStats.FileStats]
       todo.zipWithIndex.foreach { case (f, i) =>
-        val live = liveLines(dir, f, dvs(f))
-        val nf = f"part-$writeId-dv$i%05d.json"
-        Files.write(dir.resolve(nf),
-          (live.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        val nf = f"part-$writeId-dv$i%05d.${format.ext}"
         val c = new GraftStats.Collector(schema)
-        live.foreach(l => c.observe(JsonLineParser.parse(l, schema, schema, aliases)))
+        val w = format.newWriter(dir.resolve(nf), schema)
+        try GraftFormat.liveRows(format, dir, f, dvs(f), schema, aliases)
+          .foreach { r => w.write(r); c.observe(r) }
+        finally w.close()
         newStats += nf -> c.result()
         renamed += f -> nf
       }

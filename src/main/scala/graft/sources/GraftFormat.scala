@@ -1,0 +1,275 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The DATA-FILE format of a graft catalog table, decoupled from the
+  * table protocol: the manifest two-phase commit, snapshots/branches,
+  * stats/bloom skipping, deletion vectors, and DML never look inside a
+  * data file except through this seam, so a table can store its rows as
+  * JSON-lines (the bootstrap format — human-readable, zero
+  * dependencies) or as PARQUET (columnar, compressed, the 100 TB
+  * choice: a row-text scan reads 5–20× the bytes of a columnar scan
+  * that prunes to the requested columns).
+  *
+  * The contract every implementation honors:
+  *  - [[newWriter]] streams [[InternalRow]]s in `schema` order into one
+  *    data file (the sink's task writers and every DML rewrite path);
+  *  - [[readRows]] yields the file's PHYSICAL rows in file order,
+  *    deletion-vector-unaware — a row's iterator index IS its DV
+  *    ordinal, so readers/writers of vectors agree by construction;
+  *  - schema evolution binds by NAME: a required column absent from the
+  *    file null-fills (ADD COLUMN), former names from RENAME COLUMN
+  *    resolve through `aliases`, and lossless widenings
+  *    (int → long/double) convert from the file's physical type.
+  *
+  * Chosen per table at CREATE (`TBLPROPERTIES('format'='parquet')`),
+  * recorded in the `_graft_format.txt` sidecar; absence means JSON —
+  * every pre-existing table keeps its exact behavior.
+  */
+sealed trait GraftFormat {
+  def name: String
+
+  /** Data-file extension, without the dot. */
+  def ext: String
+
+  /** Whether a closed data file can be reopened and appended to (the
+    * partitioned writer's LRU handle cache reopens JSON files; parquet
+    * files are immutable once their footer is written, so the writer
+    * rolls a new segment instead).
+    */
+  def appendable: Boolean
+
+  /** Streaming single-file writer; rows arrive in `schema` order. */
+  def newWriter(path: Path, schema: StructType): GraftFormat.RowWriter
+
+  /** All PHYSICAL rows of `path` in file order (no deletion-vector
+    * subtraction — the caller owns ordinals), bound to `required` under
+    * the current-schema conventions described above.
+    */
+  def readRows(path: Path, fileSchema: StructType, required: StructType,
+      aliases: Map[String, Set[String]]): Iterator[InternalRow]
+}
+
+object GraftFormat {
+
+  val FormatFileName = "_graft_format.txt"
+
+  trait RowWriter {
+    def write(row: InternalRow): Unit
+    def close(): Unit
+  }
+
+  /** The table's data format, from the CREATE-time sidecar (absent =
+    * JSON, the pre-format-option layout).
+    */
+  def at(dir: Path): GraftFormat = {
+    val f = dir.resolve(FormatFileName)
+    if (!Files.exists(f)) JsonFormat
+    else forName(new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim)
+  }
+
+  def forName(name: String): GraftFormat = name match {
+    case "json" => JsonFormat
+    case "parquet" => ParquetFormat
+    case other => throw new IllegalArgumentException(
+      s"unknown graft table format '$other' (supported: json, parquet)")
+  }
+
+  /** Record `format` as the table's data format (CREATE TABLE time). */
+  def write(dir: Path, format: GraftFormat): Unit =
+    if (format != JsonFormat) // absence = json: old layouts stay readable
+      Files.write(dir.resolve(FormatFileName),
+        format.name.getBytes(StandardCharsets.UTF_8))
+
+  /** The file's live rows (deletion vector subtracted), in order — the
+    * row-level successor of the JSON-era `liveLines`, shared by every
+    * maintenance path (compaction, vector materialize, bloom build).
+    */
+  def liveRows(format: GraftFormat, dir: Path, file: String, dv: Array[Int],
+      schema: StructType, aliases: Map[String, Set[String]]): Iterator[InternalRow] = {
+    val all = format.readRows(dir.resolve(file), schema, schema, aliases)
+    if (dv.isEmpty) all
+    else {
+      val dead = dv.toSet
+      all.zipWithIndex.collect { case (r, i) if !dead(i) => r }
+    }
+  }
+}
+
+/** JSON-lines data files — the bootstrap format. Delegates to the
+  * sink's renderer and the catalog's lexer; one row per non-empty line.
+  */
+case object JsonFormat extends GraftFormat {
+  override def name: String = "json"
+  override def ext: String = "json"
+  override def appendable: Boolean = true
+
+  override def newWriter(path: Path, schema: StructType): GraftFormat.RowWriter =
+    new GraftFormat.RowWriter {
+      private val out = Files.newBufferedWriter(path, StandardCharsets.UTF_8,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      override def write(row: InternalRow): Unit = {
+        out.write(GraftJsonSink.renderRow(row, schema))
+        out.write("\n")
+      }
+      override def close(): Unit = out.close()
+    }
+
+  override def readRows(path: Path, fileSchema: StructType, required: StructType,
+      aliases: Map[String, Set[String]]): Iterator[InternalRow] =
+    Files.readAllLines(path, StandardCharsets.UTF_8).asScala.iterator
+      .filter(_.nonEmpty)
+      .map(JsonLineParser.parse(_, fileSchema, required, aliases))
+}
+
+/** Parquet data files through the parquet-hadoop example API (Group
+  * model) — columnar storage, snappy compression, column pruning at the
+  * read schema. The Group model materializes one object row at a time
+  * (plenty for the local target and the driver-side maintenance ops); a
+  * cluster build swaps in the vectorized reader behind this same trait.
+  */
+case object ParquetFormat extends GraftFormat {
+  override def name: String = "parquet"
+  override def ext: String = "parquet"
+  override def appendable: Boolean = false
+
+  private def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case StringType => b.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case LongType => b.optional(PrimitiveTypeName.INT64).named(f.name)
+        case IntegerType => b.optional(PrimitiveTypeName.INT32).named(f.name)
+        case DoubleType => b.optional(PrimitiveTypeName.DOUBLE).named(f.name)
+        case BooleanType => b.optional(PrimitiveTypeName.BOOLEAN).named(f.name)
+        case dt => throw new IllegalArgumentException(
+          s"graft tables support atomic string/long/int/double/boolean columns, got $dt")
+      }
+    }
+    b.named("graft")
+  }
+
+  override def newWriter(path: Path, schema: StructType): GraftFormat.RowWriter =
+    new GraftFormat.RowWriter {
+      private val msg = messageType(schema)
+      private val factory = new SimpleGroupFactory(msg)
+      private val writer: ParquetWriter[Group] = {
+        val conf = new Configuration()
+        org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, conf)
+        ExampleParquetWriter.builder(
+            new org.apache.hadoop.fs.Path(path.toUri))
+          .withConf(conf)
+          .withType(msg)
+          .withCompressionCodec(CompressionCodecName.SNAPPY)
+          .build()
+      }
+      override def write(row: InternalRow): Unit = {
+        val g = factory.newGroup()
+        var i = 0
+        while (i < schema.length) {
+          if (!row.isNullAt(i)) schema(i).dataType match {
+            case StringType =>
+              g.add(i, Binary.fromString(row.getUTF8String(i).toString))
+            case LongType => g.add(i, row.getLong(i))
+            case IntegerType => g.add(i, row.getInt(i))
+            case DoubleType => g.add(i, row.getDouble(i))
+            case BooleanType => g.add(i, row.getBoolean(i))
+            case dt => throw new IllegalArgumentException(s"unsupported $dt")
+          }
+          i += 1
+        }
+        writer.write(g)
+      }
+      override def close(): Unit = writer.close()
+    }
+
+  override def readRows(path: Path, fileSchema: StructType, required: StructType,
+      aliases: Map[String, Set[String]]): Iterator[InternalRow] = {
+    val conf = new Configuration()
+    val hp = new org.apache.hadoop.fs.Path(path.toUri)
+    // the file's own footer schema: projection and type conversion both
+    // key off what the file PHYSICALLY holds (pre-rename keys, pre-widen
+    // types), never off the current table schema
+    val fileMsg: MessageType = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(hp, conf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    val inFile = fileMsg.getFields.asScala.map(f => f.getName -> f).toMap
+    // physical column each required field binds to: its current name if
+    // the file has it, else the first (sorted — deterministic) former
+    // name present; None null-fills (ADD COLUMN after this file landed)
+    val binding: Array[Option[String]] = required.fields.map { f =>
+      if (inFile.contains(f.name)) Some(f.name)
+      else aliases.getOrElse(f.name, Set.empty).toSeq.sorted.find(inFile.contains)
+    }
+    val needed = binding.flatten.toSet
+    // prune the scan to the bound columns — the columnar win; an empty
+    // projection (count-style scans) still needs row multiplicity, so
+    // keep one narrow column
+    val projFields = fileMsg.getFields.asScala.filter(f => needed(f.getName))
+    val proj = new MessageType(fileMsg.getName,
+      (if (projFields.isEmpty) fileMsg.getFields.asScala.take(1)
+       else projFields).asJava)
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      proj.toString)
+    val reader = ParquetReader.builder(new GroupReadSupport(), hp)
+      .withConf(conf).build()
+    val projIndex = proj.getFields.asScala.map(_.getName).zipWithIndex.toMap
+    val fieldIdx: Array[Int] = binding.map(_.flatMap(projIndex.get).getOrElse(-1))
+    val physType: Array[PrimitiveTypeName] = binding.map(
+      _.map(n => inFile(n).asPrimitiveType().getPrimitiveTypeName).orNull)
+    new Iterator[InternalRow] {
+      private var nextGroup: Group = reader.read()
+      if (nextGroup == null) reader.close()
+      override def hasNext: Boolean = nextGroup != null
+      override def next(): InternalRow = {
+        val g = nextGroup
+        nextGroup = reader.read()
+        if (nextGroup == null) reader.close()
+        val values = new Array[Any](required.length)
+        var i = 0
+        while (i < required.length) {
+          val fi = fieldIdx(i)
+          if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0) {
+            // convert from the file's physical type to the CURRENT type —
+            // the lossless-widening (int → long/double) read path
+            values(i) = (physType(i), required(i).dataType) match {
+              case (PrimitiveTypeName.BINARY, StringType) =>
+                UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
+              case (PrimitiveTypeName.INT64, LongType) => g.getLong(fi, 0)
+              case (PrimitiveTypeName.INT32, IntegerType) => g.getInteger(fi, 0)
+              case (PrimitiveTypeName.INT32, LongType) => g.getInteger(fi, 0).toLong
+              case (PrimitiveTypeName.INT32, DoubleType) => g.getInteger(fi, 0).toDouble
+              case (PrimitiveTypeName.DOUBLE, DoubleType) => g.getDouble(fi, 0)
+              case (PrimitiveTypeName.BOOLEAN, BooleanType) => g.getBoolean(fi, 0)
+              case (pt, dt) => throw new IllegalArgumentException(
+                s"cannot read parquet $pt as $dt for column ${required(i).name}")
+            }
+          }
+          i += 1
+        }
+        new GenericInternalRow(values)
+      }
+    }
+  }
+}

@@ -52,6 +52,12 @@ class GraftJsonSink extends TableProvider with DataSourceRegister {
     new GraftJsonSinkTable(schema)
 }
 
+/** The path-based sink's write options, shared with the catalog table's
+  * write builder. `format` selects the data-file format (json/parquet)
+  * for paths written outside a catalog (catalog tables carry it in
+  * their CREATE-time sidecar instead).
+  */
+
 object GraftJsonSink {
 
   val ManifestName = "_graft_manifest.json"
@@ -430,7 +436,9 @@ private class GraftJsonSinkTable(writeSchema: StructType)
       Option(info.options.get("failPartitionOnce")).map(_.toInt),
       replaceMode = Option(info.options.get("replace")).exists(_.toBoolean),
       txn = Option(info.options.get("txnAppId"))
-        .map(_ -> info.options.get("txnVersion").toLong))
+        .map(_ -> info.options.get("txnVersion").toLong),
+      format = Option(info.options.get("format"))
+        .map(GraftFormat.forName).getOrElse(JsonFormat))
 }
 
 private[sources] class GraftJsonWriteBuilder(
@@ -440,7 +448,8 @@ private[sources] class GraftJsonWriteBuilder(
     replaceMode: Boolean = false,
     partitionCol: Option[String] = None,
     txn: Option[(String, Long)] = None,
-    branch: Option[String] = None) extends WriteBuilder with SupportsTruncate {
+    branch: Option[String] = None,
+    format: GraftFormat = JsonFormat) extends WriteBuilder with SupportsTruncate {
 
   require(path != null && path.nonEmpty, "graft-json requires a path")
   branch.foreach(GraftJsonSink.requireBranchName)
@@ -456,7 +465,7 @@ private[sources] class GraftJsonWriteBuilder(
   override def build(): Write = {
     def batchWrite = new GraftJsonBatchWrite(
       path, schema, truncateFirst, replaceMode, failPartitionOnce, partitionCol, txn,
-      branch)
+      branch, format)
     partitionCol match {
       case Some(colName) =>
         // identity-partitioned writes declare a clustered distribution on
@@ -501,7 +510,8 @@ private[sources] class GraftJsonBatchWrite(
     failPartitionOnce: Option[Int],
     partitionCol: Option[String] = None,
     txn: Option[(String, Long)] = None,
-    branch: Option[String] = None) extends BatchWrite {
+    branch: Option[String] = None,
+    format: GraftFormat = JsonFormat) extends BatchWrite {
 
   branch.foreach(GraftJsonSink.requireBranchName)
   require(branch.isEmpty || !(truncateFirst || replaceMode),
@@ -511,7 +521,7 @@ private[sources] class GraftJsonBatchWrite(
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftJsonWriterFactory(path, schema, failPartitionOnce, partitionCol)
+    new GraftJsonWriterFactory(path, schema, failPartitionOnce, partitionCol, format)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
@@ -551,7 +561,7 @@ private[sources] class GraftJsonBatchWrite(
     val published = messages.flatMap { case m: GraftJsonCommitMessage =>
       m.entries.zipWithIndex.map { case (e, i) =>
         val target = dir.resolve(
-          f"part-${m.partitionId}%05d-$writeId-${m.taskId}-$i%03d.json")
+          f"part-${m.partitionId}%05d-$writeId-${m.taskId}-$i%03d.${format.ext}")
         Files.move(Paths.get(e.tmpPath), target, StandardCopyOption.REPLACE_EXISTING)
         (target.getFileName.toString, e.rows, e.stats, e.partValue)
       }
@@ -652,7 +662,8 @@ private class GraftJsonWriterFactory(
     path: String,
     schema: StructType,
     failPartitionOnce: Option[Int],
-    partitionCol: Option[String] = None) extends DataWriterFactory {
+    partitionCol: Option[String] = None,
+    format: GraftFormat = JsonFormat) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val tmpDir = Paths.get(path, "_tmp")
@@ -662,10 +673,11 @@ private class GraftJsonWriterFactory(
     partitionCol match {
       case Some(colName) =>
         new GraftJsonPartitionedDataWriter(
-          tmpDir, schema, partitionId, taskId, colName, failNow)
+          tmpDir, schema, partitionId, taskId, colName, failNow, format)
       case None =>
-        val tmpFile = tmpDir.resolve(f"attempt-$partitionId%05d-$taskId.json")
-        new GraftJsonDataWriter(tmpFile, schema, partitionId, taskId, failNow)
+        val tmpFile = tmpDir.resolve(
+          f"attempt-$partitionId%05d-$taskId.${format.ext}")
+        new GraftJsonDataWriter(tmpFile, schema, partitionId, taskId, failNow, format)
     }
   }
 }
@@ -682,40 +694,57 @@ private class GraftJsonPartitionedDataWriter(
     partitionId: Int,
     taskId: Long,
     partitionCol: String,
-    failNow: Boolean) extends DataWriter[InternalRow] {
+    failNow: Boolean,
+    format: GraftFormat = JsonFormat) extends DataWriter[InternalRow] {
 
   private val ordinal = schema.fieldIndex(partitionCol)
   private val dt = schema(ordinal).dataType
   // bound open handles: a task seeing many distinct partition values
   // (high-cardinality identity partitioning) must not exhaust the fd
-  // limit — least-recently-written slots close and reopen in append mode
+  // limit — least-recently-written slots close and reopen in append
+  // mode. A non-appendable format (parquet: the footer seals the file)
+  // instead SEALS the evicted slot's file as a finished entry and rolls
+  // a fresh segment file when the value reappears — more files under
+  // pathological value interleaving, never reopened-after-seal.
   private val MaxOpen = 64
   private final class Slot(val key: Option[String], seq: Int) {
     val tmpFile: Path =
-      tmpDir.resolve(f"attempt-$partitionId%05d-$taskId-$seq%05d.json")
-    var out: java.io.BufferedWriter = _
+      tmpDir.resolve(f"attempt-$partitionId%05d-$taskId-$seq%05d.${format.ext}")
+    var out: GraftFormat.RowWriter = _
     val stats = new GraftStats.Collector(schema)
     var rows = 0L
     var stamp = 0L
+    def entry: GraftJsonFileEntry =
+      GraftJsonFileEntry(tmpFile.toString, rows, stats.result(), Some(key))
   }
   private val slots = scala.collection.mutable.LinkedHashMap.empty[Option[String], Slot]
   private val open = scala.collection.mutable.LinkedHashSet.empty[Slot]
+  private val sealedEntries = scala.collection.mutable.ListBuffer.empty[GraftJsonFileEntry]
   private var tick = 0L
+  private var slotSeq = 0
 
-  private def writerFor(slot: Slot): java.io.BufferedWriter = {
+  private def slotFor(k: Option[String]): Slot =
+    slots.getOrElseUpdate(k, { slotSeq += 1; new Slot(k, slotSeq - 1) })
+
+  private def writerFor(slot0: Slot): (Slot, GraftFormat.RowWriter) = {
+    // a sealed non-appendable slot rolls to a new segment file
+    val slot =
+      if (slot0.out == null && slot0.rows > 0 && !format.appendable) {
+        sealedEntries += slot0.entry
+        slots.remove(slot0.key)
+        slotFor(slot0.key)
+      } else slot0
     if (slot.out == null) {
       if (open.size >= MaxOpen) {
         val lru = open.minBy(_.stamp)
         lru.out.close(); lru.out = null
         open.remove(lru)
       }
-      slot.out = Files.newBufferedWriter(slot.tmpFile, StandardCharsets.UTF_8,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+      slot.out = format.newWriter(slot.tmpFile, schema)
       open.add(slot)
     }
     tick += 1; slot.stamp = tick
-    slot.out
+    (slot, slot.out)
   }
 
   /** Canonical text of the partition value (None = SQL NULL). */
@@ -735,10 +764,8 @@ private class GraftJsonPartitionedDataWriter(
     if (failNow) throw new RuntimeException(
       s"graft-json injected failure (first attempt of this partition)")
     val k = keyOf(row)
-    val slot = slots.getOrElseUpdate(k, new Slot(k, slots.size))
-    val out = writerFor(slot)
-    out.write(GraftJsonSink.renderRow(row, schema))
-    out.write("\n")
+    val (slot, out) = writerFor(slotFor(k))
+    out.write(row)
     slot.stats.observe(row)
     slot.rows += 1
   }
@@ -750,14 +777,13 @@ private class GraftJsonPartitionedDataWriter(
   override def commit(): WriterCommitMessage = {
     closeAll()
     GraftJsonCommitMessage(partitionId, taskId,
-      slots.values.toSeq.map(s =>
-        GraftJsonFileEntry(s.tmpFile.toString, s.rows, s.stats.result(),
-          Some(s.key))))
+      sealedEntries.toSeq ++ slots.values.toSeq.map(_.entry))
   }
 
   override def abort(): Unit = {
     closeAll()
     slots.values.foreach(s => Files.deleteIfExists(s.tmpFile))
+    sealedEntries.foreach(e => Files.deleteIfExists(Paths.get(e.tmpPath)))
   }
 
   override def close(): Unit = closeAll()
@@ -768,9 +794,10 @@ private class GraftJsonDataWriter(
     schema: StructType,
     partitionId: Int,
     taskId: Long,
-    failNow: Boolean) extends DataWriter[InternalRow] {
+    failNow: Boolean,
+    format: GraftFormat = JsonFormat) extends DataWriter[InternalRow] {
 
-  private val out = Files.newBufferedWriter(tmpFile, StandardCharsets.UTF_8)
+  private val out = format.newWriter(tmpFile, schema)
   private var rows = 0L
   // min/max/null-count per column, folded in while rendering — the same
   // single pass over the data the write already makes
@@ -779,8 +806,7 @@ private class GraftJsonDataWriter(
   override def write(row: InternalRow): Unit = {
     if (failNow) throw new RuntimeException(
       s"graft-json injected failure (first attempt of this partition)")
-    out.write(GraftJsonSink.renderRow(row, schema))
-    out.write("\n")
+    out.write(row)
     stats.observe(row)
     rows += 1
   }

@@ -96,6 +96,7 @@ object GraftMerge {
         .select(base.columns.map(col).toIndexedSeq: _*)
       val merged = survivors.unionByName(upserts)
       val w = merged.write.format("graft-json")
+        .option("format", GraftFormat.at(dir).name)
         .option("replace", "true").mode("overwrite")
       txn.fold(w) { case (appId, v) =>
         w.option("txnAppId", appId).option("txnVersion", v.toString)

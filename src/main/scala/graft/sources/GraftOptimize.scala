@@ -41,6 +41,7 @@ object GraftOptimize {
       graft.operators.ZOrder
         .layout(spark.table(tableFqn), col(xCol), col(yCol), numFiles)
         .write.format("graft-json")
+        .option("format", GraftFormat.at(dir).name)
         .option("replace", "true").mode("overwrite").save(dir.toString)
       spark.table(tableFqn).count()
     }

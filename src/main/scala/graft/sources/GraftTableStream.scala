@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.StructType
   * wrong results (Delta's default source behavior for the same reason).
   */
 private[sources] class GraftTableStream(
-    dir: Path, tableSchema: StructType, required: StructType)
+    dir: Path, tableSchema: StructType, required: StructType,
+    format: GraftFormat = JsonFormat)
     extends MicroBatchStream {
 
   /** Offsets carry the table EPOCH alongside the snapshot version:
@@ -92,7 +93,7 @@ private[sources] class GraftTableStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonFileReaderFactory(tableSchema, required,
-      GraftCatalog.renamesAt(dir))
+      GraftCatalog.renamesAt(dir), format = format)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -82,6 +82,7 @@ object GraftUpdate {
       // reader would null: read former names as extra columns of the
       // current type and coalesce into the current column.
       val aliases = GraftCatalog.renamesAt(dir)
+      val format = GraftFormat.at(dir)
       val readSchema = org.apache.spark.sql.types.StructType(
         schema ++ schema.flatMap(f =>
           aliases.getOrElse(f.name, Set.empty).toSeq.sorted
@@ -89,9 +90,16 @@ object GraftUpdate {
       def cur(n: String): Column =
         org.apache.spark.sql.functions.coalesce(
           (col(n) +: aliases.getOrElse(n, Set.empty).toSeq.sorted.map(col)): _*)
-      val updated = spark.read.schema(readSchema)
-        .option("mode", "FAILFAST")
-        .json(touched.map(f => dir.resolve(f).toString): _*)
+      val touchedPaths = touched.map(f => dir.resolve(f).toString)
+      val updated = (format match {
+        case JsonFormat => spark.read.schema(readSchema)
+          .option("mode", "FAILFAST")
+          .json(touchedPaths: _*)
+        // parquet: Spark's reader null-fills requested columns absent
+        // from a file (corruption fails hard by format design)
+        case ParquetFormat => spark.read.schema(readSchema)
+          .parquet(touchedPaths: _*)
+      })
         // normalize to current names FIRST so `where` and the SET
         // expressions (written against current names) see old-file values
         .select(schema.fieldNames.toIndexedSeq.map(n => cur(n).as(n)): _*)
@@ -109,15 +117,15 @@ object GraftUpdate {
       // data files have moved out, whether or not the commit succeeds.
       val staging = Files.createTempDirectory("graft_update")
       try {
-      updated.write.format("graft-json").mode("overwrite").save(staging.toString)
+      updated.write.format("graft-json").option("format", format.name)
+        .mode("overwrite").save(staging.toString)
       val (_, newFiles) = GraftJsonSink.readManifest(staging)
       val newStats = GraftStats.read(staging, schema)
       newFiles.foreach(f => Files.move(staging.resolve(f), dir.resolve(f)))
 
       val allStats = stats ++ newStats
       def fileRows(f: String): Long = allStats.get(f).map(_.rows).getOrElse {
-        Files.readAllLines(dir.resolve(f), StandardCharsets.UTF_8)
-          .asScala.count(_.nonEmpty).toLong
+        format.readRows(dir.resolve(f), schema, schema, aliases).size.toLong
       }
       val allFiles = (untouched ++ newFiles).sorted
       // untouched files may still carry deletion vectors (touched ones
