@@ -464,6 +464,45 @@ object ScaleSmoke {
     val tNoSkip = (System.nanoTime() - t0NoSkip) / 1e9
     val filesAll = plannedFiles(skipQuery)
     java.nio.file.Files.move(parked, sidecar)
+    // catalog data-file format: the SAME rows in a parquet-backed twin
+    // (TBLPROPERTIES format=parquet). Two scans per format: a full-row
+    // aggregate (bytes-off-disk bound) and a one-of-three-column
+    // projection, where columnar pruning reads a fraction of the file —
+    // the 100 TB scan-cost argument measured, not asserted. Task-time
+    // is the cluster-cost metric; bytes are the stored footprint.
+    System.err.println("[smoke] start catalog_format")
+    spark.sql("CREATE TABLE smokecat.s.docs_pq (doc_id BIGINT, fp STRING, n_tokens INT) " +
+      "TBLPROPERTIES('format'='parquet')")
+    docs.select(col("doc_id"), md5(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("int").as("n_tokens"))
+      .repartitionByRange(64, col("doc_id"))
+      .writeTo("smokecat.s.docs_pq").append()
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .map(java.nio.file.Files.size).sum
+      } finally s.close()
+    }
+    val jsonBytes = dirBytes(tableDir)
+    val pqBytes = dirBytes(skipRoot.resolve("s").resolve("docs_pq"))
+    def fullScan(t: String) =
+      spark.table(t).agg(sum(col("doc_id")), sum(col("n_tokens")),
+        sum(length(col("fp")))).head()
+    def prunedScan(t: String) =
+      spark.table(t).agg(sum(col("n_tokens"))).head()
+    // warm both page caches, then min-of-3 interleaved
+    fullScan("smokecat.s.docs"); fullScan("smokecat.s.docs_pq")
+    var (msJsonFull, msPqFull, msJsonCol, msPqCol) =
+      (Long.MaxValue, Long.MaxValue, Long.MaxValue, Long.MaxValue)
+    (1 to 3).foreach { _ =>
+      msJsonFull = math.min(msJsonFull, taskMillis { fullScan("smokecat.s.docs") })
+      msPqFull = math.min(msPqFull, taskMillis { fullScan("smokecat.s.docs_pq") })
+      msJsonCol = math.min(msJsonCol, taskMillis { prunedScan("smokecat.s.docs") })
+      msPqCol = math.min(msPqCol, taskMillis { prunedScan("smokecat.s.docs_pq") })
+    }
     // bucketed fact-fact join: both sides persisted bucketBy(32) on the
     // join key. The bucket layout is a stored HashPartitioning, so the
     // sort-merge join reads co-located buckets and shuffles NOTHING —
@@ -601,6 +640,11 @@ object ScaleSmoke {
         s""""skip_files_kept":$filesKept,"skip_files_total":$filesAll,""" +
         s""""skip_sec":$tSkip,"noskip_sec":$tNoSkip,""" +
         s""""skip_task_ms":$msSkip,"noskip_task_ms":$msNoSkip,""" +
+        s""""catalog_json_bytes":$jsonBytes,"catalog_parquet_bytes":$pqBytes,""" +
+        s""""catalog_fullscan_json_task_ms":$msJsonFull,""" +
+        s""""catalog_fullscan_parquet_task_ms":$msPqFull,""" +
+        s""""catalog_colscan_json_task_ms":$msJsonCol,""" +
+        s""""catalog_colscan_parquet_task_ms":$msPqCol,""" +
         s""""join_plain_sec":$tJoinPlain,"join_plain_shuffle_mb":${bJoinPlain / 1048576},""" +
         s""""join_bucketed_sec":$tJoinBkt,"join_bucketed_shuffle_mb":${bJoinBkt / 1048576},""" +
         s""""fuzzy_join_sec":$tFuzzy,"fuzzy_pairs":$nFuzzy,""" +

@@ -138,6 +138,46 @@ object SourceRoundtrip {
         "WHERE o_orderkey < 8000 AND NOT (o_orderkey >= 2000 AND o_orderkey < 4000) " +
         "GROUP BY o_orderstatus")),
 
+    // The SAME catalog lifecycle on a PARQUET-backed table
+    // (TBLPROPERTIES('format'='parquet') — columnar data files under
+    // the identical manifest/commit/stats protocol): CREATE → INSERT →
+    // stats-planned DELETE → UPDATE → stats-skipped filtered read. One
+    // oracle for both rows; any divergence between the json and parquet
+    // format paths (write, scan, DV ordinals, rewrite) mismatches here.
+    GraftQuery(
+      "src_catalog_parquet_roundtrip",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_cat_pq_rt").toString
+        val cat = s"rtp${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.g.orders " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+          "TBLPROPERTIES('format'='parquet')")
+        Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .writeTo(s"$cat.g.orders").append()
+        s.sql(s"DELETE FROM $cat.g.orders " +
+          "WHERE o_orderkey >= 2000 AND o_orderkey < 4000")
+        graft.sources.GraftUpdate.update(s, s"$cat.g.orders",
+          col("o_orderkey") >= 5000 && col("o_orderkey") < 6000,
+          Map("o_totalprice" -> (col("o_totalprice") + 100.0d)))
+        s.table(s"$cat.g.orders")
+          .filter(col("o_orderkey") < 8000)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(dec6)).cast(DoubleType).as("total"),
+            sum(col("o_orderkey")).as("key_sum"))
+      },
+      Some("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(SUM(CAST(CASE WHEN o_orderkey >= 5000 AND o_orderkey < 6000 " +
+        "THEN o_totalprice + 100.0 ELSE o_totalprice END AS DECIMAL(38,6))) AS DOUBLE) AS total, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders " +
+        "WHERE o_orderkey < 8000 AND NOT (o_orderkey >= 2000 AND o_orderkey < 4000) " +
+        "GROUP BY o_orderstatus")),
+
     // Merge-on-read deletion vectors under the gate: two MOR deletes
     // record vectors in the manifest — no data file is rewritten or
     // added (verdict cell: the post-delete file set is a subset of the
