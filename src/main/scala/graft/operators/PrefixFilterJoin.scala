@@ -179,9 +179,11 @@ object PrefixFilterJoin {
   //   prefix/batch=<id>/  (h, doc_id, sz, p) — prefix postings, range-
   //                                     laid-out and sorted by h (row-
   //                                     group skips for trickle batches)
-  //   pstats/batch=<id>/  (h, n)        — per-batch prefix-posting
-  //                                     counts (the serve path's exact
-  //                                     candidate-fanout bound)
+  //   pstats/batch=<id>/  (h, n)        — per-batch HOT prefix-posting
+  //                                     counts (n > ServeCandidateHotFloor
+  //                                     only — the serve's candidate-
+  //                                     fanout bound charges cold
+  //                                     shingles the floor arithmetically)
   //   freq/    (h, f)                  — BUILD-TIME global shingle
   //                                     counts, h-sorted for row-group
   //                                     skipping under trickle key lists
@@ -220,6 +222,15 @@ object PrefixFilterJoin {
     * via `spark.graft.ppjoin.serveCandidateBroadcastMaxRows`.
     */
   val DefaultServeCandidateBroadcastMaxRows: Long = 8000000L
+
+  /** Posting-count floor separating the `pstats` sidecar's HOT shingles
+    * (stored exactly) from the cold tail (charged this value
+    * arithmetically in the serve's candidate bound). Higher ⇒ smaller
+    * sidecar but a looser bound; 8 keeps the sidecar a Zipf-tail
+    * truncation while the cold term (8 × batch shingle occurrences)
+    * stays far under the broadcast budget for every broadcastable batch.
+    */
+  val ServeCandidateHotFloor: Long = 8L
 
   private def setsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -296,8 +307,15 @@ object PrefixFilterJoin {
       prefixRows(sets, s.read.parquet(s"$path/freq"), num, den)
         .select(col("h"), col("doc_id"), col("sz"), col("p")),
       path, s"$path/prefix/batch=$batchId")
+    // only HOT postings (n > ServeCandidateHotFloor) are stored: the
+    // serve's candidate bound charges every cold shingle the floor
+    // arithmetically (no scan), so the per-serve pstats read touches a
+    // Zipf-tail-truncated sidecar instead of an index-sized one — the
+    // full (h, n) relation once cost ~+2 s of O(index) scan per serve
+    // at a 1M corpus
     s.read.parquet(s"$path/prefix/batch=$batchId")
       .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > ServeCandidateHotFloor)
       .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
       .write.mode("overwrite").parquet(s"$path/pstats/batch=$batchId")
   }
@@ -463,14 +481,28 @@ object PrefixFilterJoin {
       }
     val prunedCorpusPrefix = batchPrefixKeys.fold(corpusPrefix)(ks =>
       corpusPrefix.filter(col("h").isInCollection(ks)))
-    // Candidate-broadcast guard: Σ over batch prefix rows of the corpus
-    // posting count for that shingle = the EXACT pre-filter candidate
-    // row count — one tiny aggregate (batch-side counts broadcast into
-    // a key-pruned pstats scan). Computed only in the regime where it
-    // is cheap (broadcastable batches); larger batches produce at least
-    // batch-scale candidate sets and go to shuffle_hash outright.
-    // Legacy indexes without the sidecar keep the pre-sidecar behavior
-    // (batch-probe-only guard).
+    // Candidate-broadcast guard. The candidate count is Σ_h m'_h·n_h
+    // (m'_h = batch PREFIX rows on shingle h, n_h = corpus posting
+    // count) — unbounded by batch size, so the batch-row probe alone
+    // cannot authorize broadcasting the candidates into the rescore
+    // join. The serve computes an UPPER bound in O(batch + hot tail):
+    //
+    //   Σ_h m_h·n_h  ≤  F·M  +  Σ_{n_h > F} m_h·n_h
+    //
+    // where m_h ≥ m'_h counts the shingle over ALL batch rows (deriving
+    // the true prefix counts would execute the ranked-prefix subtree a
+    // second time per serve — measured +2.4 s at a 1M corpus), M is the
+    // batch's total shingle occurrences (one no-shuffle aggregate), F is
+    // ServeCandidateHotFloor, and the hot term joins the exploded batch
+    // against the pstats sidecar — which stores ONLY n > F rows, so the
+    // per-serve scan touches a Zipf-tail truncation, not an index-sized
+    // relation (the full sidecar cost ~+2 s of O(index) scan per serve).
+    // Over-estimates degrade to shuffle_hash — the answer-identical
+    // direction; the zero-false-negative contract never bends. A hot
+    // sidecar too large to broadcast marks the corpus degenerate:
+    // bound = ∞, candidates take shuffle_hash outright. Legacy indexes
+    // without the sidecar keep the pre-sidecar behavior (batch-probe-only
+    // guard).
     val candCap = spark.conf
       .getOption("spark.graft.ppjoin.serveCandidateBroadcastMaxRows")
       .map(_.toLong).getOrElse(DefaultServeCandidateBroadcastMaxRows)
@@ -481,13 +513,21 @@ object PrefixFilterJoin {
       if (oversized || !freqBroadcastable) Long.MaxValue
       else if (!hasPstats) 0L
       else {
-        val ps0 = cut(spark.read.parquet(s"$path/pstats"))
-        val ps = batchPrefixKeys.fold(ps0)(ks =>
-          ps0.filter(col("h").isInCollection(ks)))
-        ps.join(broadcast(batchPrefix.groupBy(col("h")).agg(count(lit(1)).as("m"))),
-            Seq("h"))
-          .agg(coalesce(sum(col("n") * col("m")), lit(0L)))
-          .head().getLong(0)
+        val hot0 = cut(spark.read.parquet(s"$path/pstats"))
+        val hot = batchShingleKeys.fold(hot0)(ks =>
+          hot0.filter(col("h").isInCollection(ks)))
+        val hotProbe = hot.select(col("h"))
+          .limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
+        if (hotProbe > maxRows) Long.MaxValue
+        else {
+          // F·M + Σ_hot m_h·n_h in ONE job: the exploded batch left-joins
+          // the broadcast hot tail; count(*) is M, sum(n) the hot term
+          val r = batchSets.select(explode(col("sh")).as("h"))
+            .join(broadcast(hot), Seq("h"), "left")
+            .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L)))
+            .head()
+          ServeCandidateHotFloor * r.getLong(0) + r.getLong(1)
+        }
       }
     def candSide(df: DataFrame): DataFrame =
       if (!oversized && candBound <= candCap) broadcast(df)
