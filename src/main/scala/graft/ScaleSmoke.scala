@@ -45,8 +45,17 @@ object ScaleSmoke {
     // 100 TB sizing rule: partitions sized to fit memory, count grows
     // with data.
     val shuffleWidth = math.max(cpus.toInt, (nDocs / 50000L).toInt)
+    // local[N, 4]: allow per-task retries. Transient unified-pool
+    // exhaustion under 32-way concurrency (32 sorts grabbing pages from
+    // one 8 GB pool at once) is retryable — the retry runs after
+    // neighbors release their pages — and local mode's default
+    // maxFailures=1 turned one unlucky allocation interleaving into a
+    // whole-run abort (observed on the 10M index build; r11 logged the
+    // same class "2 of 3 runs" on the inline join). A real cluster
+    // retries exactly this way; a DETERMINISTIC memory bug still fails
+    // after 4 attempts.
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(s"local[$cpus,4]")
       .appName("graft_scale_smoke")
       .config("spark.sql.shuffle.partitions", shuffleWidth)
       .config("spark.sql.adaptive.enabled", "true")
