@@ -225,10 +225,12 @@ object PrefixFilterJoin {
 
   /** Posting-count floor separating the `pstats` sidecar's HOT shingles
     * (stored exactly) from the cold tail (charged this value
-    * arithmetically in the serve's candidate bound). Higher ⇒ smaller
-    * sidecar but a looser bound; 8 keeps the sidecar a Zipf-tail
-    * truncation while the cold term (8 × batch shingle occurrences)
-    * stays far under the broadcast budget for every broadcastable batch.
+    * arithmetically in the serve's candidate bound — once per SERVED
+    * BATCH PARTITION, since the floor is applied per partition at write
+    * time). Higher ⇒ smaller sidecar but a looser bound; 8 keeps the
+    * sidecar a Zipf-tail truncation while the cold term (8 × served
+    * partitions × batch shingle occurrences) stays far under the
+    * broadcast budget for every broadcastable batch.
     */
   val ServeCandidateHotFloor: Long = 8L
 
@@ -509,10 +511,37 @@ object PrefixFilterJoin {
     val pstatsPath = new org.apache.hadoop.fs.Path(s"$path/pstats")
     val hasPstats = pstatsPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pstatsPath)
+    // The hot floor is applied PER BATCH PARTITION at write time
+    // (writePrefixAndStats), so a shingle cold (n ≤ F) in each of P
+    // served partitions can hold up to F·P postings globally while the
+    // sidecar stores nothing for it — the cold term must charge F·P per
+    // batch occurrence, not F, or the bound stops being an upper bound
+    // exactly on the multi-batch corpora the guard exists for. P counts
+    // the served `prefix` partitions (the relation candidates actually
+    // join); a prefix partition missing its pstats partition (a crash
+    // window that was never retried) voids the bound entirely →
+    // shuffle_hash, the answer-identical direction. Legacy flat layouts
+    // have no batch dirs on either side: P = 1, the original charge.
+    def batchDirIds(sub: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else {
+        val ids = fs.listStatus(p).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong).toSet
+        maxBatchExclusive.fold(ids)(b => ids.filter(_ < b))
+      }
+    }
     val candBound: Long =
       if (oversized || !freqBroadcastable) Long.MaxValue
       else if (!hasPstats) 0L
       else {
+        val prefixBatches = batchDirIds("prefix")
+        val pstatsBatches = batchDirIds("pstats")
+        val servedPartitions = math.max(1, prefixBatches.size).toLong
+        if (!prefixBatches.subsetOf(pstatsBatches)) Long.MaxValue
+        else {
         val hot0 = cut(spark.read.parquet(s"$path/pstats"))
         val hot = batchShingleKeys.fold(hot0)(ks =>
           hot0.filter(col("h").isInCollection(ks)))
@@ -520,15 +549,24 @@ object PrefixFilterJoin {
           .limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
         if (hotProbe > maxRows) Long.MaxValue
         else {
-          // F·M + Σ_hot m_h·n_h in ONE job: the exploded batch left-joins
-          // the broadcast hot tail; count(*) is M, sum(n) the hot term
+          // F·P·M + Σ_hot m_h·n_h in ONE job: the exploded batch
+          // left-joins the broadcast hot tail AGGREGATED ACROSS
+          // PARTITIONS to one row per shingle (so count(*) is exactly M
+          // and sum(n) sums every partition's stored postings);
+          // per-partition cold remainders are covered by the F·P charge
+          val hotAgg = hot.groupBy(col("h")).agg(sum(col("n")).as("n"))
           val r = batchSets.select(explode(col("sh")).as("h"))
-            .join(broadcast(hot), Seq("h"), "left")
+            .join(broadcast(hotAgg), Seq("h"), "left")
             .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L)))
             .head()
-          ServeCandidateHotFloor * r.getLong(0) + r.getLong(1)
+          ServeCandidateHotFloor * servedPartitions * r.getLong(0) + r.getLong(1)
+        }
         }
       }
+    // observability breadcrumb (also the guard spec's handle): the bound
+    // the serve just computed, "inf" when the guard was voided
+    spark.conf.set("spark.graft.ppjoin.lastServeCandidateBound",
+      if (candBound == Long.MaxValue) "inf" else candBound.toString)
     def candSide(df: DataFrame): DataFrame =
       if (!oversized && candBound <= candCap) broadcast(df)
       else df.hint("shuffle_hash")

@@ -439,8 +439,9 @@ object GraftCatalog {
         val aliases = renamesAt(tableDir)
         val w = format.newWriter(target, sch)
         try files.foreach { f =>
-          GraftFormat.liveRows(format, tableDir, f,
-            dvs.getOrElse(f, Array.empty), sch, aliases).foreach(w.write)
+          val rows = GraftFormat.liveRows(format, tableDir, f,
+            dvs.getOrElse(f, Array.empty), sch, aliases)
+          try rows.foreach(w.write) finally rows.close()
         }
         finally w.close()
     }
@@ -481,7 +482,8 @@ object GraftCatalog {
       case Some(sch) if dvs.nonEmpty =>
         val aliases = renamesAt(tableDir)
         val c = new GraftStats.Collector(sch)
-        format.readRows(target, sch, sch, aliases).foreach(c.observe)
+        val rows = format.readRows(target, sch, sch, aliases)
+        try rows.foreach(c.observe) finally rows.close()
         GraftStats.write(tableDir, Map(keep -> c.result()), sch)
       case Some(sch) =>
         val prev = GraftStats.read(tableDir, sch)
@@ -577,8 +579,9 @@ object GraftCatalog {
           case _ => // columnar: stream live rows through one writer
             val w = format.newWriter(tableDir.resolve(name), schema)
             try members.foreach { f =>
-              GraftFormat.liveRows(format, tableDir, f,
-                dvs.getOrElse(f, Array.empty), schema, aliases).foreach(w.write)
+              val rows = GraftFormat.liveRows(format, tableDir, f,
+                dvs.getOrElse(f, Array.empty), schema, aliases)
+              try rows.foreach(w.write) finally rows.close()
             }
             finally w.close()
         }
@@ -586,8 +589,8 @@ object GraftCatalog {
         if (members.exists(dvs.contains)) {
           // the fold would count materialized-away rows; recollect
           val c = new GraftStats.Collector(schema)
-          format.readRows(tableDir.resolve(name), schema, schema, aliases)
-            .foreach(c.observe)
+          val merged = format.readRows(tableDir.resolve(name), schema, schema, aliases)
+          try merged.foreach(c.observe) finally merged.close()
           newStats += name -> c.result()
         } else if (memberStats.size == members.size)
           newStats += name -> memberStats.reduce(GraftStats.merge)
@@ -778,8 +781,9 @@ object GraftCatalog {
     val fresh = todo.map { f =>
       // deleted rows would only add safe false positives, but indexing
       // live rows keeps the filter as selective as the data
-      val rows = GraftFormat.liveRows(format, tableDir, f,
-        dvs.getOrElse(f, Array.empty), schema, aliases).toVector
+      val live = GraftFormat.liveRows(format, tableDir, f,
+        dvs.getOrElse(f, Array.empty), schema, aliases)
+      val rows = try live.toVector finally live.close()
       val builders = idx.map { case (c, _) =>
         c -> new GraftBloom.Builder(rows.size.toLong, bitsPerKey)
       }
@@ -880,8 +884,9 @@ private[sources] class GraftCatalogTable(
         keptRows += fileStats.get.rows - dv.length
         if (dv.nonEmpty) keptDvs += f -> dv
       } else {
-        val rows = format.readRows(dir.resolve(f), tableSchema, tableSchema,
-          renameAliases).toVector
+        val physical = format.readRows(dir.resolve(f), tableSchema, tableSchema,
+          renameAliases)
+        val rows = try physical.toVector finally physical.close()
         val dead = dv.toSet
         if (mor) {
           // ordinals (among the file's physical rows) where the
@@ -1221,25 +1226,39 @@ private class JsonFileReaderFactory(fileSchema: StructType, required: StructType
     // deletion vectors subtract by ordinal (a row's index among its
     // file's physical rows, in file order) — the merge-on-read half of
     // MOR deletes; GraftFormat.readRows is dv-unaware by contract, so
-    // the ordinal spaces agree
-    val rows = paths.iterator.flatMap { p =>
-      val all = format.readRows(Paths.get(p), fileSchema, required, aliases)
-      dvs.get(Paths.get(p).getFileName.toString) match {
-        case None | Some(Array()) => all
-        case Some(dv) =>
-          val dead = dv.toSet
-          all.zipWithIndex.collect { case (r, i) if !dead(i) => r }
-      }
-    }
+    // the ordinal spaces agree. Files open one at a time and the open
+    // handle is released on close() — early-terminated scans (LIMIT,
+    // exceptions, failed tasks) do not leak a parquet reader per file
     new PartitionReader[InternalRow] {
+      private val pathIt = paths.iterator
+      private var rows: GraftFormat.Rows = _
       private var current: InternalRow = _
+      private def openNext(): Boolean = {
+        while (pathIt.hasNext) {
+          val p = Paths.get(pathIt.next())
+          val all = format.readRows(p, fileSchema, required, aliases)
+          rows = dvs.get(p.getFileName.toString) match {
+            case None | Some(Array()) => all
+            case Some(dv) =>
+              val dead = dv.toSet
+              all.mapRows(_.zipWithIndex.collect { case (r, i) if !dead(i) => r })
+          }
+          if (rows.hasNext) return true
+          rows.close(); rows = null
+        }
+        false
+      }
       override def next(): Boolean = {
-        if (!rows.hasNext) return false
+        while (rows == null || !rows.hasNext) {
+          if (rows != null) { rows.close(); rows = null }
+          if (!openNext()) return false
+        }
         current = rows.next()
         true
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit =
+        if (rows != null) { rows.close(); rows = null }
     }
   }
 }

@@ -113,9 +113,9 @@ object GraftDv {
         val nf = f"part-$writeId-dv$i%05d.${format.ext}"
         val c = new GraftStats.Collector(schema)
         val w = format.newWriter(dir.resolve(nf), schema)
-        try GraftFormat.liveRows(format, dir, f, dvs(f), schema, aliases)
-          .foreach { r => w.write(r); c.observe(r) }
-        finally w.close()
+        val live = GraftFormat.liveRows(format, dir, f, dvs(f), schema, aliases)
+        try live.foreach { r => w.write(r); c.observe(r) }
+        finally { try live.close() finally w.close() }
         newStats += nf -> c.result()
         renamed += f -> nf
       }

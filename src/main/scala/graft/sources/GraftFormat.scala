@@ -63,9 +63,24 @@ sealed trait GraftFormat {
   /** All PHYSICAL rows of `path` in file order (no deletion-vector
     * subtraction — the caller owns ordinals), bound to `required` under
     * the current-schema conventions described above.
+    *
+    * The returned [[GraftFormat.Rows]] owns the file handle: exhaustion
+    * releases it, but a consumer that can stop early (LIMIT/take scans,
+    * task failure, an exception mid-stream) MUST `close()` — otherwise
+    * every early-terminated parquet scan leaks an open reader per file.
     */
   def readRows(path: Path, fileSchema: StructType, required: StructType,
-      aliases: Map[String, Set[String]]): Iterator[InternalRow]
+      aliases: Map[String, Set[String]]): GraftFormat.Rows
+
+  /** Number of PHYSICAL rows in `path`. Formats whose footer records the
+    * count (parquet) answer without decoding a single page; the default
+    * decodes and counts.
+    */
+  def countRows(path: Path, fileSchema: StructType,
+      aliases: Map[String, Set[String]]): Long = {
+    val it = readRows(path, fileSchema, fileSchema, aliases)
+    try it.size.toLong finally it.close()
+  }
 }
 
 object GraftFormat {
@@ -75,6 +90,36 @@ object GraftFormat {
   trait RowWriter {
     def write(row: InternalRow): Unit
     def close(): Unit
+  }
+
+  /** A data-file row iterator that owns its file handle. `close()` is
+    * idempotent and also runs at natural exhaustion, so full scans need
+    * no ceremony — only early-exit consumers must call it.
+    */
+  trait Rows extends Iterator[InternalRow] with AutoCloseable {
+    override def close(): Unit
+
+    /** The same handle viewed through an iterator transform (DV
+      * subtraction, filters): closing the view closes this reader.
+      */
+    def mapRows(f: Iterator[InternalRow] => Iterator[InternalRow]): Rows = {
+      val self = this
+      val it = f(self)
+      new Rows {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = it.next()
+        override def close(): Unit = self.close()
+      }
+    }
+  }
+
+  object Rows {
+    /** Fully-in-memory rows (the JSON path) — close is a no-op. */
+    def inMemory(it: Iterator[InternalRow]): Rows = new Rows {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): InternalRow = it.next()
+      override def close(): Unit = ()
+    }
   }
 
   /** The table's data format, from the CREATE-time sidecar (absent =
@@ -104,12 +149,12 @@ object GraftFormat {
     * maintenance path (compaction, vector materialize, bloom build).
     */
   def liveRows(format: GraftFormat, dir: Path, file: String, dv: Array[Int],
-      schema: StructType, aliases: Map[String, Set[String]]): Iterator[InternalRow] = {
+      schema: StructType, aliases: Map[String, Set[String]]): Rows = {
     val all = format.readRows(dir.resolve(file), schema, schema, aliases)
     if (dv.isEmpty) all
     else {
       val dead = dv.toSet
-      all.zipWithIndex.collect { case (r, i) if !dead(i) => r }
+      all.mapRows(_.zipWithIndex.collect { case (r, i) if !dead(i) => r })
     }
   }
 }
@@ -135,10 +180,11 @@ case object JsonFormat extends GraftFormat {
     }
 
   override def readRows(path: Path, fileSchema: StructType, required: StructType,
-      aliases: Map[String, Set[String]]): Iterator[InternalRow] =
-    Files.readAllLines(path, StandardCharsets.UTF_8).asScala.iterator
-      .filter(_.nonEmpty)
-      .map(JsonLineParser.parse(_, fileSchema, required, aliases))
+      aliases: Map[String, Set[String]]): GraftFormat.Rows =
+    GraftFormat.Rows.inMemory(
+      Files.readAllLines(path, StandardCharsets.UTF_8).asScala.iterator
+        .filter(_.nonEmpty)
+        .map(JsonLineParser.parse(_, fileSchema, required, aliases)))
 }
 
 /** Parquet data files through the parquet-hadoop example API (Group
@@ -203,8 +249,17 @@ case object ParquetFormat extends GraftFormat {
       override def close(): Unit = writer.close()
     }
 
+  /** Parquet row count straight from the footer — no page decode. */
+  override def countRows(path: Path, fileSchema: StructType,
+      aliases: Map[String, Set[String]]): Long = {
+    val conf = new Configuration()
+    val hp = new org.apache.hadoop.fs.Path(path.toUri)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(hp, conf))
+    try reader.getRecordCount finally reader.close()
+  }
+
   override def readRows(path: Path, fileSchema: StructType, required: StructType,
-      aliases: Map[String, Set[String]]): Iterator[InternalRow] = {
+      aliases: Map[String, Set[String]]): GraftFormat.Rows = {
     val conf = new Configuration()
     val hp = new org.apache.hadoop.fs.Path(path.toUri)
     // one open serves footer AND pages (closed when the row-group walk
@@ -243,14 +298,20 @@ case object ParquetFormat extends GraftFormat {
     val materializer = GraftRowMaterializer(proj, required, targets)
     val columnIO = new org.apache.parquet.io.ColumnIOFactory()
       .getColumnIO(proj, fileMsg)
-    new Iterator[InternalRow] {
+    // close() (early-exit scans: LIMIT/take, task failure) and every
+    // exception path release the reader; exhaustion closes too, so full
+    // scans still pay exactly one open
+    new GraftFormat.Rows {
       private var pageStore: org.apache.parquet.column.page.PageReadStore = _
       private var recordReader: org.apache.parquet.io.RecordReader[InternalRow] = _
       private var remaining = 0L
       private var closed = false
+      override def close(): Unit = if (!closed) { closed = true; reader.close() }
       private def advance(): Unit = {
-        pageStore = reader.readNextRowGroup()
-        if (pageStore == null) { reader.close(); closed = true }
+        pageStore = try reader.readNextRowGroup() catch {
+          case t: Throwable => close(); throw t
+        }
+        if (pageStore == null) close()
         else {
           remaining = pageStore.getRowCount
           recordReader = columnIO.getRecordReader(pageStore, materializer)
@@ -260,7 +321,9 @@ case object ParquetFormat extends GraftFormat {
       while (!closed && remaining == 0) advance()
       override def hasNext: Boolean = !closed
       override def next(): InternalRow = {
-        val r = recordReader.read()
+        val r = try recordReader.read() catch {
+          case t: Throwable => close(); throw t
+        }
         remaining -= 1
         if (remaining == 0) { advance(); while (!closed && remaining == 0) advance() }
         r

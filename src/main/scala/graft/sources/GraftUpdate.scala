@@ -124,9 +124,10 @@ object GraftUpdate {
       newFiles.foreach(f => Files.move(staging.resolve(f), dir.resolve(f)))
 
       val allStats = stats ++ newStats
-      def fileRows(f: String): Long = allStats.get(f).map(_.rows).getOrElse {
-        format.readRows(dir.resolve(f), schema, schema, aliases).size.toLong
-      }
+      // stats-less files answer from the format's cheapest row count —
+      // parquet reads the footer record count, no page decode
+      def fileRows(f: String): Long = allStats.get(f).map(_.rows).getOrElse(
+        format.countRows(dir.resolve(f), schema, aliases))
       val allFiles = (untouched ++ newFiles).sorted
       // untouched files may still carry deletion vectors (touched ones
       // were materialized above): their vectors survive the commit and

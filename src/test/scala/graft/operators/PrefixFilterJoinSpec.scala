@@ -108,6 +108,41 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
     assert(bootOnly != once.toSet, "fixture should place near-dups in both halves")
   }
 
+  test("candidate bound stays an upper bound across batch partitions (per-partition-cold shingles)") {
+    import spark.implicits._
+    // a shingle COLD in each of 3 partitions (8 postings ≤ hot floor per
+    // partition, so the pstats sidecar stores nothing for it) but hot
+    // globally (24 postings): a bound charging the floor ONCE per batch
+    // occurrence (F·M = 16) under-counts the true candidate fanout (24)
+    // and would authorize a broadcast the budget forbids — the bound
+    // must charge F per SERVED PARTITION (F·P·M = 48 here)
+    def corpus(ids: Range) =
+      ids.map(i => (i.toLong, s"x y z x u$i")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pp_bound").toString
+    PrefixFilterJoin.writeIndex(corpus(0 until 8), idx, 1, 2)
+    PrefixFilterJoin.appendIndex(corpus(8 until 16), idx, batchId = 1L)
+    PrefixFilterJoin.appendIndex(corpus(16 until 24), idx, batchId = 2L)
+    val batch = Seq((1000L, "x y z x")).toDF("doc_id", "text")
+    val served = PrefixFilterJoin.pairsAgainstIndex(spark, batch, idx, 1, 2)
+    assert(served.count() == 24L, "every corpus doc shares 2 of 3 shingles (j=2/3)")
+    val bound = spark.conf.get("spark.graft.ppjoin.lastServeCandidateBound")
+    assert(bound != "inf", "this serve is broadcastable — the guard must engage")
+    // independently computed upper bound the formula claims: Σ_h m_h·n_h
+    // with m_h over ALL batch shingle occurrences and n_h the corpus
+    // PREFIX posting count across every partition
+    val n = spark.read.parquet(s"$idx/prefix")
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val m = batch
+      .select(explode(graft.functions.GraftFunctions.ngram_hashes(
+        split(col("text"), " "))).as("h"))
+    val trueUpper = m.join(n, Seq("h"))
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    assert(trueUpper > PrefixFilterJoin.ServeCandidateHotFloor * 2,
+      "fixture must exceed the single-partition charge or the test discriminates nothing")
+    assert(bound.toLong >= trueUpper,
+      s"candidate bound $bound under-counts the true fanout $trueUpper")
+  }
+
   test("oversized batches degrade to shuffle_hash with the identical answer") {
     val idx = java.nio.file.Files.createTempDirectory("graft_pp_big").toString
     PrefixFilterJoin.writeIndex(docs.filter(col("doc_id") % 10 =!= 7), idx, 4, 5)
