@@ -188,6 +188,22 @@ object ScaleSmoke {
     // the exact serve may not miss a single one
     require(nPpIdxInc >= nDocs / 100,
       s"exact incremental serve lost standing twins: $nPpIdxInc")
+    // the bound the guard computed on the steady serve — artifact
+    // evidence the pstats arithmetic engaged at this scale
+    val ppCandBound = spark.conf
+      .getOption("spark.graft.ppjoin.lastServeCandidateBound").getOrElse("absent")
+    // guard ENGAGED: candidate budget forced to 1 row degrades the
+    // rescore join to shuffle_hash — the answer must be bit-identical
+    // (the zero-false-negative contract never bends; only the plan does)
+    spark.conf.set("spark.graft.ppjoin.serveCandidateBroadcastMaxRows", "1")
+    System.err.println("[smoke] start ppjoin_inc_guard")
+    val (tPpIncGuard, nPpIncGuard) = time {
+      operators.PrefixFilterJoin.pairsAgainstIndex(
+        spark, incBatch, ppIdxDir, num = 4, den = 5).count()
+    }
+    spark.conf.unset("spark.graft.ppjoin.serveCandidateBroadcastMaxRows")
+    require(nPpIncGuard == nPpIdxInc,
+      s"guarded exact serve diverged: $nPpIncGuard vs $nPpIdxInc")
     reclaim(ppIdxDir)
     // the approximate miner on the same planted corpus: recall/cost vs exact
     System.err.println("[smoke] start lsh_planted")
@@ -649,6 +665,8 @@ object ScaleSmoke {
         s""""ppjoin_index_build_sec":$tPpIdxBuild,""" +
         s""""ppjoin_inc_single_shot_sec":$tPpIdxInc,""" +
         s""""ppjoin_inc_steady_sec":$tPpIdxIncSteady,"ppjoin_inc_pairs":$nPpIdxInc,""" +
+        s""""ppjoin_inc_guard_sec":$tPpIncGuard,"ppjoin_inc_guard_pairs":$nPpIncGuard,""" +
+        s""""ppjoin_serve_cand_bound":"$ppCandBound",""" +
         s""""stream_lsh_batch_secs":[${streamSecs.map(t => f"$t%.2f").mkString(",")}],""" +
         s""""stream_lsh_index_docs":[${streamIdxDocs.mkString(",")}],""" +
         s""""stream_lsh_accepted":$streamAccepted,""" +

@@ -799,6 +799,31 @@ object Dedup {
       },
       Some(streamLshOracle)),
 
+    // The EXACT-index flavor of the streaming ingest: the same greedy
+    // cross-batch accept lifecycle driven through the persisted PPJoin
+    // index (PpJoinIndexStream: serve strictly-earlier partitions →
+    // accept → appendIndex OVERWRITE into batch=<id>). The oracle is
+    // dd_stream_lsh_index's greedy replay over exact shingle sets — and
+    // unlike the LSH row there is NO hot-bucket divergence caveat: the
+    // exact serve is zero-false-negative AND zero-false-positive by the
+    // prefix-filter theorem, so the gate must hash-match on ANY corpus.
+    GraftQuery(
+      "dd_stream_ppjoin_index",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ppis_gate").toString
+        graft.streaming.PpJoinIndexStream.runToCompletion(
+            s, Tables.table(s, dir, "documents")
+              .select(col("doc_id"), col("text")),
+            k = 4, indexPath = s"$root/idx", logPath = s"$root/log",
+            num = 4, den = 5,
+            checkpoint = s"$root/ckpt")
+          .groupBy(col("batch").cast("long").as("batch"))
+          .agg(count(lit(1)).as("n_accepted"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      Some(streamLshOracle)),
+
     // The hash-keyed flavor of dd_span_dupes — the 100 TB shape: the
     // span-keyed shuffle carries a fixed 16-byte digest instead of the
     // span text (ScaleSmoke measures 3.9-9.7× less shuffle at 1M-10M

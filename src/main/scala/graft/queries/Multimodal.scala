@@ -165,6 +165,49 @@ object Multimodal {
         "CAST(((doc_id + n_chars) % 256) * (doc_id % 4 + 1) * (n_chars % 4 + 1) AS BIGINT) AS sum_b " +
         "FROM documents")),
 
+    // REAL lossy-codec decode, oracle-gated with a TOLERANCE verdict:
+    // per row, a constant-color raster is encoded through the JDK JPEG
+    // writer (default quality — DCT + quantization + YCbCr round trip,
+    // genuinely lossy) and decoded back through the same javax.imageio
+    // batch path. Exact cells: format/width/height/n_pixels (JPEG never
+    // changes geometry). Lossy cells: the decoded per-channel MEAN must
+    // sit within ±8 of the encoded fill color (constant-color blocks
+    // round-trip within a few units — DC-only DCT; the bound is stated
+    // by the oracle as literal TRUE verdict columns, so any codec-path
+    // breakage, channel swap, or raster misread flips a cell). All
+    // inputs derive from doc_id alone, so no join back to the fixture.
+    GraftQuery(
+      "mm_decode_real_jpeg",
+      (s, dir) => {
+        import s.implicits._
+        val images = Tables.table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (id % 4 + 1).toInt
+            val h = ((id / 4) % 4 + 1).toInt
+            val rgb = ((((id % 256) << 16) |
+              ((id * 7 % 256) << 8) | (id * 13 % 256))).toInt
+            graft.multimodal.MediaRow(id, "image/jpeg",
+              graft.multimodal.MediaDecoder.encodeRaster("jpg", w, h, rgb))
+          })
+          .toDF()
+        def meanOk(sum: String, expected: org.apache.spark.sql.Column) =
+          abs(col(sum).cast("double") / col("n_pixels") -
+            expected.cast("double")) <= lit(8.0)
+        graft.multimodal.MediaPipeline.decodeImageStats(images)
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            col("n_pixels"),
+            meanOk("sum_r", col("doc_id") % 256).as("r_within_tol"),
+            meanOk("sum_g", col("doc_id") * 7 % 256).as("g_within_tol"),
+            meanOk("sum_b", col("doc_id") * 13 % 256).as("b_within_tol"))
+      },
+      Some("SELECT doc_id, 'jpeg' AS format, " +
+        "CAST(doc_id % 4 + 1 AS INT) AS width, " +
+        "CAST((doc_id // 4) % 4 + 1 AS INT) AS height, " +
+        "CAST((doc_id % 4 + 1) * ((doc_id // 4) % 4 + 1) AS BIGINT) AS n_pixels, " +
+        "TRUE AS r_within_tol, TRUE AS g_within_tol, TRUE AS b_within_tol " +
+        "FROM documents")),
+
     // Image-header sniffing, oracle-gated by construction: build a real
     // PNG header per row with dimensions derived from fixture columns
     // (int → 4-byte big-endian via hex/unhex), parse it back with the

@@ -13,6 +13,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.types.{DataType, StructType, StringType, LongType, IntegerType, DoubleType, BooleanType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 TableCatalog over the graft-json table format — the
@@ -1215,14 +1216,32 @@ private case class JsonFilesPartition(
 private class JsonFileReaderFactory(fileSchema: StructType, required: StructType,
     aliases: Map[String, Set[String]] = Map.empty,
     dvs: Map[String, Array[Int]] = Map.empty,
-    format: GraftFormat = JsonFormat)
+    format: GraftFormat = JsonFormat,
+    columnar: Boolean = true)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val paths = partition match {
+  private def partitionPaths(partition: InputPartition): Seq[String] =
+    partition match {
       case JsonFilePartition(p) => Seq(p)
       case JsonFilesPartition(ps, _, _) => ps
     }
+
+  // Columnar (batched) reads for parquet tables: scan-level constant (the
+  // DSv2 exec requires every partition to agree), true when the format is
+  // columnar, no file carries a deletion vector (ordinal subtraction is
+  // row-at-a-time by contract), and the projection is non-empty (agg
+  // pushdown owns count-style scans). Per-FILE adaptation — vectorized
+  // vs alias-bound row repack — happens inside GraftColumnarReader.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && format == ParquetFormat && required.nonEmpty &&
+      dvs.forall(_._2.isEmpty)
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] =
+    new GraftColumnarReader(partitionPaths(partition), fileSchema, required, aliases)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val paths = partitionPaths(partition)
     // deletion vectors subtract by ordinal (a row's index among its
     // file's physical rows, in file order) — the merge-on-read half of
     // MOR deletes; GraftFormat.readRows is dv-unaware by contract, so

@@ -92,8 +92,10 @@ private[sources] class GraftTableStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // row-based on purpose: micro-batch partitions are tailer-sized (the
+    // files one commit appended), far below columnar-batch amortization
     new JsonFileReaderFactory(tableSchema, required,
-      GraftCatalog.renamesAt(dir), format = format)
+      GraftCatalog.renamesAt(dir), format = format, columnar = false)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

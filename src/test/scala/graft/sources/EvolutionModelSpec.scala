@@ -30,9 +30,16 @@ class EvolutionModelSpec extends AnyFunSuite {
   // model column: current name, SQL type, values keyed by row id
   private case class MCol(name: String, sqlType: String)
 
-  private def runSequence(seed: Long, ops: Int, table: String): Unit = {
+  private def runSequence(seed: Long, ops: Int, table: String,
+      format: String = "json"): Unit = {
     val rnd = new Random(seed)
-    spark.sql(s"CREATE TABLE evm.ns.$table (id BIGINT)")
+    // the data-file format changes WHERE evolution binds: the JSON reader
+    // resolves renames/adds/widenings through the line parser's alias map,
+    // the parquet reader through footer-schema name binding — the same
+    // random sequences must read back identically under both
+    val props =
+      if (format == "json") "" else s" TBLPROPERTIES('format'='$format')"
+    spark.sql(s"CREATE TABLE evm.ns.$table (id BIGINT)$props")
     var cols = Vector(MCol("id", "BIGINT"))
     // rows: id -> (column name -> value at append time); dropped columns
     // delete their values, renames re-key them
@@ -141,5 +148,13 @@ class EvolutionModelSpec extends AnyFunSuite {
 
   test("random evolution sequences keep reads equal to the model (seed 1337)") {
     runSequence(seed = 1337L, ops = 18, table = "m2")
+  }
+
+  test("random evolution sequences keep reads equal to the model (parquet, seed 42)") {
+    runSequence(seed = 42L, ops = 18, table = "p1", format = "parquet")
+  }
+
+  test("random evolution sequences keep reads equal to the model (parquet, seed 7)") {
+    runSequence(seed = 7L, ops = 18, table = "p2", format = "parquet")
   }
 }

@@ -228,6 +228,52 @@ class GraftParquetFormatSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pqcat.ns.cs")
   }
 
+  test("parquet scans run columnar; DVs, renames, and JSON stay row-correct") {
+    import spark.implicits._
+    def columnarScans(df: DataFrame): Seq[Boolean] = {
+      df.collect()
+      def scan(p: SparkPlan): Seq[BatchScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+        case q: QueryStageExec => scan(q.plan)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(scan)
+      }
+      scan(df.queryExecution.executedPlan).map(_.supportsColumnar)
+    }
+    spark.sql("CREATE TABLE pqcat.ns.colscan (id BIGINT, s STRING) " +
+      "TBLPROPERTIES('format'='parquet')")
+    (0L until 100L).map(i => (i, s"v$i")).toDF("id", "s")
+      .writeTo("pqcat.ns.colscan").append()
+    // the vectorized fast path: plan reports columnar, values exact
+    val full = spark.table("pqcat.ns.colscan")
+    assert(columnarScans(full) == Seq(true),
+      "parquet scan must hand Spark ColumnarBatches")
+    assert(full.agg(org.apache.spark.sql.functions.sum("id"))
+      .head().getLong(0) == 4950L)
+    // rename: OLD files bind through the alias (the row-repack path
+    // INSIDE the columnar reader) — still a columnar scan, same values
+    spark.sql("ALTER TABLE pqcat.ns.colscan RENAME COLUMN s TO label")
+    val renamed = spark.sql("SELECT id, label FROM pqcat.ns.colscan")
+    assert(columnarScans(renamed) == Seq(true))
+    assert(renamed.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      (0L until 100L).map(i => (i, s"v$i")).toSet)
+    // merge-on-read deletes: ordinal subtraction is row-at-a-time by
+    // contract, so the scan must DEGRADE to row reads — and stay exact
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM pqcat.ns.colscan WHERE id >= 90")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val afterDv = spark.table("pqcat.ns.colscan")
+    assert(columnarScans(afterDv) == Seq(false),
+      "deletion vectors must force the row path")
+    assert(afterDv.count() == 90)
+    spark.sql("DROP TABLE pqcat.ns.colscan")
+    // JSON tables never report columnar
+    spark.sql("CREATE TABLE pqcat.ns.jrow (id BIGINT)")
+    spark.sql("INSERT INTO pqcat.ns.jrow VALUES (1), (2)")
+    assert(columnarScans(spark.table("pqcat.ns.jrow")) == Seq(false))
+    spark.sql("DROP TABLE pqcat.ns.jrow")
+  }
+
   test("streaming tailer reads appended parquet snapshots") {
     import spark.implicits._
     spark.sql("CREATE TABLE pqcat.ns.tail (id BIGINT) " +
