@@ -1149,7 +1149,10 @@ private[sources] class GraftCatalogTable(
         override def description(): String =
           s"graft-${format.name} $tableName, skipping filters: [${skippingFilters.mkString(", ")}]"
         override def createReaderFactory(): PartitionReaderFactory =
-          new JsonFileReaderFactory(tableSchema, required, renameAliases, dvs, format)
+          new JsonFileReaderFactory(tableSchema, required, renameAliases, dvs, format,
+            // kill switch + A/B probe handle for the columnar path
+            columnar = org.apache.spark.sql.internal.SQLConf.get
+              .getConfString("spark.graft.catalog.columnarRead", "true") == "true")
       }
     }
 

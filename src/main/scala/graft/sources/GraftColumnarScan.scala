@@ -103,6 +103,30 @@ private[sources] class GraftColumnarReader(paths: Seq[String],
   import GraftColumnarScan.Capacity
 
   private val pathIt = paths.iterator
+
+  // scan-constant setup hoisted out of the per-file loop: the configured
+  // Configuration (a property-map copy — never a fresh XML parse) and the
+  // attempt context are identical for every file this partition reads
+  private lazy val scanConf: Configuration = {
+    val conf = GraftFormat.confCopy()
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    // the schema converter reads these from the hadoop conf with NO
+    // defaults (Spark's own file source propagates session values); the
+    // graft type system has no binary/int96/timestamp columns, so the
+    // stock values are semantically inert here
+    conf.set("spark.sql.parquet.binaryAsString", "false")
+    conf.set("spark.sql.parquet.int96AsTimestamp", "true")
+    conf.set("spark.sql.caseSensitive", "false")
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    conf
+  }
+  private lazy val attemptCtx =
+    new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      scanConf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+
   // exactly one of (vec) or (rows, rowVectors, rowBatch) is live at a time
   private var vec: VectorizedParquetRecordReader = _
   private var rows: GraftFormat.Rows = _
@@ -128,38 +152,24 @@ private[sources] class GraftColumnarReader(paths: Seq[String],
 
   private def openFile(p: Path): Unit = {
     val hp = new org.apache.hadoop.fs.Path(p.toUri)
-    val conf = new Configuration()
     // one footer parse serves both the binding decision and (passed
     // through) the vectorized reader's initialization
-    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(hp, conf))
+    val fr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(hp, GraftFormat.hadoopConf))
     val footer = try fr.getFooter finally fr.close()
     if (GraftColumnarScan.vectorizable(
         footer.getFileMetaData.getSchema, required, aliases)) {
-      conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
-      conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-        classOf[ParquetReadSupport].getName)
-      // the schema converter reads these from the hadoop conf with NO
-      // defaults (Spark's own file source propagates session values);
-      // the graft type system has no binary/int96/timestamp columns, so
-      // the stock values are semantically inert here
-      conf.set("spark.sql.parquet.binaryAsString", "false")
-      conf.set("spark.sql.parquet.int96AsTimestamp", "true")
-      conf.set("spark.sql.caseSensitive", "false")
-      conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-      conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
       // the legacy mapred split class: SpecificParquetRecordReaderBase
       // casts to it (it predates the mapreduce API split)
       val split = new org.apache.hadoop.mapred.FileSplit(
         hp, 0, Files.size(p), Array.empty[String])
-      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-        conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
       // no timestamp/date columns in the graft type system, so the
       // rebase modes are never consulted; CORRECTED = no rewriting
       val r = new VectorizedParquetRecordReader(
         null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, Capacity)
       try {
-        r.initialize(split, ctx,
-          Some(HadoopInputFile.fromPath(hp, conf)), None, Some(footer))
+        r.initialize(split, attemptCtx,
+          Some(HadoopInputFile.fromPath(hp, scanConf)), None, Some(footer))
         r.initBatch(new StructType(), InternalRow.empty)
         r.enableReturningBatches()
       } catch { case t: Throwable => r.close(); throw t }

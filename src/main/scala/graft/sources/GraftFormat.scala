@@ -87,6 +87,23 @@ object GraftFormat {
 
   val FormatFileName = "_graft_format.txt"
 
+  /** One parsed Hadoop configuration per JVM: `new Configuration()`
+    * re-parses the default XML resources PER INSTANCE (~tens of ms), and
+    * a per-data-file scan paid that per file — at 64 files it dwarfed
+    * the page decode itself (CatalogScanProbe attributed ~39 ms/file of
+    * setup on a one-column scan whose decode is sub-millisecond). Reads
+    * of a loaded Configuration are thread-safe; writers that need
+    * scan-specific keys take a cheap property-map copy via [[confCopy]].
+    */
+  lazy val hadoopConf: Configuration = {
+    val c = new Configuration()
+    c.get("io.file.buffer.size") // force the one-time resource parse NOW
+    c
+  }
+
+  /** Property-map copy of [[hadoopConf]] — no XML re-parse. */
+  def confCopy(): Configuration = new Configuration(hadoopConf)
+
   trait RowWriter {
     def write(row: InternalRow): Unit
     def close(): Unit
@@ -220,7 +237,7 @@ case object ParquetFormat extends GraftFormat {
       private val msg = messageType(schema)
       private val factory = new SimpleGroupFactory(msg)
       private val writer: ParquetWriter[Group] = {
-        val conf = new Configuration()
+        val conf = GraftFormat.confCopy() // setSchema mutates it below
         org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, conf)
         ExampleParquetWriter.builder(
             new org.apache.hadoop.fs.Path(path.toUri))
@@ -252,7 +269,7 @@ case object ParquetFormat extends GraftFormat {
   /** Parquet row count straight from the footer — no page decode. */
   override def countRows(path: Path, fileSchema: StructType,
       aliases: Map[String, Set[String]]): Long = {
-    val conf = new Configuration()
+    val conf = GraftFormat.hadoopConf
     val hp = new org.apache.hadoop.fs.Path(path.toUri)
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(hp, conf))
     try reader.getRecordCount finally reader.close()
@@ -260,7 +277,7 @@ case object ParquetFormat extends GraftFormat {
 
   override def readRows(path: Path, fileSchema: StructType, required: StructType,
       aliases: Map[String, Set[String]]): GraftFormat.Rows = {
-    val conf = new Configuration()
+    val conf = GraftFormat.hadoopConf
     val hp = new org.apache.hadoop.fs.Path(path.toUri)
     // one open serves footer AND pages (closed when the row-group walk
     // exhausts). The footer schema is the file's OWN: projection and
