@@ -32,14 +32,6 @@ object CatalogScanProbe {
       col("id").as("doc_id"),
       md5(concat(lit("p"), col("id"))).as("fp"),
       (col("id") % 997).cast("int").as("n_tokens"))
-    Seq("json" -> "", "parquet" -> " TBLPROPERTIES('format'='parquet')")
-      .foreach { case (fmt, props) =>
-        spark.sql(
-          s"CREATE TABLE probecat.s.t_$fmt (doc_id BIGINT, fp STRING, n_tokens INT)$props")
-        docs.repartitionByRange(nFiles, col("doc_id"))
-          .writeTo(s"probecat.s.t_$fmt").append()
-      }
-
     def taskMillis(body: => Unit): Long = {
       val listener = new org.apache.spark.scheduler.SparkListener {
         val ms = new java.util.concurrent.atomic.AtomicLong
@@ -54,6 +46,19 @@ object CatalogScanProbe {
         listener.ms.get()
       } finally spark.sparkContext.removeSparkListener(listener)
     }
+    // ingest cost per format (the write path DML/INSERT pays), measured
+    // as summed task millis of the append that populates each table
+    val writeMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    Seq("json" -> "", "parquet" -> " TBLPROPERTIES('format'='parquet')")
+      .foreach { case (fmt, props) =>
+        spark.sql(
+          s"CREATE TABLE probecat.s.t_$fmt (doc_id BIGINT, fp STRING, n_tokens INT)$props")
+        writeMs += s"${fmt}_write" -> taskMillis {
+          docs.repartitionByRange(nFiles, col("doc_id"))
+            .writeTo(s"probecat.s.t_$fmt").append()
+        }
+      }
+
     def fullScan(t: String): Unit = {
       spark.table(t).agg(sum(col("doc_id")), sum(col("n_tokens")),
         sum(length(col("fp")))).head(); ()
@@ -93,7 +98,7 @@ object CatalogScanProbe {
       }
     }
     spark.conf.unset("spark.graft.catalog.columnarRead")
-    println(out.map { case (k, v) => s""""$k":$v""" }
+    println((writeMs ++ out).map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"n_rows":$nRows,"n_files":$nFiles,""", ",", "}"))
     spark.stop()
   }

@@ -232,37 +232,38 @@ case object ParquetFormat extends GraftFormat {
     b.named("graft")
   }
 
+  /** Writes [[InternalRow]]s through Spark's own parquet WriteSupport —
+    * no intermediate Group objects (the example API allocates an
+    * ArrayList per FIELD per row; CatalogScanProbe measured the Group
+    * path at 1.5× the JSON renderer's ingest task time at 1M rows).
+    * `messageType` still runs first as the 5-type contract check, and
+    * Spark's converter emits the identical physical schema for these
+    * types (optional BINARY(UTF8)/INT64/INT32/DOUBLE/BOOLEAN), so files
+    * from either writer generation read back byte-equivalently.
+    */
   override def newWriter(path: Path, schema: StructType): GraftFormat.RowWriter =
     new GraftFormat.RowWriter {
-      private val msg = messageType(schema)
-      private val factory = new SimpleGroupFactory(msg)
-      private val writer: ParquetWriter[Group] = {
+      messageType(schema) // type-contract validation, fail at open
+      private val writer: ParquetWriter[InternalRow] = {
         val conf = GraftFormat.confCopy() // setSchema mutates it below
-        org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, conf)
-        ExampleParquetWriter.builder(
+        org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+          .setSchema(schema, conf)
+        // WriteSupport.init reads these with NO defaults (Spark's file
+        // sink propagates session values); no timestamp columns exist in
+        // the graft type system, so the stock values are inert here
+        conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+        conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+        conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+        conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "true")
+        new GraftInternalRowWriterBuilder(
             new org.apache.hadoop.fs.Path(path.toUri))
           .withConf(conf)
-          .withType(msg)
           .withCompressionCodec(CompressionCodecName.SNAPPY)
           .build()
       }
-      override def write(row: InternalRow): Unit = {
-        val g = factory.newGroup()
-        var i = 0
-        while (i < schema.length) {
-          if (!row.isNullAt(i)) schema(i).dataType match {
-            case StringType =>
-              g.add(i, Binary.fromString(row.getUTF8String(i).toString))
-            case LongType => g.add(i, row.getLong(i))
-            case IntegerType => g.add(i, row.getInt(i))
-            case DoubleType => g.add(i, row.getDouble(i))
-            case BooleanType => g.add(i, row.getBoolean(i))
-            case dt => throw new IllegalArgumentException(s"unsupported $dt")
-          }
-          i += 1
-        }
-        writer.write(g)
-      }
+      override def write(row: InternalRow): Unit = writer.write(row)
       override def close(): Unit = writer.close()
     }
 
@@ -347,6 +348,17 @@ case object ParquetFormat extends GraftFormat {
       }
     }
   }
+}
+
+/** ParquetWriter builder over Spark's InternalRow WriteSupport (the
+  * parquet-hadoop builder API requires a concrete subclass).
+  */
+private class GraftInternalRowWriterBuilder(path: org.apache.hadoop.fs.Path)
+    extends ParquetWriter.Builder[InternalRow, GraftInternalRowWriterBuilder](path) {
+  override def self(): GraftInternalRowWriterBuilder = this
+  override def getWriteSupport(conf: Configuration):
+      org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 }
 
 /** Direct parquet → [[InternalRow]] materialization — no intermediate
