@@ -6,13 +6,9 @@ import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetWriter}
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.InternalRow
@@ -204,11 +200,14 @@ case object JsonFormat extends GraftFormat {
         .map(JsonLineParser.parse(_, fileSchema, required, aliases)))
 }
 
-/** Parquet data files through the parquet-hadoop example API (Group
-  * model) — columnar storage, snappy compression, column pruning at the
-  * read schema. The Group model materializes one object row at a time
-  * (plenty for the local target and the driver-side maintenance ops); a
-  * cluster build swaps in the vectorized reader behind this same trait.
+/** Parquet data files — columnar storage, snappy compression, column
+  * pruning at the read schema. Writes go through Spark's own
+  * `ParquetWriteSupport` (InternalRow in, no intermediate objects);
+  * this trait's `readRows` is the ROW-AT-A-TIME view (driver-side
+  * maintenance ops, alias-bound evolution reads, DV ordinal walks) —
+  * scan-path reads take the columnar/vectorized route in
+  * [[GraftColumnarReader]] and fall back here only for pre-rename
+  * files.
   */
 case object ParquetFormat extends GraftFormat {
   override def name: String = "parquet"
