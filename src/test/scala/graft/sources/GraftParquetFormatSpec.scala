@@ -274,6 +274,83 @@ class GraftParquetFormatSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pqcat.ns.jrow")
   }
 
+  test("legacy Group-API files read identically to InternalRow-written files") {
+    // round 12 wrote data files through the parquet example API; round 13
+    // writes through Spark's ParquetWriteSupport. Tables carry files from
+    // BOTH generations, so the physical schemas must be interchangeable:
+    // same footer message type, same row values through the row
+    // materializer, and the legacy footer must qualify for the
+    // vectorized fast path.
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types => PTypes}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("d", DoubleType), StructField("b", BooleanType),
+      StructField("i", IntegerType)))
+    val dir = Files.createTempDirectory("graft_gen_mix")
+    val legacy = dir.resolve("legacy.parquet")
+    val modern = dir.resolve("modern.parquet")
+    // the r12-era writer, reproduced verbatim at the API level
+    val msg = {
+      val b = PTypes.buildMessage()
+      b.optional(PrimitiveTypeName.INT64).named("id")
+      b.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("s")
+      b.optional(PrimitiveTypeName.DOUBLE).named("d")
+      b.optional(PrimitiveTypeName.BOOLEAN).named("b")
+      b.optional(PrimitiveTypeName.INT32).named("i")
+      b.named("graft")
+    }
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, conf)
+    val gw = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(legacy.toUri))
+      .withConf(conf).withType(msg)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+    try (0 until 10).foreach { k =>
+      val g = gf.newGroup()
+      g.add(0, k.toLong)
+      if (k % 3 != 0) g.add(1, org.apache.parquet.io.api.Binary.fromString(s"v$k"))
+      g.add(2, k + 0.5)
+      g.add(3, k % 2 == 0)
+      g.add(4, k * 7)
+      gw.write(g)
+    } finally gw.close()
+    // the same rows through today's writer
+    val w = ParquetFormat.newWriter(modern, schema)
+    try (0 until 10).foreach { k =>
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](k.toLong,
+          if (k % 3 != 0) org.apache.spark.unsafe.types.UTF8String.fromString(s"v$k")
+          else null,
+          k + 0.5, k % 2 == 0, k * 7)))
+    } finally w.close()
+    def footer(p: java.nio.file.Path) = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    // the root message NAME differs (graft vs spark_schema) and no
+    // reader consults it — every binding is by FIELD name and type
+    assert(footer(legacy).getFields.toString == footer(modern).getFields.toString,
+      "writer generations must emit identical physical fields")
+    assert(GraftColumnarScan.vectorizable(footer(legacy), schema, Map.empty),
+      "legacy files must qualify for the vectorized fast path")
+    def readAll(p: java.nio.file.Path) = {
+      val it = ParquetFormat.readRows(p, schema, schema, Map.empty)
+      try it.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getUTF8String(1).toString,
+        r.getDouble(2), r.getBoolean(3), r.getInt(4))).toVector
+      finally it.close()
+    }
+    assert(readAll(legacy) == readAll(modern))
+  }
+
   test("streaming tailer reads appended parquet snapshots") {
     import spark.implicits._
     spark.sql("CREATE TABLE pqcat.ns.tail (id BIGINT) " +
