@@ -143,6 +143,34 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
       s"candidate bound $bound under-counts the true fanout $trueUpper")
   }
 
+  test("legacy flat-layout indexes (no batch dirs, no pstats) serve unchanged") {
+    // pre-r12 indexes stored sets/ and prefix/ as FLAT parquet dirs with
+    // no pstats sidecar: the serve must keep the pre-sidecar behavior —
+    // whole-index serve, batch-probe-only guard (bound 0 → broadcast) —
+    // and return the identical answer
+    val truth = bruteMixed(4, 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pp_legacy").toString
+    PrefixFilterJoin.writeIndex(docs.filter(col("doc_id") % 10 =!= 7), idx, 4, 5)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("sets", "prefix").foreach { sub =>
+      val batchDir = new org.apache.hadoop.fs.Path(s"$idx/$sub/batch=-1")
+      val parent = new org.apache.hadoop.fs.Path(s"$idx/$sub")
+      fs.listStatus(batchDir).foreach { st =>
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(parent, st.getPath.getName))
+      }
+      fs.delete(batchDir, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/pstats"), true)
+    val served = pairSet(PrefixFilterJoin.pairsAgainstIndex(
+      spark, docs.filter(col("doc_id") % 10 === 7), idx, 4, 5))
+    assert(served == truth,
+      s"legacy serve diverged: missing=${truth -- served}, extra=${served -- truth}")
+    assert(spark.conf.get("spark.graft.ppjoin.lastServeCandidateBound") == "0",
+      "no pstats sidecar → the pre-sidecar batch-probe-only guard (bound 0)")
+  }
+
   test("oversized batches degrade to shuffle_hash with the identical answer") {
     val idx = java.nio.file.Files.createTempDirectory("graft_pp_big").toString
     PrefixFilterJoin.writeIndex(docs.filter(col("doc_id") % 10 =!= 7), idx, 4, 5)
