@@ -197,11 +197,16 @@ object ScaleSmoke {
     // (the zero-false-negative contract never bends; only the plan does)
     spark.conf.set("spark.graft.ppjoin.serveCandidateBroadcastMaxRows", "1")
     System.err.println("[smoke] start ppjoin_inc_guard")
-    val (tPpIncGuard, nPpIncGuard) = time {
-      operators.PrefixFilterJoin.pairsAgainstIndex(
-        spark, incBatch, ppIdxDir, num = 4, den = 5).count()
+    // try/finally: an exception mid-serve must not leave the
+    // forced-degradation budget active for the rest of the run
+    val (tPpIncGuard, nPpIncGuard) = try {
+      time {
+        operators.PrefixFilterJoin.pairsAgainstIndex(
+          spark, incBatch, ppIdxDir, num = 4, den = 5).count()
+      }
+    } finally {
+      spark.conf.unset("spark.graft.ppjoin.serveCandidateBroadcastMaxRows")
     }
-    spark.conf.unset("spark.graft.ppjoin.serveCandidateBroadcastMaxRows")
     require(nPpIncGuard == nPpIdxInc,
       s"guarded exact serve diverged: $nPpIncGuard vs $nPpIdxInc")
     reclaim(ppIdxDir)

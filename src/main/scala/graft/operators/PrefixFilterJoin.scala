@@ -522,26 +522,33 @@ object PrefixFilterJoin {
     // window that was never retried) voids the bound entirely →
     // shuffle_hash, the answer-identical direction. Legacy flat layouts
     // have no batch dirs on either side: P = 1, the original charge.
-    def batchDirIds(sub: String): Set[Long] = {
+    // None = a `batch=*` directory name that isn't a numeric id (tooling
+    // leftovers like `batch=1.bak`) — the layout is off-contract, so the
+    // bound is VOIDED (shuffle_hash, the answer-identical direction)
+    // instead of the serve crashing on a NumberFormatException.
+    def batchDirIds(sub: String): Option[Set[Long]] = {
       val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Set.empty
+      if (!fs.exists(p)) Some(Set.empty)
       else {
-        val ids = fs.listStatus(p).filter(_.isDirectory)
+        val parsed = fs.listStatus(p).filter(_.isDirectory)
           .map(_.getPath.getName).filter(_.startsWith("batch="))
-          .map(_.stripPrefix("batch=").toLong).toSet
-        maxBatchExclusive.fold(ids)(b => ids.filter(_ < b))
+          .map(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+        if (parsed.contains(None)) None
+        else {
+          val ids = parsed.flatten.toSet
+          Some(maxBatchExclusive.fold(ids)(b => ids.filter(_ < b)))
+        }
       }
     }
     val candBound: Long =
       if (oversized || !freqBroadcastable) Long.MaxValue
       else if (!hasPstats) 0L
       else {
-        val prefixBatches = batchDirIds("prefix")
-        val pstatsBatches = batchDirIds("pstats")
+        (batchDirIds("prefix"), batchDirIds("pstats")) match {
+          case (Some(prefixBatches), Some(pstatsBatches))
+              if prefixBatches.subsetOf(pstatsBatches) =>
         val servedPartitions = math.max(1, prefixBatches.size).toLong
-        if (!prefixBatches.subsetOf(pstatsBatches)) Long.MaxValue
-        else {
         val hot0 = cut(spark.read.parquet(s"$path/pstats"))
         val hot = batchShingleKeys.fold(hot0)(ks =>
           hot0.filter(col("h").isInCollection(ks)))
@@ -549,22 +556,39 @@ object PrefixFilterJoin {
           .limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
         if (hotProbe > maxRows) Long.MaxValue
         else {
-          // F·P·M + Σ_hot m_h·n_h in ONE job: the exploded batch
-          // left-joins the broadcast hot tail AGGREGATED ACROSS
-          // PARTITIONS to one row per shingle (so count(*) is exactly M
-          // and sum(n) sums every partition's stored postings);
-          // per-partition cold remainders are covered by the F·P charge
-          val hotAgg = hot.groupBy(col("h")).agg(sum(col("n")).as("n"))
+          // Per-shingle partition-aware bound in ONE job. pstats holds
+          // one row per (batch partition, h), so the hot aggregate's
+          // count(*) is hotPartitions(h): the partitions whose postings
+          // for h are stored EXACTLY. The remaining P − hotPartitions(h)
+          // partitions hold at most F postings each (the write-time hot
+          // floor), so a batch occurrence of shingle h is charged
+          //   F·(P − hotPartitions(h)) + Σ_stored n_{h,p}
+          // — still a strict upper bound, but one that no longer grows
+          // F·P-fold on hot shingles as batches accumulate, so a
+          // long-running stream's trickle serves keep their broadcast.
+          // The exploded batch left-joins the broadcast hot tail
+          // aggregated to one row per shingle; misses pay the full F·P.
+          val hotAgg = hot.groupBy(col("h"))
+            .agg(sum(col("n")).as("n"), count(lit(1)).as("parts"))
           val r = batchSets.select(explode(col("sh")).as("h"))
             .join(broadcast(hotAgg), Seq("h"), "left")
-            .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L)))
+            .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L)),
+              coalesce(sum(col("parts")), lit(0L)))
             .head()
-          ServeCandidateHotFloor * servedPartitions * r.getLong(0) + r.getLong(1)
+          ServeCandidateHotFloor * (servedPartitions * r.getLong(0) -
+            r.getLong(2)) + r.getLong(1)
         }
+          case _ => Long.MaxValue
         }
       }
     // observability breadcrumb (also the guard spec's handle): the bound
-    // the serve just computed, "inf" when the guard was voided
+    // the serve just computed, "inf" when the guard was voided.
+    // BEST-EFFORT DEBUG ONLY — the conf is session-global, so two serves
+    // planned concurrently on one SparkSession race on it and a reader
+    // can observe the other serve's bound. The bound never feeds back
+    // into planning (candSide captures `candBound` by value), so the
+    // race affects observability alone; tests that read it run serves
+    // one-at-a-time.
     spark.conf.set("spark.graft.ppjoin.lastServeCandidateBound",
       if (candBound == Long.MaxValue) "inf" else candBound.toString)
     def candSide(df: DataFrame): DataFrame =

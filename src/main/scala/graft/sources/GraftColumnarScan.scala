@@ -156,9 +156,12 @@ private[sources] class GraftColumnarReader(paths: Seq[String],
     // through) the vectorized reader's initialization
     val fr = ParquetFileReader.open(
       HadoopInputFile.fromPath(hp, GraftFormat.hadoopConf))
-    val footer = try fr.getFooter finally fr.close()
+    val footer = try fr.getFooter catch {
+      case t: Throwable => fr.close(); throw t
+    }
     if (GraftColumnarScan.vectorizable(
         footer.getFileMetaData.getSchema, required, aliases)) {
+      fr.close()
       // the legacy mapred split class: SpecificParquetRecordReaderBase
       // casts to it (it predates the mapreduce API split)
       val split = new org.apache.hadoop.mapred.FileSplit(
@@ -175,7 +178,11 @@ private[sources] class GraftColumnarReader(paths: Seq[String],
       } catch { case t: Throwable => r.close(); throw t }
       vec = r
     } else {
-      rows = ParquetFormat.readRows(p, tableSchema, required, aliases)
+      // pre-rename fallback: hand the SAME open reader (and its parsed
+      // footer) to the row view — no second open/footer-parse per file
+      rows = try ParquetFormat.readRowsFromReader(fr, required, aliases) catch {
+        case t: Throwable => fr.close(); throw t
+      }
       rowVectors = OnHeapColumnVector.allocateColumns(Capacity, required)
       rowBatch = new ColumnarBatch(
         rowVectors.asInstanceOf[Array[ColumnVector]])

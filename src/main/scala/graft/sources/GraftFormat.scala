@@ -283,7 +283,19 @@ case object ParquetFormat extends GraftFormat {
     // exhausts). The footer schema is the file's OWN: projection and
     // type conversion key off what the file PHYSICALLY holds (pre-rename
     // keys, pre-widen types), never off the current table schema
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(hp, conf))
+    readRowsFromReader(
+      ParquetFileReader.open(HadoopInputFile.fromPath(hp, conf)),
+      required, aliases)
+  }
+
+  /** Row view over an ALREADY-OPEN reader whose footer the caller has
+    * parsed (the columnar scan's pre-rename fallback binds off the same
+    * footer it used for the vectorizable decision — one open, one footer
+    * parse per file). Ownership transfers: the returned Rows closes the
+    * reader on exhaustion, close(), and every exception path.
+    */
+  def readRowsFromReader(reader: ParquetFileReader, required: StructType,
+      aliases: Map[String, Set[String]]): GraftFormat.Rows = {
     val fileMsg: MessageType = reader.getFooter.getFileMetaData.getSchema
     val inFile = fileMsg.getFields.asScala.map(f => f.getName -> f).toMap
     // physical column each required field binds to: its current name if

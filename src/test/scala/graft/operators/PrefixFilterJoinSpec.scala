@@ -143,6 +143,72 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
       s"candidate bound $bound under-counts the true fanout $trueUpper")
   }
 
+  test("hot shingles charge only their stored postings — the cold floor does not stack per partition") {
+    import spark.implicits._
+    // shingles x/y/z are HOT in every one of 3 partitions (32 postings >
+    // floor 8 per partition, stored exactly in pstats), so the tightened
+    // bound charges Σ n_h with NO residual F·P cold term for them; only
+    // the unique u$i shingles pay the floor. A bound that charged
+    // F·P per occurrence on top of the stored postings (the pre-r14
+    // formula) inflates P-fold as batches accumulate and pushes trickle
+    // serves off the broadcast — the regression this pins against.
+    def corpus(ids: Range) =
+      ids.map(i => (i.toLong, s"x y z x u$i")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pp_hot").toString
+    PrefixFilterJoin.writeIndex(corpus(0 until 32), idx, 1, 2)
+    PrefixFilterJoin.appendIndex(corpus(32 until 64), idx, batchId = 1L)
+    PrefixFilterJoin.appendIndex(corpus(64 until 96), idx, batchId = 2L)
+    val batch = Seq((1000L, "x y z x")).toDF("doc_id", "text")
+    val served = PrefixFilterJoin.pairsAgainstIndex(spark, batch, idx, 1, 2)
+    assert(served.count() == 96L)
+    val bound = spark.conf
+      .get("spark.graft.ppjoin.lastServeCandidateBound").toLong
+    // true fanout: Σ_h m_h·n_h over the corpus prefix
+    val n = spark.read.parquet(s"$idx/prefix")
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val m = batch.select(explode(graft.functions.GraftFunctions.ngram_hashes(
+      split(col("text"), " "))).as("h"))
+    val trueUpper = m.join(n, Seq("h"))
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    assert(bound >= trueUpper, s"bound $bound under-counts $trueUpper")
+    // tightness, pinned to the exact formula: F·(P·M − Σ parts_h) + Σ n_h,
+    // recomputed independently from the pstats sidecar. The pre-r14
+    // formula (F·P·M + Σ n_h) must test strictly LOOSER here — i.e. the
+    // fixture actually exercises hot rows (Σ parts > 0)
+    val f = PrefixFilterJoin.ServeCandidateHotFloor
+    val bigM = m.count()
+    val hotAgg = spark.read.parquet(s"$idx/pstats")
+      .groupBy(col("h")).agg(sum(col("n")).as("n"), count(lit(1)).as("parts"))
+    val hj = m.join(hotAgg, Seq("h"), "left")
+      .agg(coalesce(sum(col("n")), lit(0L)),
+        coalesce(sum(col("parts")), lit(0L))).head()
+    val (hotSum, partsSum) = (hj.getLong(0), hj.getLong(1))
+    assert(partsSum > 0, "fixture must make batch shingles hot in stored partitions")
+    assert(bound == f * (3 * bigM - partsSum) + hotSum,
+      s"bound $bound != per-partition-aware formula")
+    assert(bound < f * 3 * bigM + hotSum,
+      s"bound $bound still stacks the cold floor per partition on hot shingles")
+  }
+
+  test("stray non-numeric batch dirs void the bound instead of crashing the serve") {
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pp_stray").toString
+    PrefixFilterJoin.writeIndex(oldDocs, idx, 4, 5)
+    // a tooling leftover that is NOT a parquet partition (empty dir, so
+    // spark's partition discovery ignores it) but used to throw
+    // NumberFormatException in the bound's batch-dir walk
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/pstats/batch=1.bak"))
+    val served = pairSet(
+      PrefixFilterJoin.pairsAgainstIndex(spark, newDocs, idx, 4, 5))
+    assert(served == bruteMixed(4, 5),
+      "off-contract layout must degrade, never change the answer")
+    assert(spark.conf.get("spark.graft.ppjoin.lastServeCandidateBound") == "inf",
+      "unparseable batch dir must void the bound (shuffle_hash), not crash")
+  }
+
   test("legacy flat-layout indexes (no batch dirs, no pstats) serve unchanged") {
     // pre-r12 indexes stored sets/ and prefix/ as FLAT parquet dirs with
     // no pstats sidecar: the serve must keep the pre-sidecar behavior —
