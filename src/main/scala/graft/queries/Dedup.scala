@@ -356,6 +356,39 @@ object Dedup {
       "SELECT component, min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id, " +
       "count(*) AS n_members FROM ranked GROUP BY component"
 
+  /** The dd_cluster_incremental program: yesterday's corpus (the 90%)
+    * arrives ALREADY CLUSTERED as standing (id, component) assignments;
+    * today's batch (the 10%) contributes new↔old edges served from the
+    * persisted exact index plus new↔new edges mined in-line, and
+    * ConnectedComponents.incremental folds them in by contracting
+    * standing components — propagation runs on the batch-sized
+    * contracted graph, never on the standing corpus. The oracle is the
+    * FULL-RECOMPUTE recursive CTE over every pair (identical to
+    * dd_cluster_canonical's), so the driver's hash compare is itself
+    * the incremental ≡ full-recompute proof.
+    */
+  private def clusterIncrementalQ(s: SparkSession, docs0: DataFrame): DataFrame = {
+    val docs = docs0
+      .repartition(s.sparkContext.defaultParallelism) // one input file
+      .select(col("doc_id"), col("text"))
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val standing = graft.operators.ConnectedComponents.run(
+      graft.operators.PrefixFilterJoin.pairs(oldDocs, num = 4, den = 5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_cc_inc_gate").toString
+    graft.operators.PrefixFilterJoin.writeIndex(oldDocs, idx, num = 4, den = 5)
+    val mixed = graft.operators.PrefixFilterJoin
+      .pairsAgainstIndex(s, newDocs, idx, num = 4, den = 5)
+      .select(col("new_id").as("src"), col("old_id").as("dst"))
+    val intra = graft.operators.PrefixFilterJoin.pairs(newDocs, num = 4, den = 5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.operators.ConnectedComponents
+      .incremental(standing, mixed.union(intra))
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
   /** The dd_incremental_ppjoin program over an arbitrary documents frame
     * (full corpus or the sweep slice): build the exact index on the
     * standing 90%, serve today's 10% batch against it losslessly.
@@ -495,6 +528,25 @@ object Dedup {
       "dd_cluster_keep_best_sliced",
       (s, dir) => clusterKeepBestQ(s, slicedDocuments(s, dir)),
       Some(sliceOracle(clusterKeepBestOracle))),
+
+    // Incremental clustering: standing components + a new batch's mixed
+    // pair edges → updated canonicals via component contraction
+    // (ConnectedComponents.incremental). Oracle = the full-recompute
+    // recursive CTE over ALL pairs — hash-matching it IS the
+    // incremental ≡ full proof. Quadratic oracle like the other
+    // all-pairs families; the sweep swaps in the sliced companion.
+    GraftQuery(
+      "dd_cluster_incremental",
+      (s, dir) => clusterIncrementalQ(s, Tables.table(s, dir, "documents")),
+      Some(clusterCanonicalOracle),
+      bench = false,
+      quadraticOracle = true),
+
+    // Sliced sweep companion (see `sliceSpark`).
+    GraftQuery(
+      "dd_cluster_incremental_sliced",
+      (s, dir) => clusterIncrementalQ(s, slicedDocuments(s, dir)),
+      Some(sliceOracle(clusterCanonicalOracle))),
 
     // MinHash + LSH near-dup pairs, rescored with exact Jaccard — the
     // graft.operators.NearDupLsh pipeline (shared with ScaleSmoke).
