@@ -1152,7 +1152,14 @@ private[sources] class GraftCatalogTable(
           new JsonFileReaderFactory(tableSchema, required, renameAliases, dvs, format,
             // kill switch + A/B probe handle for the columnar path
             columnar = org.apache.spark.sql.internal.SQLConf.get
-              .getConfString("spark.graft.catalog.columnarRead", "true") == "true")
+              .getConfString("spark.graft.catalog.columnarRead", "true") == "true",
+            // the same understood filters that pruned whole files prune
+            // row groups inside the kept ones (GraftColumnarScan); the
+            // conf is the kill switch + A/B probe handle
+            filters = if (org.apache.spark.sql.internal.SQLConf.get
+                .getConfString("spark.graft.catalog.rowGroupSkip", "true") == "true")
+              skippingFilters
+            else Array.empty)
       }
     }
 
@@ -1220,7 +1227,8 @@ private class JsonFileReaderFactory(fileSchema: StructType, required: StructType
     aliases: Map[String, Set[String]] = Map.empty,
     dvs: Map[String, Array[Int]] = Map.empty,
     format: GraftFormat = JsonFormat,
-    columnar: Boolean = true)
+    columnar: Boolean = true,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
 
   private def partitionPaths(partition: InputPartition): Seq[String] =
@@ -1231,17 +1239,20 @@ private class JsonFileReaderFactory(fileSchema: StructType, required: StructType
 
   // Columnar (batched) reads for parquet tables: scan-level constant (the
   // DSv2 exec requires every partition to agree), true when the format is
-  // columnar, no file carries a deletion vector (ordinal subtraction is
-  // row-at-a-time by contract), and the projection is non-empty (agg
-  // pushdown owns count-style scans). Per-FILE adaptation — vectorized
-  // vs alias-bound row repack — happens inside GraftColumnarReader.
+  // columnar and the projection is non-empty (agg pushdown owns
+  // count-style scans). Files carrying a deletion vector stay columnar
+  // too — the reader decodes vectorized and repacks live ordinals (one
+  // row-level DELETE must not demote a standing table's hot files to the
+  // row path forever). Per-FILE adaptation — vectorized pass-through vs
+  // DV repack vs alias-bound row repack — happens inside
+  // GraftColumnarReader.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar && format == ParquetFormat && required.nonEmpty &&
-      dvs.forall(_._2.isEmpty)
+    columnar && format == ParquetFormat && required.nonEmpty
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new GraftColumnarReader(partitionPaths(partition), fileSchema, required, aliases)
+    new GraftColumnarReader(partitionPaths(partition), fileSchema, required,
+      aliases, dvs, filters)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val paths = partitionPaths(partition)

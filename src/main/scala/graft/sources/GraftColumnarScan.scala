@@ -35,13 +35,84 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   *    vectors — correctness identical, per-file cost equal to the old
   *    row scan plus one copy.
   *
-  * Scans with deletion vectors stay on the row path (ordinal subtraction
-  * is row-at-a-time by contract), as do empty projections (agg pushdown
-  * owns count-style scans).
+  * Files carrying a DELETION VECTOR stay columnar: the vectorized reader
+  * decodes the full batch (the expensive part), then surviving ordinals
+  * repack into on-heap vectors — a selection-vector-style copy, costed
+  * per LIVE row, applied only to files that actually carry a vector.
+  * Before round 14 any DV on any file de-vectorized the whole scan
+  * forever (one row-level DELETE permanently demoted a standing table's
+  * hot files to the row path). The ordinal space is the file's physical
+  * row order, so the DV'd path must read every row group — a file's DV
+  * disables row-group skipping for that file, never for its neighbors.
+  * Empty projections stay row-path (agg pushdown owns count-style scans).
   */
 private[sources] object GraftColumnarScan {
 
   val Capacity = 4096
+
+  /** Row-group-level stats skipping: parquet footers carry per-chunk
+    * min/max/null-count, so a selective residual predicate skips INSIDE
+    * a kept file, not just across files (GraftStats prunes whole files
+    * from the sidecar; this is the same advisory contract one level
+    * down — every filter stays a residual Spark re-applies post-scan,
+    * so a skipped row group is provably empty, never a changed result).
+    * Chunk values convert to the TABLE schema's type (files written
+    * before a widening ALTER store int32 under a long/double column) so
+    * [[GraftStats.mayMatch]] compares like with like; a chunk without
+    * usable stats keeps its block. NaN poisons a double range exactly
+    * as in the sidecar collector (parquet-mr's double stats are
+    * untrustworthy around NaN — PARQUET-1222).
+    */
+  def pruneRowGroups(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      schema: StructType):
+      java.util.List[org.apache.parquet.hadoop.metadata.BlockMetaData] = {
+    val blocks = footer.getBlocks
+    if (filters.isEmpty || blocks.size <= 1) return blocks
+    val kept =
+      new java.util.ArrayList[org.apache.parquet.hadoop.metadata.BlockMetaData](
+        blocks.size)
+    blocks.asScala.foreach { b =>
+      val cols = b.getColumns.asScala.flatMap { c =>
+        val name = c.getPath.toDotString
+        val st = c.getStatistics
+        schema.fields.find(_.name == name).flatMap { f =>
+          if (st == null || !st.isNumNullsSet) None
+          else {
+            val (mn, mx) =
+              if (!st.hasNonNullValue()) (null, null)
+              else (statValue(st.genericGetMin, f.dataType),
+                statValue(st.genericGetMax, f.dataType))
+            // a half-usable range degrades to no range (still prunable
+            // by null counts), never to a one-sided comparison
+            val (mn2, mx2) = if (mn == null || mx == null) (null, null) else (mn, mx)
+            Some(f.name -> GraftStats.ColStats(mn2, mx2, st.getNumNulls))
+          }
+        }
+      }.toMap
+      val fs = GraftStats.FileStats(b.getRowCount, cols)
+      if (filters.forall(GraftStats.mayMatch(_, fs, schema))) kept.add(b)
+    }
+    kept
+  }
+
+  /** A parquet chunk statistic as the engine value of the table column's
+    * (possibly widened) type; null when the physical/logical pairing is
+    * unexpected or the double range is NaN-poisoned.
+    */
+  private def statValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (b: org.apache.parquet.io.api.Binary, StringType) =>
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(b.getBytes)
+    case (l: java.lang.Long, LongType) => l.longValue()
+    case (i: java.lang.Integer, IntegerType) => i.intValue()
+    case (i: java.lang.Integer, LongType) => i.longValue()
+    case (i: java.lang.Integer, DoubleType) => i.doubleValue()
+    case (d: java.lang.Double, DoubleType) =>
+      if (d.isNaN) null else d.doubleValue()
+    case (bb: java.lang.Boolean, BooleanType) => bb.booleanValue()
+    case _ => null
+  }
 
   /** Spark type a graft-written parquet primitive reads back as (the
     * writer's 5-type mapping, inverted).
@@ -97,7 +168,9 @@ private[sources] object GraftColumnarScan {
   */
 private[sources] class GraftColumnarReader(paths: Seq[String],
     tableSchema: StructType, required: StructType,
-    aliases: Map[String, Set[String]])
+    aliases: Map[String, Set[String]],
+    dvs: Map[String, Array[Int]] = Map.empty,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
 
   import GraftColumnarScan.Capacity
@@ -133,11 +206,17 @@ private[sources] class GraftColumnarReader(paths: Seq[String],
   private var rowVectors: Array[OnHeapColumnVector] = _
   private var rowBatch: ColumnarBatch = _
   private var current: ColumnarBatch = _
+  // deletion-vector state for the CURRENT file: dead ordinals (physical
+  // row index in file order) and the running ordinal of the next row the
+  // live reader will hand us. null dead = no vector, zero-copy pass-through.
+  private var dead: java.util.BitSet = _
+  private var fileOrdinal: Long = 0L
 
   private def closeCurrent(): Unit = {
     if (vec != null) { vec.close(); vec = null }
     if (rows != null) { rows.close(); rows = null }
     if (rowBatch != null) { rowBatch.close(); rowBatch = null; rowVectors = null }
+    dead = null
   }
 
   private def openNext(): Boolean = {
@@ -151,6 +230,12 @@ private[sources] class GraftColumnarReader(paths: Seq[String],
   }
 
   private def openFile(p: Path): Unit = {
+    // deletion vector for THIS file (ordinals = physical row index in
+    // file order — the same space the decode loops below walk)
+    val dv = dvs.getOrElse(p.getFileName.toString, Array.empty[Int])
+    dead = if (dv.isEmpty) null
+      else { val b = new java.util.BitSet; dv.foreach(b.set); b }
+    fileOrdinal = 0L
     val hp = new org.apache.hadoop.fs.Path(p.toUri)
     // one footer parse serves both the binding decision and (passed
     // through) the vectorized reader's initialization
@@ -162,6 +247,19 @@ private[sources] class GraftColumnarReader(paths: Seq[String],
     if (GraftColumnarScan.vectorizable(
         footer.getFileMetaData.getSchema, required, aliases)) {
       fr.close()
+      // row-group skipping: hand the reader a footer whose block list
+      // already dropped provably-empty groups. A DV'd file reads every
+      // group — its dead ordinals index the file's FULL physical row
+      // order, and skipping a group would shift every ordinal after it.
+      val servedFooter =
+        if (dead != null || filters.isEmpty) footer
+        else {
+          val keptBlocks =
+            GraftColumnarScan.pruneRowGroups(footer, filters, tableSchema)
+          if (keptBlocks.size == footer.getBlocks.size) footer
+          else new org.apache.parquet.hadoop.metadata.ParquetMetadata(
+            footer.getFileMetaData, keptBlocks)
+        }
       // the legacy mapred split class: SpecificParquetRecordReaderBase
       // casts to it (it predates the mapreduce API split)
       val split = new org.apache.hadoop.mapred.FileSplit(
@@ -170,13 +268,31 @@ private[sources] class GraftColumnarReader(paths: Seq[String],
       // rebase modes are never consulted; CORRECTED = no rewriting
       val r = new VectorizedParquetRecordReader(
         null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, Capacity)
+      // the served footer is honored ONLY when file + stream + footer are
+      // ALL provided (SpecificParquetRecordReaderBase.initialize falls
+      // back to its own open-and-parse otherwise — which would both
+      // re-parse the footer per file and silently undo the row-group
+      // prune); the reader takes ownership of the stream and closes it
+      val inFile = HadoopInputFile.fromPath(hp, scanConf)
+      val inStream = inFile.newStream()
       try {
         r.initialize(split, attemptCtx,
-          Some(HadoopInputFile.fromPath(hp, scanConf)), None, Some(footer))
+          Some(inFile), Some(inStream), Some(servedFooter))
         r.initBatch(new StructType(), InternalRow.empty)
         r.enableReturningBatches()
-      } catch { case t: Throwable => r.close(); throw t }
+      } catch { case t: Throwable =>
+        r.close()
+        try inStream.close() catch { case _: Exception => () }
+        throw t
+      }
       vec = r
+      // DV'd file: decode stays vectorized, survivors repack into these
+      // on-heap vectors (per-live-row copy; see the class doc)
+      if (dead != null) {
+        rowVectors = OnHeapColumnVector.allocateColumns(Capacity, required)
+        rowBatch = new ColumnarBatch(
+          rowVectors.asInstanceOf[Array[ColumnVector]])
+      }
     } else {
       // pre-rename fallback: hand the SAME open reader (and its parsed
       // footer) to the row view — no second open/footer-parse per file
@@ -189,37 +305,91 @@ private[sources] class GraftColumnarReader(paths: Seq[String],
     }
   }
 
+  // a physical ordinal is live unless the file's vector marks it dead;
+  // ordinals past Int.MaxValue cannot appear in a (int-typed) vector
+  private def live(o: Long): Boolean =
+    dead == null || o > Int.MaxValue.toLong || !dead.get(o.toInt)
+
+  private def copyValue(src: ColumnVector, r: Int,
+      dst: OnHeapColumnVector, n: Int, dt: DataType): Unit =
+    if (src.isNullAt(r)) dst.putNull(n)
+    else dt match {
+      case StringType => dst.putByteArray(n, src.getUTF8String(r).getBytes)
+      case LongType => dst.putLong(n, src.getLong(r))
+      case IntegerType => dst.putInt(n, src.getInt(r))
+      case DoubleType => dst.putDouble(n, src.getDouble(r))
+      case BooleanType => dst.putBoolean(n, src.getBoolean(r))
+      case other => throw new IllegalArgumentException(s"unsupported $other")
+    }
+
   private def advanceInFile(): Boolean =
-    if (vec != null) {
+    if (vec != null && dead == null) {
+      // fast path: hand the decoded batch through untouched
       if (vec.nextKeyValue()) {
         current = vec.getCurrentValue.asInstanceOf[ColumnarBatch]
         true
       } else false
+    } else if (vec != null) {
+      // DV'd vectorized file: decode full batches, repack survivors.
+      // Batches with zero live rows are skipped, not emitted empty.
+      while (vec.nextKeyValue()) {
+        val src = vec.getCurrentValue.asInstanceOf[ColumnarBatch]
+        val m = src.numRows()
+        var i = 0
+        while (i < rowVectors.length) { rowVectors(i).reset(); i += 1 }
+        var n = 0
+        var r = 0
+        while (r < m) {
+          if (live(fileOrdinal + r)) {
+            var c = 0
+            while (c < rowVectors.length) {
+              copyValue(src.column(c), r, rowVectors(c), n, required(c).dataType)
+              c += 1
+            }
+            n += 1
+          }
+          r += 1
+        }
+        fileOrdinal += m
+        if (n > 0) {
+          rowBatch.setNumRows(n)
+          current = rowBatch
+          return true
+        }
+      }
+      false
     } else if (rows != null && rows.hasNext) {
       var n = 0
       var i = 0
       while (i < rowVectors.length) { rowVectors(i).reset(); i += 1 }
       while (n < Capacity && rows.hasNext) {
         val r = rows.next()
-        var c = 0
-        while (c < rowVectors.length) {
-          if (r.isNullAt(c)) rowVectors(c).putNull(n)
-          else required(c).dataType match {
-            case StringType =>
-              rowVectors(c).putByteArray(n, r.getUTF8String(c).getBytes)
-            case LongType => rowVectors(c).putLong(n, r.getLong(c))
-            case IntegerType => rowVectors(c).putInt(n, r.getInt(c))
-            case DoubleType => rowVectors(c).putDouble(n, r.getDouble(c))
-            case BooleanType => rowVectors(c).putBoolean(n, r.getBoolean(c))
-            case dt => throw new IllegalArgumentException(s"unsupported $dt")
+        val o = fileOrdinal
+        fileOrdinal += 1
+        if (live(o)) {
+          var c = 0
+          while (c < rowVectors.length) {
+            if (r.isNullAt(c)) rowVectors(c).putNull(n)
+            else required(c).dataType match {
+              case StringType =>
+                rowVectors(c).putByteArray(n, r.getUTF8String(c).getBytes)
+              case LongType => rowVectors(c).putLong(n, r.getLong(c))
+              case IntegerType => rowVectors(c).putInt(n, r.getInt(c))
+              case DoubleType => rowVectors(c).putDouble(n, r.getDouble(c))
+              case BooleanType => rowVectors(c).putBoolean(n, r.getBoolean(c))
+              case dt => throw new IllegalArgumentException(s"unsupported $dt")
+            }
+            c += 1
           }
-          c += 1
+          n += 1
         }
-        n += 1
       }
-      rowBatch.setNumRows(n)
-      current = rowBatch
-      true
+      if (n == 0) false
+      else {
+        rowBatch.setNumRows(n)
+        current = rowBatch
+        true
+      }
     } else false
 
   override def next(): Boolean = {

@@ -256,10 +256,21 @@ case object ParquetFormat extends GraftFormat {
         conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
         conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
         conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "true")
+        // row-group size is a layout knob (smaller groups = finer
+        // row-group-level stats skipping at scan time, more footer
+        // overhead); default is parquet's 128 MB. Session-tunable so
+        // ingest jobs can trade footer size for skip granularity —
+        // falls back to the default off a SQL session (bare tooling).
+        val rowGroupBytes =
+          try org.apache.spark.sql.internal.SQLConf.get
+            .getConfString("spark.graft.parquet.rowGroupBytes",
+              ParquetWriter.DEFAULT_BLOCK_SIZE.toString).toLong
+          catch { case _: Exception => ParquetWriter.DEFAULT_BLOCK_SIZE.toLong }
         new GraftInternalRowWriterBuilder(
             new org.apache.hadoop.fs.Path(path.toUri))
           .withConf(conf)
           .withCompressionCodec(CompressionCodecName.SNAPPY)
+          .withRowGroupSize(rowGroupBytes)
           .build()
       }
       override def write(row: InternalRow): Unit = writer.write(row)

@@ -253,4 +253,62 @@ class FileSkippingSpec extends AnyFunSuite {
     assert(plannedFiles(post) == 1)
     spark.sql("DROP TABLE skipcat.ns.rn")
   }
+
+  test("row groups skip INSIDE a kept parquet file") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE TABLE skipcat.ns.rg (id BIGINT, s STRING) " +
+      "TBLPROPERTIES('format'='parquet')")
+    // one data file, many small row groups with disjoint id ranges
+    spark.conf.set("spark.graft.parquet.rowGroupBytes", "65536")
+    try (0L until 40000L).map(i => (i, f"r$i%06d")).toDF("id", "s")
+      .coalesce(1).writeTo("skipcat.ns.rg").append()
+    finally spark.conf.unset("spark.graft.parquet.rowGroupBytes")
+    val dir = Paths.get(root, "ns", "rg")
+    val dataFile = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part-")).toSeq
+    assert(dataFile.size == 1, s"expected one data file, got $dataFile")
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dir.resolve(dataFile.head).toUri),
+        GraftFormat.hadoopConf))
+    val nGroups = try footer.getFooter.getBlocks.size finally footer.close()
+    assert(nGroups >= 4, s"need several row groups to skip, got $nGroups")
+    // rows the scan EMITS (all filters are residual, so scan output =
+    // rows decoded from surviving row groups)
+    def scanOutputRows(df: DataFrame): Long = {
+      df.collect()
+      def scan(p: SparkPlan): Seq[BatchScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+        case q: QueryStageExec => scan(q.plan)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(scan)
+      }
+      scan(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val t = spark.table("skipcat.ns.rg")
+    // the file is kept (its whole-file range covers the point), but only
+    // the covering row group(s) decode
+    val point = t.filter("id = 25000")
+    assert(plannedFiles(point) == 1, "the one file must stay planned")
+    assert(point.collect().map(_.getLong(0)).toSeq == Seq(25000L))
+    val decoded = scanOutputRows(point)
+    assert(decoded > 0 && decoded <= 40000L / 2,
+      s"a point predicate must decode a fraction of the file: $decoded")
+    // range predicate: surviving groups cover the range, results exact
+    val range = t.filter("id >= 30000 AND id < 31000")
+    assert(range.count() == 1000)
+    assert(scanOutputRows(range) < 40000L,
+      "a selective range must skip row groups")
+    // unselective predicate decodes everything and loses nothing
+    val all = t.filter("id >= 0")
+    assert(scanOutputRows(all) == 40000L)
+    assert(all.count() == 40000L)
+    // string column: byte-ordered min/max prune too
+    val sPoint = t.filter("s = 'r025000'")
+    assert(sPoint.count() == 1)
+    assert(scanOutputRows(sPoint) <= 40000L / 2)
+    spark.sql("DROP TABLE skipcat.ns.rg")
+  }
 }

@@ -257,16 +257,43 @@ class GraftParquetFormatSpec extends AnyFunSuite {
     assert(columnarScans(renamed) == Seq(true))
     assert(renamed.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
       (0L until 100L).map(i => (i, s"v$i")).toSet)
-    // merge-on-read deletes: ordinal subtraction is row-at-a-time by
-    // contract, so the scan must DEGRADE to row reads — and stay exact
+    // merge-on-read deletes: the scan STAYS columnar (vectorized decode
+    // + live-ordinal repack) — one row-level DELETE must not demote the
+    // table's files to the row path forever — and the values are
+    // identical to the row path (kill switch) on the same state
     spark.conf.set("spark.graft.delete.mode", "mor")
-    try spark.sql("DELETE FROM pqcat.ns.colscan WHERE id >= 90")
-    finally spark.conf.unset("spark.graft.delete.mode")
-    val afterDv = spark.table("pqcat.ns.colscan")
-    assert(columnarScans(afterDv) == Seq(false),
-      "deletion vectors must force the row path")
-    assert(afterDv.count() == 90)
+    try {
+      spark.sql("DELETE FROM pqcat.ns.colscan WHERE id >= 90")
+      spark.sql("DELETE FROM pqcat.ns.colscan WHERE id IN (0, 7, 31, 64, 89)")
+    } finally spark.conf.unset("spark.graft.delete.mode")
+    val afterDv = spark.sql("SELECT id, label FROM pqcat.ns.colscan")
+    assert(columnarScans(afterDv) == Seq(true),
+      "a DV'd parquet scan must stay columnar (repack, not demote)")
+    val dvCols = afterDv.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    spark.conf.set("spark.graft.catalog.columnarRead", "false")
+    val dvRows = try
+      spark.sql("SELECT id, label FROM pqcat.ns.colscan")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    finally spark.conf.unset("spark.graft.catalog.columnarRead")
+    assert(dvCols == dvRows, "columnar DV repack must equal the row path")
+    assert(dvCols == (0L until 90L).filterNot(Set(0L, 7L, 31L, 64L, 89L))
+      .map(i => (i, s"v$i")).toSet)
     spark.sql("DROP TABLE pqcat.ns.colscan")
+    // same contract on the VECTORIZED fast path (current-name footers,
+    // no alias binding): decode batches pass through the DV repack
+    spark.sql("CREATE TABLE pqcat.ns.colscan2 (id BIGINT, s STRING) " +
+      "TBLPROPERTIES('format'='parquet')")
+    (0L until 100L).map(i => (i, s"w$i")).toDF("id", "s")
+      .writeTo("pqcat.ns.colscan2").append()
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM pqcat.ns.colscan2 WHERE id >= 20 AND id < 50")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val vecDv = spark.table("pqcat.ns.colscan2")
+    assert(columnarScans(vecDv) == Seq(true))
+    assert(vecDv.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      (0L until 100L).filterNot(i => i >= 20 && i < 50)
+        .map(i => (i, s"w$i")).toSet)
+    spark.sql("DROP TABLE pqcat.ns.colscan2")
     // JSON tables never report columnar
     spark.sql("CREATE TABLE pqcat.ns.jrow (id BIGINT)")
     spark.sql("INSERT INTO pqcat.ns.jrow VALUES (1), (2)")
