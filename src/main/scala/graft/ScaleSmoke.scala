@@ -130,6 +130,59 @@ object ScaleSmoke {
     val (tTok, _) = time {
       docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
     }
+    // persisted BM25 retrieval index (Bm25Index): build once at ingest,
+    // serve query batches from term-pruned artifact scans — vs the
+    // inline plan that re-tokenizes the whole corpus per query batch.
+    // Query terms come from a standing doc, so every query has matches
+    // at any corpus size; the checksum (Σ doc_id·rank over the top-k)
+    // pins served ≡ inline — the amortization claim only counts if the
+    // cheap path returns the identical ranking.
+    val bm25Terms: Seq[String] = docs.filter(col("doc_id") === 0)
+      .head().getAs[String]("text").split(" ").distinct.take(8).toSeq
+    val bm25Queries: Seq[(Long, String)] =
+      bm25Terms.zipWithIndex.map { case (t, i) => ((i % 3).toLong, t) }
+    def bm25Checksum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("doc_id") * col("rank"))).head().getLong(0)
+    def bm25Inline(k: Int): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      val corpus = docs.select(col("doc_id"), col("text"))
+      val toks = corpus.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          explode(col("toks")).as("term"))
+      val hits = toks.filter(col("term").isInCollection(bm25Terms))
+      val tf = hits.groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = hits.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val stats = corpus.agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " "))).as("dl_sum"))
+      operators.Bm25Index.scoreTopK(tf, dfreq, stats,
+        bm25Queries.toDF("query_id", "term"), k)
+    }
+    val bm25IdxDir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_smoke").toString
+    System.err.println("[smoke] start bm25_index_build")
+    val (tBm25Build, _) = time {
+      operators.Bm25Index.writeIndex(docs.select(col("doc_id"), col("text")),
+        bm25IdxDir)
+      0L
+    }
+    // single-shot (cold artifact) and steady-state serve, the same
+    // two-number reporting as the dedup-index serves
+    System.err.println("[smoke] start bm25_serve")
+    val bm25Runs = (1 to 3).map(_ => time {
+      bm25Checksum(operators.Bm25Index.topK(spark, bm25IdxDir, bm25Queries, k = 10))
+    })
+    val tBm25Single = bm25Runs.head._1
+    val tBm25Steady = bm25Runs.tail.map(_._1).min
+    val bm25Sum = bm25Runs.head._2
+    System.err.println("[smoke] start bm25_inline")
+    val (tBm25Inline, bm25InlineSum) = minOfT(reps)(time {
+      bm25Checksum(bm25Inline(k = 10))
+    })
+    require(bm25Sum == bm25InlineSum,
+      s"served BM25 ranking diverged from inline: $bm25Sum vs $bm25InlineSum")
+    reclaim(bm25IdxDir)
     // PPJoin on a realistic corpus: wide vocabulary (discriminative
     // shingles) with 5% planted one-word-substitution near-dups
     val dupDocs = spark.read
@@ -509,6 +562,33 @@ object ScaleSmoke {
     val tNoSkip = (System.nanoTime() - t0NoSkip) / 1e9
     val filesAll = plannedFiles(skipQuery)
     java.nio.file.Files.move(parked, sidecar)
+    // row-group-level stats skipping inside kept parquet files: 64
+    // range-clustered files, each holding MANY small row groups, and a
+    // selective range predicate that file-level stats can only narrow
+    // to ~2 files — the win measured here is the groups never decoded
+    // INSIDE those kept files (A/B via the rowGroupSkip kill switch,
+    // interleaved min-of-3, caches warmed).
+    System.err.println("[smoke] start catalog_rowgroup_skip")
+    spark.sql("CREATE TABLE smokecat.s.docs_rg (doc_id BIGINT, fp STRING, n_tokens INT) " +
+      "TBLPROPERTIES('format'='parquet')")
+    spark.conf.set("spark.graft.parquet.rowGroupBytes", (1L << 20).toString)
+    try docs.select(col("doc_id"), md5(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("int").as("n_tokens"))
+      .repartitionByRange(64, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .writeTo("smokecat.s.docs_rg").append()
+    finally spark.conf.unset("spark.graft.parquet.rowGroupBytes")
+    def rgQuery = spark.table("smokecat.s.docs_rg")
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+      .agg(sum(col("n_tokens")))
+    rgQuery.head() // warm page cache + codegen
+    var (msRgSkip, msNoRgSkip) = (Long.MaxValue, Long.MaxValue)
+    (1 to 3).foreach { _ =>
+      msRgSkip = math.min(msRgSkip, taskMillis { rgQuery.head() })
+      spark.conf.set("spark.graft.catalog.rowGroupSkip", "false")
+      try msNoRgSkip = math.min(msNoRgSkip, taskMillis { rgQuery.head() })
+      finally spark.conf.unset("spark.graft.catalog.rowGroupSkip")
+    }
     // catalog data-file format: the SAME rows in a parquet-backed twin
     // (TBLPROPERTIES format=parquet). Two scans per format: a full-row
     // aggregate (bytes-off-disk bound) and a one-of-three-column
@@ -659,6 +739,10 @@ object ScaleSmoke {
     println(
       s"""{"n_docs":$nDocs,"minhash_lsh_sec":$tDedup,"neardup_pairs":$nPairs,""" +
         s""""exact_dedup_sec":$tExact,"distinct_docs":$nGroups,"token_count_sec":$tTok,""" +
+        s""""bm25_index_build_sec":$tBm25Build,""" +
+        s""""bm25_serve_single_shot_sec":$tBm25Single,""" +
+        s""""bm25_serve_steady_sec":$tBm25Steady,""" +
+        s""""bm25_inline_sec":$tBm25Inline,"bm25_checksum":$bm25Sum,""" +
         s""""ppjoin_sec":$tPp,"ppjoin_pairs":$nPp,""" +
         s""""lsh_planted_sec":$tLshDup,"lsh_planted_pairs":$nLshDup,""" +
         s""""lsh_index_build_sec":$tIdxBuild,"lsh_inc_sec":$tInc,""" +
@@ -687,6 +771,7 @@ object ScaleSmoke {
         s""""skip_files_kept":$filesKept,"skip_files_total":$filesAll,""" +
         s""""skip_sec":$tSkip,"noskip_sec":$tNoSkip,""" +
         s""""skip_task_ms":$msSkip,"noskip_task_ms":$msNoSkip,""" +
+        s""""catalog_rgskip_task_ms":$msRgSkip,"catalog_norgskip_task_ms":$msNoRgSkip,""" +
         s""""catalog_json_bytes":$jsonBytes,"catalog_parquet_bytes":$pqBytes,""" +
         s""""catalog_fullscan_json_task_ms":$msJsonFull,""" +
         s""""catalog_fullscan_parquet_task_ms":$msPqFull,""" +
