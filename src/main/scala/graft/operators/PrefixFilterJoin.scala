@@ -276,6 +276,17 @@ object PrefixFilterJoin {
         Seq(col("p"), col("h")): _*)
   }
 
+  /** Runs `body` under a Spark job description — phase attribution for
+    * the index lifecycle's multi-job cascades (visible in the UI and to
+    * stage-level probes like PpBuildProbe; zero effect on the plans).
+    */
+  private def withPhase[T](s: SparkSession, name: String)(body: => T): T = {
+    val sc = s.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(name)
+    try body finally sc.setJobDescription(old)
+  }
+
   /** Write a relation h-sorted into `targetDir` (overwrite). The sort
     * happens over a STAGED copy: repartitionByRange samples its child
     * with a separate job, which would re-execute the whole derivation
@@ -284,13 +295,17 @@ object PrefixFilterJoin {
     * to partition discovery, so concurrent readers never see it.
     */
   private def writeSortedByH(rows: DataFrame, path: String,
-      targetDir: String): Unit = {
+      targetDir: String, phase: String): Unit = {
     val s = rows.sparkSession
     val staging = s"$path/.staging-${java.util.UUID.randomUUID()}"
-    rows.write.mode("overwrite").parquet(staging)
-    s.read.parquet(staging)
-      .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
-      .write.mode("overwrite").parquet(targetDir)
+    withPhase(s, s"$phase-stage") {
+      rows.write.mode("overwrite").parquet(staging)
+    }
+    withPhase(s, s"$phase-sort") {
+      s.read.parquet(staging)
+        .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
+        .write.mode("overwrite").parquet(targetDir)
+    }
     val sp = new org.apache.hadoop.fs.Path(staging)
     sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
   }
@@ -308,18 +323,54 @@ object PrefixFilterJoin {
     writeSortedByH(
       prefixRows(sets, s.read.parquet(s"$path/freq"), num, den)
         .select(col("h"), col("doc_id"), col("sz"), col("p")),
-      path, s"$path/prefix/batch=$batchId")
+      path, s"$path/prefix/batch=$batchId", phase = "ppidx:prefix")
     // only HOT postings (n > ServeCandidateHotFloor) are stored: the
     // serve's candidate bound charges every cold shingle the floor
     // arithmetically (no scan), so the per-serve pstats read touches a
     // Zipf-tail-truncated sidecar instead of an index-sized one — the
     // full (h, n) relation once cost ~+2 s of O(index) scan per serve
-    // at a 1M corpus
-    s.read.parquet(s"$path/prefix/batch=$batchId")
-      .groupBy(col("h")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > ServeCandidateHotFloor)
-      .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
-      .write.mode("overwrite").parquet(s"$path/pstats/batch=$batchId")
+    // at a 1M corpus.
+    //
+    // Derivation: a streaming RUN-LENGTH walk over the just-written
+    // prefix artifact, not a groupBy. The artifact is h-range-
+    // partitioned with h sorted inside each file (writeSortedByH), so
+    // equal shingles are contiguous per read split; hash-aggregating
+    // them instead cost a fifth of the whole 10M build (2.2-4.6k
+    // task-s, ~30 GB of aggregation-hash spill for near-unique keys —
+    // bench/ppjoin_build_probe_r14.md). Exact under ANY read
+    // packing/splitting: a run can only be cut at a read-partition
+    // boundary (ranges are disjoint across files, so runs never merge
+    // across packed files), so each partition's FIRST and LAST runs are
+    // kept unfiltered (<= 2 rows/partition) while interior runs — whose
+    // counts are provably total — pre-filter to the hot tail before the
+    // only (tiny) shuffle. Pinned ≡ the groupBy derivation, including
+    // under forced file splits, by PrefixFilterJoinSpec.
+    withPhase(s, "ppidx:pstats") {
+      import s.implicits._
+      val runs = s.read.parquet(s"$path/prefix/batch=$batchId")
+        .select(col("h")).as[Long]
+        .mapPartitions { rows =>
+          new Iterator[(Long, Long, Boolean)] {
+            private val it = rows.buffered
+            private var firstRun = true
+            override def hasNext: Boolean = it.hasNext
+            override def next(): (Long, Long, Boolean) = {
+              val h = it.next()
+              var n = 1L
+              while (it.hasNext && it.head == h) { it.next(); n += 1 }
+              val boundary = firstRun || !it.hasNext
+              firstRun = false
+              (h, n, boundary)
+            }
+          }
+        }
+        .filter(r => r._3 || r._2 > ServeCandidateHotFloor)
+        .toDF("h", "n", "b")
+      runs.groupBy(col("h")).agg(sum(col("n")).as("n"))
+        .filter(col("n") > ServeCandidateHotFloor)
+        .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
+        .write.mode("overwrite").parquet(s"$path/pstats/batch=$batchId")
+    }
   }
 
   /** Build the persisted index at `path` for build threshold num/den.
@@ -347,12 +398,14 @@ object PrefixFilterJoin {
     // into a row-group-skipping scan instead of scanning the vocabulary.
     val setsWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
     val setsDir = s"$path/sets/batch=-1"
-    setsOf(docs).repartition(setsWidth)
-      .write.mode("overwrite").parquet(setsDir)
+    withPhase(s, "ppidx:sets") {
+      setsOf(docs).repartition(setsWidth)
+        .write.mode("overwrite").parquet(setsDir)
+    }
     writeSortedByH(
       s.read.parquet(setsDir).select(explode(col("sh")).as("h"))
         .groupBy(col("h")).agg(count(lit(1)).as("f")),
-      path, s"$path/freq")
+      path, s"$path/freq", phase = "ppidx:freq")
     writePrefixAndStats(s, path, batchId = -1L, num, den)
     s.range(1).select(lit(num).as("num"), lit(den).as("den"))
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -372,7 +425,9 @@ object PrefixFilterJoin {
     val s = docs.sparkSession
     GraftFunctions.register(s)
     val (num, den) = readMeta(s, path)
-    setsOf(docs).write.mode("overwrite").parquet(s"$path/sets/batch=$batchId")
+    withPhase(s, "ppidx:sets") {
+      setsOf(docs).write.mode("overwrite").parquet(s"$path/sets/batch=$batchId")
+    }
     writePrefixAndStats(s, path, batchId, num, den)
   }
 

@@ -108,6 +108,49 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
     assert(bootOnly != once.toSet, "fixture should place near-dups in both halves")
   }
 
+  test("pstats run-length derivation equals the groupBy ground truth, even under forced file splits") {
+    // the pstats sidecar is derived by a streaming run-length walk over
+    // the h-sorted prefix artifact (no shuffle, no aggregation hash
+    // table); exactness must hold under ANY read packing/splitting —
+    // a split mid-run emits two boundary partials that the tiny merge
+    // re-joins. Ground truth: plain groupBy over the same artifact.
+    def groundTruth(idx: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$idx/prefix/batch=-1")
+        .groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > PrefixFilterJoin.ServeCandidateHotFloor)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def stored(idx: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$idx/pstats/batch=-1")
+        .select(col("h"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate-heavy corpus so hot shingles exist (shared spans push
+    // posting counts past the floor); threshold 1/2 keeps prefixes long
+    import spark.implicits._
+    val boiler = (0 until 400).map { i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta tail$i")
+    }.toDF("doc_id", "text")
+    val idx1 = java.nio.file.Files.createTempDirectory("graft_pp_pstats").toString
+    PrefixFilterJoin.writeIndex(boiler, idx1, 1, 2)
+    val truth = groundTruth(idx1)
+    assert(truth.nonEmpty, "fixture must produce a hot tail")
+    assert(stored(idx1) == truth)
+    // forced splits: shrink maxPartitionBytes/openCost so the pstats
+    // read cuts prefix files mid-run — boundary merging must hold
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val oldOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "256")
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_pp_pstats2").toString
+    try {
+      PrefixFilterJoin.writeIndex(boiler, idx2, 1, 2)
+      assert(stored(idx2) == truth,
+        "run-length pstats diverged under forced file splits")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", oldOpen)
+    }
+  }
+
   test("candidate bound stays an upper bound across batch partitions (per-partition-cold shingles)") {
     import spark.implicits._
     // a shingle COLD in each of 3 partitions (8 postings ≤ hot floor per
