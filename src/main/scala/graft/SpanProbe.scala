@@ -26,10 +26,16 @@ object SpanProbe {
     val order = args.lift(2)
       .getOrElse("textCD,hashCD,hashCD,textCD,text2L,hash2L")
       .split(",").toSeq
+    // default shuffle width = ScaleSmoke's corpus-scaled rule, so probe
+    // runs reproduce the smoke lines' plans (override via 4th arg; the
+    // original fixed-32 width at 10M spilled 200 GB into 930 s of GC —
+    // a plan the marathon never runs)
+    val shuffleWidth = args.lift(3).map(_.toInt)
+      .getOrElse(math.max(cpus.toInt, (nDocs / 50000L).toInt))
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(s"local[$cpus,4]")
       .appName("graft_span_probe")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleWidth)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
