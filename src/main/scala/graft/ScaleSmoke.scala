@@ -571,15 +571,24 @@ object ScaleSmoke {
     System.err.println("[smoke] start catalog_rowgroup_skip")
     spark.sql("CREATE TABLE smokecat.s.docs_rg (doc_id BIGINT, fp STRING, n_tokens INT) " +
       "TBLPROPERTIES('format'='parquet')")
-    spark.conf.set("spark.graft.parquet.rowGroupBytes", (1L << 20).toString)
+    // 64 KB groups give every file MANY groups at any smoke scale
+    // (~1.4k rows/group; 1M/64 files = 15.6k rows/file ≈ 11 groups) —
+    // the 1 MB first cut left 1M-scale files single-group and the A/B
+    // read 34 ms == 34 ms, a vacuous measurement
+    spark.conf.set("spark.graft.parquet.rowGroupBytes", (64L << 10).toString)
     try docs.select(col("doc_id"), md5(col("text")).as("fp"),
         size(split(col("text"), " ")).cast("int").as("n_tokens"))
       .repartitionByRange(64, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .writeTo("smokecat.s.docs_rg").append()
     finally spark.conf.unset("spark.graft.parquet.rowGroupBytes")
+    // range sized to a FRACTION of one file (~nDocs/2048 rows ≈ 1-2
+    // groups): file-level stats keep 1-2 files either way; the A/B
+    // isolates the groups decoded INSIDE them (the skipQuery range
+    // above spans a whole file, which would need every group)
+    val rgHi = lo + math.max(1L, nDocs / 2048) - 1
     def rgQuery = spark.table("smokecat.s.docs_rg")
-      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+      .filter(col("doc_id") >= lo && col("doc_id") <= rgHi)
       .agg(sum(col("n_tokens")))
     rgQuery.head() // warm page cache + codegen
     var (msRgSkip, msNoRgSkip) = (Long.MaxValue, Long.MaxValue)
