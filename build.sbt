@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's JUnitXmlReportPlugin appends per-suite XML into
+// target/test-reports but never removes reports of DELETED suites, so
+// stale files skew suite counts (a deleted debug suite lingered through
+// r14). Wipe the dir before each test run — every live suite rewrites
+// its report.
+Test / testOptions += Tests.Setup(() => {
+  val dir = new java.io.File("target/test-reports")
+  if (dir.exists) sbt.IO.delete(dir)
+})
 // The per-round driver parses Bench/Verify stdout for the single JSON
 // metrics line; sbt's default logger prefixes forked-run output with
 // "[info] ", which breaks that parse. Inherit the parent's stdout.

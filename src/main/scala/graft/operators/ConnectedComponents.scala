@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Row ceiling for broadcasting [[incremental]]'s relabel map (one
+    * (component, next) long pair per contracted vertex, so ~16 payload
+    * bytes → ~64 B/row hashed-relation footprint → ~256 MB at the
+    * default, inside a broadcast budget sized for multi-GB executors).
+    * Above it the relabel join degrades to a shuffle join — identical
+    * answer, one extra exchange on the standing labels. Tunable via
+    * `spark.graft.cc.relabelBroadcastMaxRows` (docs/TUNABLES.md).
+    */
+  val DefaultRelabelBroadcastMaxRows: Long = 4000000L
+
   /** Incremental update: fold a new batch's edges into STANDING
     * component assignments without re-running propagation over the
     * standing graph — the crawl-ingest shape, where yesterday's corpus
@@ -68,8 +78,11 @@ object ConnectedComponents {
     // degenerate mega-batch falls back to a shuffle join.
     val relabel0 = contracted
       .select(col("id").as("component"), col("component").as("next"))
+    val relabelMaxRows = standing.sparkSession.conf
+      .getOption("spark.graft.cc.relabelBroadcastMaxRows").map(_.toLong)
+      .getOrElse(DefaultRelabelBroadcastMaxRows)
     val relabel =
-      if (contracted.count() <= 4000000L) broadcast(relabel0) else relabel0
+      if (contracted.count() <= relabelMaxRows) broadcast(relabel0) else relabel0
     val updatedStanding = lbl.join(relabel, Seq("component"), "left")
       .select(col("id"),
         coalesce(col("next"), col("component")).as("component"))

@@ -337,39 +337,68 @@ object PrefixFilterJoin {
     // equal shingles are contiguous per read split; hash-aggregating
     // them instead cost a fifth of the whole 10M build (2.2-4.6k
     // task-s, ~30 GB of aggregation-hash spill for near-unique keys —
-    // bench/ppjoin_build_probe_r14.md). Exact under ANY read
-    // packing/splitting: a run can only be cut at a read-partition
-    // boundary (ranges are disjoint across files, so runs never merge
-    // across packed files), so each partition's FIRST and LAST runs are
-    // kept unfiltered (<= 2 rows/partition) while interior runs — whose
-    // counts are provably total — pre-filter to the hot tail before the
-    // only (tiny) shuffle. Pinned ≡ the groupBy derivation, including
-    // under forced file splits, by PrefixFilterJoinSpec.
+    // bench/ppjoin_build_probe_r14.md).
+    //
+    // Exactness: this read NEUTRALIZES file splitting (maxPartitionBytes
+    // and openCostInBytes pinned to 1 PiB for just this action, restored
+    // in finally — the huge open cost also gives each file its own read
+    // partition, so parallelism stays = file count = write width). Whole
+    // files per chunk means a run can never be cut mid-file, and runs
+    // never SPAN files (repartitionByRange keeps equal h in one
+    // partition, so h-ranges are disjoint across files); each same-file
+    // stretch's FIRST and LAST runs are still marked boundary (kept
+    // unfiltered, <= 2 rows/file) as a belt against any whole-file
+    // packing, while interior runs — provably total — pre-filter to the
+    // hot tail before the only (tiny) shuffle. Boundaries are per FILE
+    // STRETCH (input_file_name), not per partition: Spark bin-packs a
+    // split file's final chunk behind other files in a FilePartition,
+    // and the old per-partition rule silently dropped the interior piece
+    // of a run cut at such a chunk boundary when its count was at or
+    // under the hot floor (ADVICE r15) — with splitting neutralized that
+    // cut is impossible, and the per-file rule keeps the walk exact even
+    // if a future caller re-enables splitting. Pinned ≡ the groupBy
+    // derivation, including under session confs forcing 2 KB splits and
+    // multi-row-group files, by PrefixFilterJoinSpec.
     withPhase(s, "ppidx:pstats") {
       import s.implicits._
-      val runs = s.read.parquet(s"$path/prefix/batch=$batchId")
-        .select(col("h")).as[Long]
-        .mapPartitions { rows =>
-          new Iterator[(Long, Long, Boolean)] {
-            private val it = rows.buffered
-            private var firstRun = true
-            override def hasNext: Boolean = it.hasNext
-            override def next(): (Long, Long, Boolean) = {
-              val h = it.next()
-              var n = 1L
-              while (it.hasNext && it.head == h) { it.next(); n += 1 }
-              val boundary = firstRun || !it.hasNext
-              firstRun = false
-              (h, n, boundary)
+      val prevMax = s.conf.getOption("spark.sql.files.maxPartitionBytes")
+      val prevOpen = s.conf.getOption("spark.sql.files.openCostInBytes")
+      s.conf.set("spark.sql.files.maxPartitionBytes", (1L << 50).toString)
+      s.conf.set("spark.sql.files.openCostInBytes", (1L << 50).toString)
+      try {
+        val runs = s.read.parquet(s"$path/prefix/batch=$batchId")
+          .select(col("h"), input_file_name().as("fn"))
+          .as[(Long, String)]
+          .mapPartitions { rows =>
+            new Iterator[(Long, Long, Boolean)] {
+              private val it = rows.buffered
+              private var stretchStart = true
+              override def hasNext: Boolean = it.hasNext
+              override def next(): (Long, Long, Boolean) = {
+                val (h, fn) = it.next()
+                var n = 1L
+                while (it.hasNext && it.head._1 == h && it.head._2 == fn) {
+                  it.next(); n += 1
+                }
+                val stretchEnd = !it.hasNext || it.head._2 != fn
+                val boundary = stretchStart || stretchEnd
+                stretchStart = stretchEnd
+                (h, n, boundary)
+              }
             }
           }
-        }
-        .filter(r => r._3 || r._2 > ServeCandidateHotFloor)
-        .toDF("h", "n", "b")
-      runs.groupBy(col("h")).agg(sum(col("n")).as("n"))
-        .filter(col("n") > ServeCandidateHotFloor)
-        .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
-        .write.mode("overwrite").parquet(s"$path/pstats/batch=$batchId")
+          .filter(r => r._3 || r._2 > ServeCandidateHotFloor)
+          .toDF("h", "n", "b")
+        runs.groupBy(col("h")).agg(sum(col("n")).as("n"))
+          .filter(col("n") > ServeCandidateHotFloor)
+          .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
+          .write.mode("overwrite").parquet(s"$path/pstats/batch=$batchId")
+      } finally {
+        def restore(k: String, v: Option[String]): Unit =
+          v.fold(s.conf.unset(k))(s.conf.set(k, _))
+        restore("spark.sql.files.maxPartitionBytes", prevMax)
+        restore("spark.sql.files.openCostInBytes", prevOpen)
+      }
     }
   }
 
@@ -463,7 +492,24 @@ object PrefixFilterJoin {
   def pairsAgainstIndex(spark: SparkSession, newDocs: DataFrame,
       path: String, num: Int, den: Int,
       batchRows: Option[Long] = None,
-      maxBatchExclusive: Option[Long] = None): DataFrame = {
+      maxBatchExclusive: Option[Long] = None): DataFrame =
+    pairsAgainstIndexWithBound(spark, newDocs, path, num, den,
+      batchRows, maxBatchExclusive)._1
+
+  /** [[pairsAgainstIndex]] plus the candidate upper bound the serve's
+    * broadcast guard computed, BY VALUE — `None` means the bound was
+    * voided (oversized/off-contract layout ⇒ shuffle_hash candidates).
+    * This is the race-free channel for callers that plan serves
+    * concurrently on one session: the
+    * `spark.graft.ppjoin.lastServeCandidateBound` conf is still written
+    * as a best-effort observability breadcrumb, but it is session-global
+    * and two concurrent serves race on it, so programmatic consumers
+    * must read THIS return value.
+    */
+  def pairsAgainstIndexWithBound(spark: SparkSession, newDocs: DataFrame,
+      path: String, num: Int, den: Int,
+      batchRows: Option[Long] = None,
+      maxBatchExclusive: Option[Long] = None): (DataFrame, Option[Long]) = {
     require(num > 0 && num <= den, s"threshold must be in (0,1]: $num/$den")
     GraftFunctions.register(spark)
     val (bNum, bDen) = readMeta(spark, path)
@@ -636,14 +682,13 @@ object PrefixFilterJoin {
           case _ => Long.MaxValue
         }
       }
-    // observability breadcrumb (also the guard spec's handle): the bound
-    // the serve just computed, "inf" when the guard was voided.
-    // BEST-EFFORT DEBUG ONLY — the conf is session-global, so two serves
-    // planned concurrently on one SparkSession race on it and a reader
-    // can observe the other serve's bound. The bound never feeds back
-    // into planning (candSide captures `candBound` by value), so the
-    // race affects observability alone; tests that read it run serves
-    // one-at-a-time.
+    // observability breadcrumb: the bound the serve just computed, "inf"
+    // when the guard was voided. BEST-EFFORT DEBUG ONLY — the conf is
+    // session-global, so two serves planned concurrently on one
+    // SparkSession race on it and a reader can observe the other serve's
+    // bound. The bound never feeds back into planning (candSide captures
+    // `candBound` by value) and programmatic consumers get it from this
+    // method's return value, so the race affects the breadcrumb alone.
     spark.conf.set("spark.graft.ppjoin.lastServeCandidateBound",
       if (candBound == Long.MaxValue) "inf" else candBound.toString)
     def candSide(df: DataFrame): DataFrame =
@@ -661,12 +706,13 @@ object PrefixFilterJoin {
         uBound >= oReq)
       .select(col("new_id"), col("old_id"))
       .dropDuplicates("new_id", "old_id")
-    corpusSets
+    val pairs = corpusSets
       .join(candSide(candidates), Seq("old_id"))
       .join(batchSets.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
         Seq("new_id"))
       .select(col("new_id"), col("old_id"),
         GraftFunctions.sorted_set_jaccard(col("sh_n"), col("sh_o")).as("jaccard"))
       .filter(col("jaccard") >= lit(threshold))
+    (pairs, if (candBound == Long.MaxValue) None else Some(candBound))
   }
 }

@@ -53,8 +53,25 @@ sealed trait GraftFormat {
     */
   def appendable: Boolean
 
-  /** Streaming single-file writer; rows arrive in `schema` order. */
+  /** Streaming single-file writer; rows arrive in `schema` order.
+    * Resolves session-tunable layout knobs (parquet row-group size) via
+    * the calling thread's SQLConf — correct for every DRIVER-side caller
+    * (DML rewrites, compaction, DV materialization). Executor-side
+    * writers must use the 3-arg overload with a driver-resolved value:
+    * `SQLConf.get` on an executor thread silently misses session
+    * overrides, the exact environment-dependent-layout failure the
+    * vacuous row-group A/B exposed in r14.
+    */
   def newWriter(path: Path, schema: StructType): GraftFormat.RowWriter
+
+  /** [[newWriter]] with the parquet row-group size RESOLVED BY THE
+    * DRIVER (see [[GraftFormat.resolvedParquetRowGroupBytes]]) and
+    * shipped through the writer factory. Formats without the knob
+    * ignore it.
+    */
+  def newWriter(path: Path, schema: StructType,
+      parquetRowGroupBytes: Long): GraftFormat.RowWriter =
+    newWriter(path, schema)
 
   /** All PHYSICAL rows of `path` in file order (no deletion-vector
     * subtraction — the caller owns ordinals), bound to `required` under
@@ -99,6 +116,29 @@ object GraftFormat {
 
   /** Property-map copy of [[hadoopConf]] — no XML re-parse. */
   def confCopy(): Configuration = new Configuration(hadoopConf)
+
+  /** `spark.graft.parquet.rowGroupBytes` resolved ON THE DRIVER and
+    * validated FAIL-FAST: a malformed value (units like "64m", zero,
+    * negative) throws at write planning instead of silently writing
+    * default-size row groups — the layout knob's effect must never be
+    * environment-dependent (executor-side `SQLConf.get` misses session
+    * overrides, and a swallowed parse error is indistinguishable from
+    * "knob off"). Callers resolve once per write and plumb the value to
+    * task writers via the 3-arg `newWriter`.
+    */
+  def resolvedParquetRowGroupBytes(): Long = {
+    val key = "spark.graft.parquet.rowGroupBytes"
+    val raw = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(key, ParquetWriter.DEFAULT_BLOCK_SIZE.toString)
+    val n =
+      try raw.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be a plain byte count (no unit suffixes), got '$raw'")
+      }
+    require(n > 0, s"$key must be positive, got $n")
+    n
+  }
 
   trait RowWriter {
     def write(row: InternalRow): Unit
@@ -240,7 +280,17 @@ case object ParquetFormat extends GraftFormat {
     * types (optional BINARY(UTF8)/INT64/INT32/DOUBLE/BOOLEAN), so files
     * from either writer generation read back byte-equivalently.
     */
+  /** Driver-side entry: resolves (and fail-fast validates) the
+    * row-group knob off the calling thread's SQLConf. All call sites of
+    * this arity are driver-side maintenance/DML paths; the DSv2 sink's
+    * task writers receive the driver-resolved value via the 3-arg
+    * overload instead.
+    */
   override def newWriter(path: Path, schema: StructType): GraftFormat.RowWriter =
+    newWriter(path, schema, GraftFormat.resolvedParquetRowGroupBytes())
+
+  override def newWriter(path: Path, schema: StructType,
+      parquetRowGroupBytes: Long): GraftFormat.RowWriter =
     new GraftFormat.RowWriter {
       messageType(schema) // type-contract validation, fail at open
       private val writer: ParquetWriter[InternalRow] = {
@@ -258,19 +308,12 @@ case object ParquetFormat extends GraftFormat {
         conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "true")
         // row-group size is a layout knob (smaller groups = finer
         // row-group-level stats skipping at scan time, more footer
-        // overhead); default is parquet's 128 MB. Session-tunable so
-        // ingest jobs can trade footer size for skip granularity —
-        // falls back to the default off a SQL session (bare tooling).
-        val rowGroupBytes =
-          try org.apache.spark.sql.internal.SQLConf.get
-            .getConfString("spark.graft.parquet.rowGroupBytes",
-              ParquetWriter.DEFAULT_BLOCK_SIZE.toString).toLong
-          catch { case _: Exception => ParquetWriter.DEFAULT_BLOCK_SIZE.toLong }
+        // overhead); default is parquet's 128 MB.
         new GraftInternalRowWriterBuilder(
             new org.apache.hadoop.fs.Path(path.toUri))
           .withConf(conf)
           .withCompressionCodec(CompressionCodecName.SNAPPY)
-          .withRowGroupSize(rowGroupBytes)
+          .withRowGroupSize(parquetRowGroupBytes)
           .build()
       }
       override def write(row: InternalRow): Unit = writer.write(row)

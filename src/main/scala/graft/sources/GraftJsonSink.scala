@@ -521,7 +521,11 @@ private[sources] class GraftJsonBatchWrite(
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftJsonWriterFactory(path, schema, failPartitionOnce, partitionCol, format)
+    // layout knobs resolve HERE, on the driver, where the session's
+    // SQLConf is visible — task writers get the value by serialization
+    // (executor-side SQLConf.get silently misses session overrides)
+    new GraftJsonWriterFactory(path, schema, failPartitionOnce, partitionCol,
+      format, GraftFormat.resolvedParquetRowGroupBytes())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
@@ -663,7 +667,9 @@ private class GraftJsonWriterFactory(
     schema: StructType,
     failPartitionOnce: Option[Int],
     partitionCol: Option[String] = None,
-    format: GraftFormat = JsonFormat) extends DataWriterFactory {
+    format: GraftFormat = JsonFormat,
+    parquetRowGroupBytes: Long = GraftFormat.resolvedParquetRowGroupBytes())
+  extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val tmpDir = Paths.get(path, "_tmp")
@@ -673,11 +679,13 @@ private class GraftJsonWriterFactory(
     partitionCol match {
       case Some(colName) =>
         new GraftJsonPartitionedDataWriter(
-          tmpDir, schema, partitionId, taskId, colName, failNow, format)
+          tmpDir, schema, partitionId, taskId, colName, failNow, format,
+          parquetRowGroupBytes)
       case None =>
         val tmpFile = tmpDir.resolve(
           f"attempt-$partitionId%05d-$taskId.${format.ext}")
-        new GraftJsonDataWriter(tmpFile, schema, partitionId, taskId, failNow, format)
+        new GraftJsonDataWriter(tmpFile, schema, partitionId, taskId, failNow,
+          format, parquetRowGroupBytes)
     }
   }
 }
@@ -695,7 +703,10 @@ private class GraftJsonPartitionedDataWriter(
     taskId: Long,
     partitionCol: String,
     failNow: Boolean,
-    format: GraftFormat = JsonFormat) extends DataWriter[InternalRow] {
+    format: GraftFormat,
+    // resolved by the DRIVER in createBatchWriterFactory — never default
+    // this executor-side (SQLConf.get there misses session overrides)
+    parquetRowGroupBytes: Long) extends DataWriter[InternalRow] {
 
   private val ordinal = schema.fieldIndex(partitionCol)
   private val dt = schema(ordinal).dataType
@@ -740,7 +751,7 @@ private class GraftJsonPartitionedDataWriter(
         lru.out.close(); lru.out = null
         open.remove(lru)
       }
-      slot.out = format.newWriter(slot.tmpFile, schema)
+      slot.out = format.newWriter(slot.tmpFile, schema, parquetRowGroupBytes)
       open.add(slot)
     }
     tick += 1; slot.stamp = tick
@@ -795,9 +806,11 @@ private class GraftJsonDataWriter(
     partitionId: Int,
     taskId: Long,
     failNow: Boolean,
-    format: GraftFormat = JsonFormat) extends DataWriter[InternalRow] {
+    format: GraftFormat,
+    // driver-resolved — see GraftJsonPartitionedDataWriter's note
+    parquetRowGroupBytes: Long) extends DataWriter[InternalRow] {
 
-  private val out = format.newWriter(tmpFile, schema)
+  private val out = format.newWriter(tmpFile, schema, parquetRowGroupBytes)
   private var rows = 0L
   // min/max/null-count per column, folded in while rendering — the same
   // single pass over the data the write already makes

@@ -98,6 +98,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("relabel shuffle fallback (conf'd broadcast ceiling) is answer-identical") {
+    import spark.implicits._
+    // force the relabel map past the conf'd ceiling so the standing
+    // relabel join takes the shuffle path — the answer must not move
+    val standing = ConnectedComponents.run(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst"))
+    val batch = Seq((99L, 3L), (99L, 10L)).toDF("src", "dst")
+    def result(): Map[Long, Long] =
+      ConnectedComponents.incremental(standing, batch)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val broadcastAnswer = result()
+    spark.conf.set("spark.graft.cc.relabelBroadcastMaxRows", "0")
+    try assert(result() == broadcastAnswer,
+      "shuffle-relabel fallback diverged from the broadcast path")
+    finally spark.conf.unset("spark.graft.cc.relabelBroadcastMaxRows")
+  }
+
   test("partitioning-independent") {
     import spark.implicits._
     val rng = new scala.util.Random(5)

@@ -145,6 +145,60 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
       PrefixFilterJoin.writeIndex(boiler, idx2, 1, 2)
       assert(stored(idx2) == truth,
         "run-length pstats diverged under forced file splits")
+      // the derivation neutralizes the split confs internally — they must
+      // be RESTORED to the session's (forced) values afterwards
+      assert(spark.conf.get("spark.sql.files.maxPartitionBytes") == "2048")
+      assert(spark.conf.get("spark.sql.files.openCostInBytes") == "256")
+
+      // Hostile packing regime (ADVICE r15): multi-row-group prefix
+      // files large enough that honoring the session's 2 KB splits CUTS
+      // files into several chunks — the regime where Spark bin-packs a
+      // split file's final chunk behind other files and the old
+      // per-PARTITION boundary rule could silently drop an interior run
+      // piece. The walk reads with splitting neutralized (whole files,
+      // per-FILE-stretch boundaries), so it must stay exact here too.
+      val hc = spark.sparkContext.hadoopConfiguration
+      val oldBlock = Option(hc.get("parquet.block.size"))
+      val oldPage = Option(hc.get("parquet.page.size"))
+      hc.setInt("parquet.block.size", 4096)
+      hc.setInt("parquet.page.size", 1024)
+      val idx3 = java.nio.file.Files.createTempDirectory("graft_pp_pstats3").toString
+      try {
+        val big = (0 until 3000).map { i =>
+          (i.toLong,
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+              s"lambda mu tail$i")
+        }.toDF("doc_id", "text")
+        PrefixFilterJoin.writeIndex(big, idx3, 1, 2)
+        val bigTruth = spark.read.parquet(s"$idx3/prefix/batch=-1")
+          .groupBy(col("h")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > PrefixFilterJoin.ServeCandidateHotFloor)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(bigTruth.nonEmpty)
+        assert(stored(idx3) == bigTruth,
+          "run-length pstats diverged on multi-row-group files under forced splits")
+        // prove the fixture discriminates: the artifact really has
+        // multi-row-group files, and an honest split-honoring read
+        // produces MORE partitions than files (i.e. the session confs
+        // demanded mid-file cuts the derivation had to be immune to)
+        val prefixDir = new java.io.File(s"$idx3/prefix/batch=-1")
+        val files = prefixDir.listFiles().filter(_.getName.endsWith(".parquet"))
+        val maxGroups = files.map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), hc))
+          try r.getFooter.getBlocks.size() finally r.close()
+        }.max
+        assert(maxGroups > 1, "fixture must produce multi-row-group files")
+        assert(spark.read.parquet(s"$idx3/prefix/batch=-1")
+          .rdd.getNumPartitions > files.length,
+          "fixture must make the session confs actually split files")
+      } finally {
+        oldBlock.fold(hc.unset("parquet.block.size"))(
+          hc.set("parquet.block.size", _))
+        oldPage.fold(hc.unset("parquet.page.size"))(
+          hc.set("parquet.page.size", _))
+      }
     } finally {
       spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
       spark.conf.set("spark.sql.files.openCostInBytes", oldOpen)
@@ -166,10 +220,15 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
     PrefixFilterJoin.appendIndex(corpus(8 until 16), idx, batchId = 1L)
     PrefixFilterJoin.appendIndex(corpus(16 until 24), idx, batchId = 2L)
     val batch = Seq((1000L, "x y z x")).toDF("doc_id", "text")
-    val served = PrefixFilterJoin.pairsAgainstIndex(spark, batch, idx, 1, 2)
+    val (served, boundOpt) =
+      PrefixFilterJoin.pairsAgainstIndexWithBound(spark, batch, idx, 1, 2)
     assert(served.count() == 24L, "every corpus doc shares 2 of 3 shingles (j=2/3)")
-    val bound = spark.conf.get("spark.graft.ppjoin.lastServeCandidateBound")
-    assert(bound != "inf", "this serve is broadcastable — the guard must engage")
+    assert(boundOpt.nonEmpty, "this serve is broadcastable — the guard must engage")
+    val bound = boundOpt.get
+    // the session-global breadcrumb mirrors the returned value when
+    // serves run one-at-a-time (the only regime where reading it is valid)
+    assert(spark.conf.get("spark.graft.ppjoin.lastServeCandidateBound")
+      == bound.toString)
     // independently computed upper bound the formula claims: Σ_h m_h·n_h
     // with m_h over ALL batch shingle occurrences and n_h the corpus
     // PREFIX posting count across every partition
@@ -182,7 +241,7 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
       .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     assert(trueUpper > PrefixFilterJoin.ServeCandidateHotFloor * 2,
       "fixture must exceed the single-partition charge or the test discriminates nothing")
-    assert(bound.toLong >= trueUpper,
+    assert(bound >= trueUpper,
       s"candidate bound $bound under-counts the true fanout $trueUpper")
   }
 
@@ -202,10 +261,10 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
     PrefixFilterJoin.appendIndex(corpus(32 until 64), idx, batchId = 1L)
     PrefixFilterJoin.appendIndex(corpus(64 until 96), idx, batchId = 2L)
     val batch = Seq((1000L, "x y z x")).toDF("doc_id", "text")
-    val served = PrefixFilterJoin.pairsAgainstIndex(spark, batch, idx, 1, 2)
+    val (served, boundOpt) =
+      PrefixFilterJoin.pairsAgainstIndexWithBound(spark, batch, idx, 1, 2)
     assert(served.count() == 96L)
-    val bound = spark.conf
-      .get("spark.graft.ppjoin.lastServeCandidateBound").toLong
+    val bound = boundOpt.getOrElse(fail("guard must engage on a trickle serve"))
     // true fanout: Σ_h m_h·n_h over the corpus prefix
     val n = spark.read.parquet(s"$idx/prefix")
       .groupBy(col("h")).agg(count(lit(1)).as("n"))
@@ -244,12 +303,13 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/pstats/batch=1.bak"))
-    val served = pairSet(
-      PrefixFilterJoin.pairsAgainstIndex(spark, newDocs, idx, 4, 5))
-    assert(served == bruteMixed(4, 5),
+    val (servedDf, boundOpt) =
+      PrefixFilterJoin.pairsAgainstIndexWithBound(spark, newDocs, idx, 4, 5)
+    assert(pairSet(servedDf) == bruteMixed(4, 5),
       "off-contract layout must degrade, never change the answer")
-    assert(spark.conf.get("spark.graft.ppjoin.lastServeCandidateBound") == "inf",
+    assert(boundOpt.isEmpty,
       "unparseable batch dir must void the bound (shuffle_hash), not crash")
+    assert(spark.conf.get("spark.graft.ppjoin.lastServeCandidateBound") == "inf")
   }
 
   test("legacy flat-layout indexes (no batch dirs, no pstats) serve unchanged") {

@@ -254,6 +254,34 @@ class FileSkippingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE skipcat.ns.rn")
   }
 
+  test("malformed rowGroupBytes fails fast at write planning, never silently defaults") {
+    import spark.implicits._
+    // a unit-suffixed or non-positive value once fell through a
+    // catch-all to default-size groups — the layout knob's effect became
+    // environment-dependent and unverifiable (the vacuous-A/B failure
+    // mode). The driver-side resolver must throw instead.
+    spark.sql("CREATE TABLE skipcat.ns.rgbad (id BIGINT) " +
+      "TBLPROPERTIES('format'='parquet')")
+    try {
+      for (bad <- Seq("64m", "0", "-1")) {
+        spark.conf.set("spark.graft.parquet.rowGroupBytes", bad)
+        try {
+          val e = intercept[Exception] {
+            Seq(1L, 2L).toDF("id").writeTo("skipcat.ns.rgbad").append()
+          }
+          def chain(t: Throwable): Seq[Throwable] =
+            if (t == null) Nil else t +: chain(t.getCause)
+          assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+            c.getMessage.contains("rowGroupBytes")),
+            s"'$bad' must fail fast with a clear message, got $e")
+        } finally spark.conf.unset("spark.graft.parquet.rowGroupBytes")
+      }
+      // and a well-formed value still writes
+      Seq(1L, 2L).toDF("id").writeTo("skipcat.ns.rgbad").append()
+      assert(spark.table("skipcat.ns.rgbad").count() == 2)
+    } finally spark.sql("DROP TABLE skipcat.ns.rgbad")
+  }
+
   test("row groups skip INSIDE a kept parquet file") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
