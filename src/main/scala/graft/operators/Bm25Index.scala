@@ -163,9 +163,19 @@ object Bm25Index {
     * vocabulary that holds no query term. Corpus constants (N, Σdl) come
     * from the metadata-tiny stats partitions; everything batch-sized is
     * broadcast. Nothing in the serve re-reads document text.
+    *
+    * `maxBatchExclusive` restricts the served corpus to strictly-earlier
+    * batch partitions — the filter a serve running WHILE a stream
+    * ingests uses to keep a half-landed (index written, checkpoint
+    * commit missed) micro-batch invisible: pass the last
+    * checkpoint-COMMITTED batch id + 1 (see Bm25IndexStream). The cut
+    * applies to all three artifacts, so (tf, df, N, Σdl) stay mutually
+    * consistent — scores equal a fresh index built on exactly the
+    * earlier batches. None serves everything.
     */
   def topK(spark: SparkSession, path: String,
-      queries: Seq[(Long, String)], k: Int): DataFrame = {
+      queries: Seq[(Long, String)], k: Int,
+      maxBatchExclusive: Option[Long] = None): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
     import spark.implicits._
     val qdf = queries.toDF("query_id", "term")
@@ -173,19 +183,98 @@ object Bm25Index {
     val pruneLimit = spark.conf
       .getOption("spark.graft.bm25.serveTermPruneLimit")
       .map(_.toInt).getOrElse(DefaultServeTermPruneLimit)
+    def cut(df: DataFrame): DataFrame = maxBatchExclusive match {
+      case Some(b) => df.filter(col("batch") < b)
+      case None => df
+    }
     // scan-pushed In prune for human-scale query batches; bulk batches
     // prune via a broadcast semi-join on the same sorted scan
     def pruned(df: DataFrame): DataFrame =
       if (terms.size <= pruneLimit) df.filter(col("term").isInCollection(terms))
       else df.join(broadcast(qdf.select(col("term")).distinct()),
         Seq("term"), "left_semi")
-    val tf = pruned(spark.read.parquet(s"$path/postings"))
+    val tf = pruned(cut(spark.read.parquet(s"$path/postings")))
     // global df = sum of per-batch dfs (doc ids disjoint across batches)
-    val dfreq = pruned(spark.read.parquet(s"$path/df"))
+    val dfreq = pruned(cut(spark.read.parquet(s"$path/df")))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     // global corpus constants: sums over the per-batch one-row stats
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = cut(spark.read.parquet(s"$path/stats"))
       .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum"))
     scoreTopK(tf, dfreq, stats, qdf, k)
+  }
+
+  /** Consolidate an append-only index into a fresh directory: batches up
+    * to `throughBatch` fold into ONE `batch=-1` partition set per
+    * artifact (postings re-range-sorted at `width` output files, df
+    * deltas collapsed to per-term sums, stats to one row); batches
+    * beyond the watermark are carried over unchanged, partition for
+    * partition — the same maintenance shape as NearDupLsh.compactIndex.
+    * A long-running ingest stream otherwise accumulates one
+    * postings/df/stats partition triple per micro-batch forever, and the
+    * serve's per-partition listing + df re-aggregation cost grows
+    * without bound.
+    *
+    * Crash-safe by construction: the source index is never mutated; the
+    * caller swaps the serve/stream path to `targetPath` after the write
+    * completes. `batch=-1` sorts before every real micro-batch id, so a
+    * stream resuming from its existing checkpoint keeps appending under
+    * its own ids, and a serve's `maxBatchExclusive` filter behaves
+    * identically on the compacted index.
+    *
+    * `throughBatch` MUST be the last checkpoint-COMMITTED batch when a
+    * stream feeds this index (the default folds everything — safe only
+    * after a clean stop): folding a crashed batch's partial partitions
+    * into `batch=-1` would bake a half-landed batch into the committed
+    * bootstrap, where no strictly-earlier filter can exclude it. With
+    * the watermark, uncommitted partitions carry over under their own
+    * ids — each artifact's own tail, so a crash window that landed
+    * postings but not df/stats carries exactly what exists — and the
+    * redelivered batch still OVERWRITES them at the new path.
+    */
+  def compactIndex(spark: SparkSession, path: String, targetPath: String,
+      width: Int = 0, throughBatch: Long = Long.MaxValue): Unit = {
+    // compaction sources are already-on-disk narrow scans, so the range
+    // partitioner's sampling pass re-reading them is cheap — no staging
+    // (unlike writeSortedByTerm, whose input is a tokenize+aggregate)
+    def sortedWrite(rows: DataFrame, targetDir: String): Unit = {
+      val ranged =
+        if (width > 0) rows.repartitionByRange(width, col("term"))
+        else rows.repartitionByRange(col("term"))
+      ranged.sortWithinPartitions(col("term"))
+        .write.mode("overwrite").parquet(targetDir)
+    }
+    // per-artifact tails: a crash window can leave a batch with postings
+    // landed but df/stats missing — carry exactly what exists
+    def tailIds(df: DataFrame): Seq[Long] = df
+      .filter(col("batch") > throughBatch)
+      .select(col("batch")).distinct()
+      .collect().toSeq.map(_.getAs[Number](0).longValue)
+    val postings = spark.read.parquet(s"$path/postings")
+    val dfreq = spark.read.parquet(s"$path/df")
+    val stats = spark.read.parquet(s"$path/stats")
+    sortedWrite(postings.filter(col("batch") <= throughBatch)
+      .select(col("term"), col("doc_id"), col("dl"), col("tf")),
+      s"$targetPath/postings/batch=-1")
+    sortedWrite(dfreq.filter(col("batch") <= throughBatch)
+      .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      s"$targetPath/df/batch=-1")
+    stats.filter(col("batch") <= throughBatch)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        sum(col("dl_sum")).as("dl_sum"))
+      .write.mode("overwrite").parquet(s"$targetPath/stats/batch=-1")
+    tailIds(postings).foreach { b =>
+      sortedWrite(postings.filter(col("batch") === b)
+        .select(col("term"), col("doc_id"), col("dl"), col("tf")),
+        s"$targetPath/postings/batch=$b")
+    }
+    tailIds(dfreq).foreach { b =>
+      sortedWrite(dfreq.filter(col("batch") === b)
+        .select(col("term"), col("df")),
+        s"$targetPath/df/batch=$b")
+    }
+    tailIds(stats).foreach { b =>
+      stats.filter(col("batch") === b).select(col("n"), col("dl_sum"))
+        .write.mode("overwrite").parquet(s"$targetPath/stats/batch=$b")
+    }
   }
 }

@@ -105,5 +105,32 @@ object Retrieval {
           batchId = 0L)
         Bm25Index.topK(s, idx, queryTerms, k = 5)
       },
+      Some(bm25Oracle)),
+
+    // The full MAINTENANCE lifecycle: build on half the corpus, stream
+    // the other half in as 3 micro-batches (Bm25IndexStream: foreachBatch
+    // → appendIndex OVERWRITE into batch=<id>), compact the committed
+    // history into batch=-1 at a fresh path (watermark = last committed
+    // batch), then serve from the COMPACTED index. The oracle is the
+    // INLINE full-corpus BM25, so a green row proves the whole
+    // build→stream-append→compact→serve chain is bit-identical to a
+    // one-shot recompute: per-batch df/stats sums reconstruct global
+    // constants exactly (disjoint ids), compaction's folds preserve
+    // them, and the shared scoreTopK tree does the rest.
+    GraftQuery(
+      "txt_bm25_stream",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_bm25_stream_gate").toString
+        Bm25Index.writeIndex(docs.filter(col("doc_id") % 2 === 0), s"$root/idx")
+        graft.streaming.Bm25IndexStream.runToCompletion(
+          s, docs.filter(col("doc_id") % 2 =!= 0), k = 3,
+          indexPath = s"$root/idx", checkpoint = s"$root/ckpt")
+        Bm25Index.compactIndex(s, s"$root/idx", s"$root/idx2",
+          width = 4, throughBatch = 2L)
+        Bm25Index.topK(s, s"$root/idx2", queryTerms, k = 5)
+      },
       Some(bm25Oracle)))
 }

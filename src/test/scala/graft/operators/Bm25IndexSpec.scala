@@ -73,6 +73,69 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(first.sameElements(inlineTopK(docs, k = 5)))
   }
 
+  test("crash-window redelivery completes a partial batch (postings landed, df/stats missing)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_crash").toString
+    Bm25Index.writeIndex(docs.filter(col("doc_id") % 10 =!= 7), idx)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    Bm25Index.appendIndex(batch, idx, batchId = 0L)
+    val truth = served(idx, k = 5)
+    // crash between the postings write and the df/stats writes: the
+    // sidecars vanish, the postings partition stays
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/df/batch=0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/stats/batch=0"), true)
+    // the strictly-earlier filter keeps the half-landed batch invisible:
+    // a serve cut at batch 0 equals a fresh index on the bootstrap alone
+    val bootIdx = java.nio.file.Files.createTempDirectory("graft_bm25_boot").toString
+    Bm25Index.writeIndex(docs.filter(col("doc_id") % 10 =!= 7), bootIdx)
+    assert(Bm25Index.topK(spark, idx, queries, 5, maxBatchExclusive = Some(0L))
+      .orderBy(col("query_id"), col("rank")).collect()
+      .sameElements(served(bootIdx, k = 5)),
+      "maxBatchExclusive must hide a half-landed batch consistently")
+    // redelivery under the same id completes the batch exactly
+    Bm25Index.appendIndex(batch, idx, batchId = 0L)
+    assert(served(idx, k = 5).sameElements(truth),
+      "a redelivered crash-window batch must complete, not corrupt")
+  }
+
+  test("compaction folds committed batches without changing any serve; the watermark carries the tail") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_cpt").toString
+    Bm25Index.writeIndex(docs.filter(col("doc_id") % 3 === 0), idx)
+    Bm25Index.appendIndex(docs.filter(col("doc_id") % 3 === 1), idx, batchId = 0L)
+    Bm25Index.appendIndex(docs.filter(col("doc_id") % 3 === 2), idx, batchId = 1L)
+    val full = served(idx, k = 10)
+    // full fold (clean stop): one batch=-1 partition set per artifact,
+    // identical serve
+    val cptAll = java.nio.file.Files.createTempDirectory("graft_bm25_cpt_all").toString
+    Bm25Index.compactIndex(spark, idx, cptAll, width = 2)
+    assert(served(cptAll, k = 10).sameElements(full),
+      "full compaction changed the served answer")
+    def batchDirs(root: String, art: String): Set[String] = {
+      val d = new java.io.File(s"$root/$art")
+      d.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    }
+    for (art <- Seq("postings", "df", "stats"))
+      assert(batchDirs(cptAll, art) == Set("batch=-1"),
+        s"full fold must leave one $art partition")
+    // watermarked fold (stream still running): batch 1 carries over
+    // under its own id; serves — whole and strictly-earlier-cut — are
+    // unchanged vs the uncompacted index
+    val cptW = java.nio.file.Files.createTempDirectory("graft_bm25_cpt_w").toString
+    Bm25Index.compactIndex(spark, idx, cptW, width = 2, throughBatch = 0L)
+    for (art <- Seq("postings", "df", "stats"))
+      assert(batchDirs(cptW, art) == Set("batch=-1", "batch=1"),
+        s"watermark must carry the uncommitted $art tail")
+    assert(served(cptW, k = 10).sameElements(full),
+      "watermarked compaction changed the served answer")
+    val cutBefore = Bm25Index.topK(spark, idx, queries, 10, maxBatchExclusive = Some(1L))
+      .orderBy(col("query_id"), col("rank")).collect()
+    val cutAfter = Bm25Index.topK(spark, cptW, queries, 10, maxBatchExclusive = Some(1L))
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(cutAfter.sameElements(cutBefore),
+      "the strictly-earlier cut must behave identically on the compacted index")
+  }
+
   test("oversized query batches prune via semi-join, identically") {
     val idx = java.nio.file.Files.createTempDirectory("graft_bm25_semi").toString
     Bm25Index.writeIndex(docs, idx)
