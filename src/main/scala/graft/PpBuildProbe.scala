@@ -118,6 +118,7 @@ object PpBuildProbe {
           f"shuf ${sh}%6d MB  spill mem/disk $mem%6d/$dsk%6d MB  $phase")
       }
       reclaim(dir, operators.NearDupLsh.statsPath(dir),
+        operators.NearDupLsh.hotStatsPath(dir),
         operators.NearDupLsh.bandsPath(dir))
     }
     spark.stop()

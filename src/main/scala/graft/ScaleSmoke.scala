@@ -366,6 +366,7 @@ object ScaleSmoke {
     require(nIncBig >= nDocs / 10,
       s"oversized-batch serve lost standing twins: $nIncBig")
     reclaim(lshIdxDir, operators.NearDupLsh.statsPath(lshIdxDir),
+      operators.NearDupLsh.hotStatsPath(lshIdxDir),
       operators.NearDupLsh.bandsPath(lshIdxDir), incBatchDir, bigBatchDir)
     // streaming near-dup ingest: the corpus arrives as k micro-batches
     // through NearDupIndexStream.applyBatch against a growing index —

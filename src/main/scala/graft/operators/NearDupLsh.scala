@@ -42,6 +42,23 @@ object NearDupLsh {
     */
   val DefaultMaxBucket = 4096
 
+  /** Delta floor separating the hot-stats sidecar's stored rows from the
+    * truncated tail (see [[hotStatsPath]]): a per-batch bucket delta must
+    * exceed this many docs to be stored. The sidecar-derived skip list is
+    * therefore a CONFIDENT SUBSET of the exact over-cap set: every listed
+    * bucket's stored sum already exceeds the cap (no false skips — the
+    * answer-identical direction, since skipping loses candidates), while
+    * a bucket can evade the list only if every one of its deltas stayed
+    * at or under the floor, bounding its true size by floor × batches
+    * since the last compaction — at the 4096 default cap and floor 8
+    * that is 512+ consecutive micro-batches before a barely-over-cap
+    * bucket could hide, and the degenerate cliques the guard exists for
+    * (thousands of identical docs) post per-batch deltas far above any
+    * floor. Compaction folds EXACT totals back into the sidecar, so the
+    * drift resets with every maintenance cycle.
+    */
+  val HotStatsFloor: Long = 8L
+
   /** Catastrophe-tier sampling rate and seed (see `pairs`): 1% of docs
     * estimate band-bucket sizes pre-shuffle. Seeded so the sampled
     * key-drop set — and therefore the operator's output — is
@@ -278,10 +295,32 @@ object NearDupLsh {
 
   private def writeSidecars(bands: DataFrame, path: String, batchId: Long,
       append: Boolean): Unit = {
+    val spark = bands.sparkSession
     val mode = if (append) "append" else "overwrite"
-    bands
+    val stats = bands
       .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
-      .write.mode(mode).parquet(s"${statsPath(path)}/batch=$batchId")
+    if (append) {
+      // bootstrap appends accumulate into batch=-1, so the hot subset
+      // must see ONLY this ingest's delta rows — stage the aggregate
+      // once and fan both sidecars out from the narrow read-back (one
+      // aggregation either way; a read-back of the stats partition
+      // would double-count earlier appends' hot rows)
+      val staging = s"${statsPath(path)}/.staging-${java.util.UUID.randomUUID()}"
+      stats.write.mode("overwrite").parquet(staging)
+      val rb = spark.read.parquet(staging)
+      rb.write.mode("append").parquet(s"${statsPath(path)}/batch=$batchId")
+      rb.filter(col("n") > HotStatsFloor)
+        .write.mode("append").parquet(s"${hotStatsPath(path)}/batch=$batchId")
+      val sp = new org.apache.hadoop.fs.Path(staging)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    } else {
+      stats.write.mode(mode).parquet(s"${statsPath(path)}/batch=$batchId")
+      // hot sidecar from the just-written partition: a narrow int-column
+      // read-back, never a second aggregation over the bands
+      spark.read.parquet(s"${statsPath(path)}/batch=$batchId")
+        .filter(col("n") > HotStatsFloor)
+        .write.mode(mode).parquet(s"${hotStatsPath(path)}/batch=$batchId")
+    }
     bands
       .select(col("doc_id"), bandKey(col("band_hash"), col("band")).as("bk"))
       .repartitionByRange(col("bk"))
@@ -295,6 +334,19 @@ object NearDupLsh {
   def statsPath(path: String): String = path + "_stats"
 
   def bandsPath(path: String): String = path + "_bands"
+
+  /** The Zipf-tail-truncated flavor of the stats sidecar: per-batch
+    * (band, band_hash, n) deltas with n > [[HotStatsFloor]] ONLY — on a
+    * non-degenerate corpus (bucket deltas of 1-2 docs) this is near
+    * empty, so the per-batch hot-bucket derivation a streaming ingest
+    * runs reads a tiny relation instead of O(batches × buckets) rows of
+    * accumulated deltas (measured: the full-stats aggregate was one of
+    * the two O(index) terms in the ~3.2 s per million standing docs
+    * ingest growth — bench/stream_lsh_probe_r14.md). The full stats
+    * sidecar still lands untruncated beside it for exact consumers
+    * (readBucketStats, compaction folds).
+    */
+  def hotStatsPath(path: String): String = path + "_stats_hot"
 
   /** Consolidate an append-only index into a fresh directory: batches
     * up to `throughBatch` land in ONE `batch=-1` partition set
@@ -358,11 +410,21 @@ object NearDupLsh {
     stats.filter(col("batch") <= throughBatch)
       .groupBy(col("band"), col("band_hash")).agg(sum(col("n")).as("n"))
       .write.mode("overwrite").parquet(s"${statsPath(targetPath)}/batch=-1")
+    // hot sidecar from the EXACT folded totals (not the source sidecar's
+    // truncated deltas): compaction is where the floor × batches evasion
+    // bound resets — a bucket whose small per-batch deltas summed past
+    // the floor is stored exactly from here on (see HotStatsFloor). Also
+    // migrates legacy indexes (no sidecar) onto the O(hot tail) path.
+    spark.read.parquet(s"${statsPath(targetPath)}/batch=-1")
+      .filter(col("n") > HotStatsFloor)
+      .write.mode("overwrite").parquet(s"${hotStatsPath(targetPath)}/batch=-1")
     bands.filter(col("batch") <= throughBatch)
       .select(col("doc_id"), col("bk"))
       .repartitionByRange(col("bk")).sortWithinPartitions(col("bk"))
       .write.mode("overwrite").parquet(s"${bandsPath(targetPath)}/batch=-1")
     // uncommitted tail: carry each partition through under its own id
+    // (the hot tail re-derives from the carried stats delta — identical
+    // truncation, and it uniformly covers sources missing the sidecar)
     val tail = all.filter(col("batch") > throughBatch)
       .select(col("batch")).distinct().collect().map(_.getAs[Number](0).longValue)
     tail.foreach { b =>
@@ -371,6 +433,9 @@ object NearDupLsh {
       stats.filter(col("batch") === b)
         .select(col("band"), col("band_hash"), col("n"))
         .write.mode("overwrite").parquet(s"${statsPath(targetPath)}/batch=$b")
+      stats.filter(col("batch") === b && col("n") > HotStatsFloor)
+        .select(col("band"), col("band_hash"), col("n"))
+        .write.mode("overwrite").parquet(s"${hotStatsPath(targetPath)}/batch=$b")
       bands.filter(col("batch") === b).select(col("doc_id"), col("bk"))
         .write.mode("overwrite").parquet(s"${bandsPath(targetPath)}/batch=$b")
     }
@@ -385,11 +450,62 @@ object NearDupLsh {
     * — the skip list for a guarded incremental batch. Tiny by
     * definition: a key lands here only when thousands of corpus docs
     * share all 4 of the band's minima (mass-duplicated boilerplate).
+    *
+    * Sourced from the truncated hot-stats sidecar when the layout is
+    * complete — an O(hot tail) read instead of re-aggregating every
+    * accumulated per-batch delta (the streaming ingest's former O(index)
+    * floor term); the derived list is a confident subset of the exact
+    * one (see [[HotStatsFloor]] for the bound). Falls back to the exact
+    * full-stats aggregate when the sidecar is absent (legacy index) or
+    * any served stats partition lacks its hot partition (a pre-upgrade
+    * batch, or an unparseable batch dir) — the always-correct path.
+    *
+    * `maxBatchExclusive` restricts to strictly-earlier batch partitions
+    * — the stream's replay filter; the layout-consistency check applies
+    * to exactly the served cut, so a half-upgraded index still serves
+    * the earlier-batch decision identically on every replay.
     */
-  def hotBuckets(spark: SparkSession, path: String, maxBucket: Int): DataFrame =
-    readBucketStats(spark, path)
+  def hotBuckets(spark: SparkSession, path: String, maxBucket: Int,
+      maxBatchExclusive: Option[Long] = None): DataFrame = {
+    // legacy flat stats carry no batch column and always serve whole
+    def cut(df: DataFrame): DataFrame = maxBatchExclusive match {
+      case Some(b) if df.columns.contains("batch") => df.filter(col("batch") < b)
+      case _ => df
+    }
+    // None = a batch dir that isn't `batch=<long>` (tooling leftovers):
+    // the layout is off-contract, use the exact path
+    def batchDirIds(p: String): Option[Set[Long]] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) Some(Set.empty)
+      else {
+        val parsed = fs.listStatus(hp).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("batch="))
+          .map(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+        if (parsed.contains(None)) None
+        else Some(maxBatchExclusive
+          .fold(parsed.flatten.toSet)(b => parsed.flatten.toSet.filter(_ < b)))
+      }
+    }
+    val sidecarComplete = (batchDirIds(statsPath(path)), batchDirIds(hotStatsPath(path))) match {
+      case (Some(statsBatches), Some(hotBatches)) =>
+        statsBatches.nonEmpty && statsBatches.subsetOf(hotBatches)
+      case _ => false
+    }
+    val src =
+      if (sidecarComplete)
+        // explicit schema: on a non-degenerate corpus the sidecar is
+        // EMPTY (no delta ever tops the floor — batch dirs with zero
+        // part files), where schema inference would fail; the fixed
+        // layout needs none
+        cut(spark.read
+          .schema("band INT, band_hash INT, n BIGINT, batch BIGINT")
+          .parquet(hotStatsPath(path)))
+      else cut(spark.read.parquet(statsPath(path)))
+    src.groupBy(col("band"), col("band_hash")).agg(sum(col("n")).as("n"))
       .filter(col("n") > maxBucket)
       .select(col("band"), col("band_hash"))
+  }
 
   /** Incremental near-dup pairs of a NEW batch against a PRE-COMPUTED
     * signature relation (readIndex, or signatures() inline). Only the

@@ -79,12 +79,12 @@ object NearDupIndexStream {
             "writeIndex/writeIndexBatch (both now write batch=<id> " +
             "partitions; a bootstrap lands in batch=-1), or move the old " +
             "files under a batch=-1 subdirectory.")
-        val hot = spark.read
-          .parquet(NearDupLsh.statsPath(indexPath))
-          .filter(col("batch") < batchId)
-          .groupBy(col("band"), col("band_hash")).agg(sum(col("n")).as("n"))
-          .filter(col("n") > maxBucket)
-          .select(col("band"), col("band_hash"))
+        // O(hot tail) when the truncated sidecar covers every served
+        // batch partition; the exact full-stats aggregate otherwise —
+        // same strictly-earlier cut either way, so the decision replays
+        // identically (see NearDupLsh.hotBuckets)
+        val hot = NearDupLsh.hotBuckets(spark, indexPath, maxBucket,
+          maxBatchExclusive = Some(batchId))
         // path-based serve: candidates come from the flat sorted band
         // artifact (not an array re-explode), restricted to strictly-
         // earlier batch partitions on every relation it reads

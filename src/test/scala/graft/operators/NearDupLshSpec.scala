@@ -97,6 +97,77 @@ class NearDupLshSpec extends AnyFunSuite {
     assert(guarded.nonEmpty, "fixture should contain mixed near-dups")
   }
 
+  test("hot-stats sidecar: truncated deltas, confident-subset skip list, exact-fallback on mixed layouts") {
+    val boiler = spark.range(300).select(
+      (col("id") + 20000000L).as("doc_id"),
+      lit("identical boilerplate footer with terms of service and a " +
+        "copyright notice repeated on every crawled page of the site").as("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_hotside").toString
+    NearDupLsh.writeIndexBatch(docs.unionByName(boiler), idx, batchId = 0L)
+    NearDupLsh.writeIndexBatch(
+      boiler.select((col("doc_id") + 1000L).as("doc_id"), col("text")),
+      idx, batchId = 1L)
+    // truncation: the sidecar stores ONLY deltas over the floor — the
+    // fixture's genuine docs post singleton deltas, the clique posts 300s
+    val hotRows = spark.read
+      .schema("band INT, band_hash INT, n BIGINT, batch BIGINT")
+      .parquet(NearDupLsh.hotStatsPath(idx))
+    assert(hotRows.filter(col("n") <= NearDupLsh.HotStatsFloor).count() == 0)
+    val fullRows = spark.read.parquet(NearDupLsh.statsPath(idx))
+    assert(hotRows.count() < fullRows.count(),
+      "sidecar must be a strict truncation of the full stats")
+    // on a clique-dominated fixture the sidecar-derived list equals the
+    // exact one (every hot delta tops the floor)
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Int, Int)] =
+      df.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val viaSidecar = keys(NearDupLsh.hotBuckets(spark, idx, maxBucket = 100))
+    val exact = keys(NearDupLsh.readBucketStats(spark, idx)
+      .filter(col("n") > 100).select(col("band"), col("band_hash")))
+    assert(viaSidecar == exact && viaSidecar.size >= 8)
+    // strictly-earlier cut: only batch 0's clique counts (300 <= 400 cap
+    // needs both batches; at cap 250 batch 0 alone suffices)
+    assert(keys(NearDupLsh.hotBuckets(spark, idx, maxBucket = 250,
+      maxBatchExclusive = Some(1L))) == keys(
+      spark.read.parquet(NearDupLsh.statsPath(idx)).filter(col("batch") < 1)
+        .groupBy(col("band"), col("band_hash")).agg(sum(col("n")).as("n"))
+        .filter(col("n") > 250).select(col("band"), col("band_hash"))))
+    // mixed layout (a pre-upgrade batch lost its hot partition): the
+    // subset check must route to the exact full-stats aggregate
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${NearDupLsh.hotStatsPath(idx)}/batch=1"), true)
+    assert(keys(NearDupLsh.hotBuckets(spark, idx, maxBucket = 100)) == exact,
+      "an incomplete sidecar must fall back to the exact aggregate")
+  }
+
+  test("hot sidecar gray zone: sub-floor deltas evade until compaction folds exact totals") {
+    import spark.implicits._
+    // a 6-doc mini-clique per batch (delta 6 <= floor 8, never stored)
+    // over three appends: true bucket size 18 > cap 10, but the sidecar
+    // sees nothing — the documented floor x batches evasion, bounded and
+    // RESET by compaction, which folds exact totals
+    def clique(base: Long) = (0 until 6).map { i =>
+      (base + i, "identical boilerplate footer with terms of service and " +
+        "a copyright notice repeated on every crawled page of the site")
+    }.toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_gray").toString
+    NearDupLsh.writeIndexBatch(clique(100L), idx, batchId = 0L)
+    NearDupLsh.writeIndexBatch(clique(200L), idx, batchId = 1L)
+    NearDupLsh.writeIndexBatch(clique(300L), idx, batchId = 2L)
+    val exact = NearDupLsh.readBucketStats(spark, idx)
+      .filter(col("n") > 10).count()
+    assert(exact >= 8, "the summed clique must be over-cap in every band")
+    val viaSidecar = NearDupLsh.hotBuckets(spark, idx, maxBucket = 10)
+    assert(viaSidecar.count() == 0,
+      "sub-floor deltas must evade the truncated sidecar (confident subset)")
+    // compaction resets the drift: exact totals land in the folded sidecar
+    val cpt = java.nio.file.Files.createTempDirectory("graft_lsh_gray_cpt").toString
+    NearDupLsh.compactIndex(spark, idx, cpt)
+    assert(NearDupLsh.hotBuckets(spark, cpt, maxBucket = 10).count() == exact,
+      "compaction must fold exact totals into the hot sidecar")
+  }
+
   test("bucket skew guard drops the degenerate clique without losing planted recall") {
     // 300 identical boilerplate docs: one bucket of 300 in every band —
     // unguarded that is 300·299/2 candidate pairs from each hot key
