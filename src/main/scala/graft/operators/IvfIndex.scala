@@ -142,6 +142,117 @@ object IvfIndex {
       k: Int): DataFrame =
     searchAssigned(assign(corpus, "v", centroids), centroids, queries, nprobe, k)
 
+  // ------------------------------------------------------------------
+  // Persisted index lifecycle — build → append → serve → compact, the
+  // same maintenance shape as PrefixFilterJoin / NearDupLsh / Bm25Index.
+  // Vectors must carry (vec_id, v: array<double>, norm2); the quantizer
+  // (centroid table) FREEZES at build time, exactly like the ppjoin
+  // index's frozen rarest-first order: appended vectors assign under
+  // the build-time centroids, and because SEARCH probes cells with the
+  // same frozen centroids, the candidate-set semantics stay
+  // IVF-consistent — distribution drift degrades cell BALANCE (serve
+  // cost), never the recall contract relative to the frozen quantizer.
+  // Rebuild (retrain) when drift fattens cells, exactly like
+  // re-ranking the ppjoin prefixes.
+  //
+  // Layout under `path` — crash-idempotent `batch=<id>` OVERWRITE
+  // partitions (build owns -1), each cell-partitioned one level down
+  // so a serve's partition pruning reads only the probed cells of
+  // every batch:
+  //   centroids/                        (centroid_id, centroid)
+  //   corpus/batch=<id>/centroid_id=<c>/  (vec_id, v, norm2)
+  // ------------------------------------------------------------------
+
+  def readCentroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/centroids")
+
+  /** Build: train the quantizer on the standing corpus, persist it, and
+    * land the assigned corpus in the `batch=-1` bootstrap partition.
+    */
+  def writeIndex(vectors: DataFrame, path: String,
+      nlist: Int, iters: Int, init: String = "first"): Unit = {
+    val centroids = train(vectors.select(col("vec_id"), col("v")),
+      "v", nlist, iters, init)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    writeCells(
+      assign(vectors.select(col("vec_id"), col("v"), col("norm2")), "v", centroids),
+      s"$path/corpus/batch=-1")
+  }
+
+  /** Cell-partitioned write, clustered by cell FIRST: a raw partitionBy
+    * from W input partitions writes up to W × nlist files per batch (a
+    * year of daily appends at 1000 cells = millions of tiny files); the
+    * pre-write hash cluster lands each cell's rows in one task — one
+    * file per cell per batch dir, the bucketed layout partition pruning
+    * wants.
+    */
+  private def writeCells(assigned: DataFrame, targetDir: String): Unit =
+    assigned.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(targetDir)
+
+  /** Append an ingest batch under the FROZEN quantizer (vec ids disjoint
+    * from the standing corpus, batch ids >= 0 and unique per DELIVERY —
+    * a redelivered batch reuses its id and OVERWRITES its own
+    * partitions: crash-idempotent, no transaction log).
+    */
+  def appendIndex(vectors: DataFrame, path: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"append batch ids are >= 0 (build owns -1): $batchId")
+    val centroids = readCentroids(vectors.sparkSession, path)
+    writeCells(
+      assign(vectors.select(col("vec_id"), col("v"), col("norm2")), "v", centroids),
+      s"$path/corpus/batch=$batchId")
+  }
+
+  /** Serve: ANN top-k per query from the persisted artifacts only —
+    * partition pruning keeps the scan to the probed cells of each batch
+    * partition. `maxBatchExclusive` restricts the served corpus to
+    * strictly-earlier batches (the serve-during-ingest filter — a
+    * half-landed micro-batch stays invisible); None serves everything.
+    */
+  def topK(spark: SparkSession, path: String, queries: DataFrame,
+      nprobe: Int, k: Int,
+      maxBatchExclusive: Option[Long] = None): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      maxBatchExclusive.fold(df)(b => df.filter(col("batch") < b))
+    val indexed = cut(spark.read.parquet(s"$path/corpus"))
+      .select(col("vec_id"), col("v"), col("norm2"), col("centroid_id"))
+    searchAssigned(indexed, readCentroids(spark, path), queries, nprobe, k)
+  }
+
+  /** Consolidate an append-only index into a fresh directory: batches up
+    * to `throughBatch` fold into ONE `batch=-1` partition set (still
+    * cell-partitioned); later batches carry over unchanged under their
+    * own ids. The centroid table copies verbatim — compaction never
+    * retrains, so every serve (whole or strictly-earlier-cut) is
+    * identical on the compacted index. Source index never mutated; the
+    * caller swaps paths after the write completes. `throughBatch` MUST
+    * be the last checkpoint-COMMITTED batch when a stream feeds this
+    * index (default folds everything — clean-stop only), for the same
+    * reason as the other three indexes: a crashed batch folded into
+    * `batch=-1` could never again be excluded by the strictly-earlier
+    * serve filter.
+    */
+  def compactIndex(spark: SparkSession, path: String, targetPath: String,
+      throughBatch: Long = Long.MaxValue): Unit = {
+    readCentroids(spark, path)
+      .write.mode("overwrite").parquet(s"$targetPath/centroids")
+    val all = spark.read.parquet(s"$path/corpus")
+    writeCells(
+      all.filter(col("batch") <= throughBatch)
+        .select(col("vec_id"), col("v"), col("norm2"), col("centroid_id")),
+      s"$targetPath/corpus/batch=-1")
+    val tail = all.filter(col("batch") > throughBatch)
+      .select(col("batch")).distinct()
+      .collect().map(_.getAs[Number](0).longValue)
+    tail.foreach { b =>
+      writeCells(
+        all.filter(col("batch") === b)
+          .select(col("vec_id"), col("v"), col("norm2"), col("centroid_id")),
+        s"$targetPath/corpus/batch=$b")
+    }
+  }
+
   /** Query over an ALREADY-ASSIGNED corpus (vec_id, v, norm2,
     * centroid_id) — the serve-time entry point when the assignment is a
     * persisted index artifact rather than computed inline.

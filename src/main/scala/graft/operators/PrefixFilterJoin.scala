@@ -366,9 +366,16 @@ object PrefixFilterJoin {
       s.conf.set("spark.sql.files.maxPartitionBytes", (1L << 50).toString)
       s.conf.set("spark.sql.files.openCostInBytes", (1L << 50).toString)
       try {
+        // the file marker is xxhash64(path), not the path string: the
+        // walk only needs stretch-CHANGE detection, and a codegen'd
+        // long avoids a per-row UTF8String→String decode over the
+        // whole prefix relation (160M rows at a 10M build). A 2^-64
+        // same-partition collision could only MERGE two adjacent file
+        // stretches — harmless under the forced one-file-per-partition
+        // read, where multi-file partitions don't exist at all.
         val runs = s.read.parquet(s"$path/prefix/batch=$batchId")
-          .select(col("h"), input_file_name().as("fn"))
-          .as[(Long, String)]
+          .select(col("h"), xxhash64(input_file_name()).as("fn"))
+          .as[(Long, Long)]
           .mapPartitions { rows =>
             new Iterator[(Long, Long, Boolean)] {
               private val it = rows.buffered

@@ -376,6 +376,45 @@ object Similarity {
           minRecall = 0.8),
       Some(annVerdictSql)),
 
+    // The IVF index's full MAINTENANCE lifecycle: train+build on the
+    // standing 90% (the quantizer FREEZES here), stream today's 10% in
+    // as 3 micro-batches (IvfIndexStream: foreachBatch → appendIndex
+    // OVERWRITE into cell-partitioned batch=<id> dirs), compact the
+    // committed history into batch=-1 (watermark = last committed
+    // batch; centroids copy verbatim — compaction never retrains), then
+    // serve from the COMPACTED index. Same recall verdict as
+    // sim_ivf_ann, over the FULL corpus — every streamed vector must be
+    // findable through the frozen quantizer's cells. The split is the
+    // standing/batch ratio the other index gates use, and it is ALSO
+    // the measured sensitivity boundary: a quantizer trained on only
+    // 50% of this clustered fixture dropped recall@5 to 0.58-0.78 at
+    // any nprobe ≤ 8 — the frozen-quantizer contract needs a
+    // representative standing sample, which is exactly the
+    // rebuild-on-drift rule in IvfIndex's lifecycle doc. nprobe = 6
+    // serves with deterministic margin (0.86/0.94/0.96 at
+    // sf0.01/0.001/0.1 vs the 0.8 bar).
+    GraftQuery(
+      "sim_ivf_stream",
+      (s, dir) => {
+        val e = corpus(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ivf_stream_gate").toString
+        graft.operators.IvfIndex.writeIndex(
+          e.filter(col("vec_id") % 10 =!= 7), s"$root/idx", nlist = 16, iters = 2)
+        graft.streaming.IvfIndexStream.runToCompletion(
+          s, e.filter(col("vec_id") % 10 === 7), k = 3,
+          indexPath = s"$root/idx", checkpoint = s"$root/ckpt")
+        graft.operators.IvfIndex.compactIndex(
+          s, s"$root/idx", s"$root/idx2", throughBatch = 2L)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("v").as("qv"), col("norm2").as("qn"))
+        annVerdict(
+          graft.operators.IvfIndex.topK(s, s"$root/idx2", q, nprobe = 6, k = 5),
+          bruteTopK(e, 5), minRecall = 0.8)
+      },
+      Some(annVerdictSql)),
+
     // IVF-PQ: coarse cells prune the probe set AND the stored index
     // holds trained PQ codes instead of vectors (the FAISS IVFPQ
     // architecture — at 1B vectors, a few GB of codes behind a
