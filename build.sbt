@@ -14,11 +14,21 @@ run / fork := true
 // sbt's JUnitXmlReportPlugin appends per-suite XML into
 // target/test-reports but never removes reports of DELETED suites, so
 // stale files skew suite counts (a deleted debug suite lingered through
-// r14). Wipe the dir before each test run — every live suite rewrites
-// its report.
+// r14). Delete ONLY orphaned reports — those whose suite class no
+// longer exists under test-classes — so a `testOnly` run doesn't wipe
+// the other suites' reports (which would under-count, the inverse
+// problem). Runs after compile, so the class set is current.
 Test / testOptions += Tests.Setup(() => {
-  val dir = new java.io.File("target/test-reports")
-  if (dir.exists) sbt.IO.delete(dir)
+  val reports = new java.io.File("target/test-reports")
+  val classes = new java.io.File("target/scala-2.13/test-classes")
+  if (reports.exists && classes.exists)
+    Option(reports.listFiles).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("TEST-") && f.getName.endsWith(".xml"))
+      .foreach { f =>
+        val cls = f.getName.stripPrefix("TEST-").stripSuffix(".xml")
+          .replace('.', java.io.File.separatorChar) + ".class"
+        if (!new java.io.File(classes, cls).exists) f.delete()
+      }
 })
 // The per-round driver parses Bench/Verify stdout for the single JSON
 // metrics line; sbt's default logger prefixes forked-run output with

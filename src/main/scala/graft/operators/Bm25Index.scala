@@ -243,12 +243,23 @@ object Bm25Index {
       ranged.sortWithinPartitions(col("term"))
         .write.mode("overwrite").parquet(targetDir)
     }
-    // per-artifact tails: a crash window can leave a batch with postings
-    // landed but df/stats missing — carry exactly what exists
-    def tailIds(df: DataFrame): Seq[Long] = df
-      .filter(col("batch") > throughBatch)
-      .select(col("batch")).distinct()
-      .collect().toSeq.map(_.getAs[Number](0).longValue)
+    // per-artifact tails from an O(1) DIRECTORY LISTING, not a
+    // distinct scan of the relation (enumerating ids by scanning a
+    // year of postings just to read directory names triples the
+    // maintenance job's I/O): a crash window can leave a batch with
+    // postings landed but df/stats missing — each artifact carries
+    // exactly its own dirs. Non-numeric dirs are tooling leftovers,
+    // not batches; they are skipped (partition discovery skips their
+    // empty dirs too).
+    def tailIds(sub: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+        .filter(_ > throughBatch).toSeq.sorted
+    }
     val postings = spark.read.parquet(s"$path/postings")
     val dfreq = spark.read.parquet(s"$path/df")
     val stats = spark.read.parquet(s"$path/stats")
@@ -262,17 +273,17 @@ object Bm25Index {
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         sum(col("dl_sum")).as("dl_sum"))
       .write.mode("overwrite").parquet(s"$targetPath/stats/batch=-1")
-    tailIds(postings).foreach { b =>
+    tailIds("postings").foreach { b =>
       sortedWrite(postings.filter(col("batch") === b)
         .select(col("term"), col("doc_id"), col("dl"), col("tf")),
         s"$targetPath/postings/batch=$b")
     }
-    tailIds(dfreq).foreach { b =>
+    tailIds("df").foreach { b =>
       sortedWrite(dfreq.filter(col("batch") === b)
         .select(col("term"), col("df")),
         s"$targetPath/df/batch=$b")
     }
-    tailIds(stats).foreach { b =>
+    tailIds("stats").foreach { b =>
       stats.filter(col("batch") === b).select(col("n"), col("dl_sum"))
         .write.mode("overwrite").parquet(s"$targetPath/stats/batch=$b")
     }

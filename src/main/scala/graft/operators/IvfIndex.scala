@@ -242,9 +242,15 @@ object IvfIndex {
       all.filter(col("batch") <= throughBatch)
         .select(col("vec_id"), col("v"), col("norm2"), col("centroid_id")),
       s"$targetPath/corpus/batch=-1")
-    val tail = all.filter(col("batch") > throughBatch)
-      .select(col("batch")).distinct()
-      .collect().map(_.getAs[Number](0).longValue)
+    // tail ids from a directory listing, not a corpus scan (the fold
+    // above is the only full read compaction should pay)
+    val corpusDir = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = corpusDir
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tail = fs.listStatus(corpusDir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      .filter(_ > throughBatch).sorted
     tail.foreach { b =>
       writeCells(
         all.filter(col("batch") === b)

@@ -424,9 +424,16 @@ object NearDupLsh {
       .write.mode("overwrite").parquet(s"${bandsPath(targetPath)}/batch=-1")
     // uncommitted tail: carry each partition through under its own id
     // (the hot tail re-derives from the carried stats delta — identical
-    // truncation, and it uniformly covers sources missing the sidecar)
-    val tail = all.filter(col("batch") > throughBatch)
-      .select(col("batch")).distinct().collect().map(_.getAs[Number](0).longValue)
+    // truncation, and it uniformly covers sources missing the sidecar).
+    // Tail ids come from a directory listing, not an index scan — a
+    // legacy flat layout has no batch dirs and an empty tail, exactly
+    // as the old distinct over the synthesized batch=-1 column gave.
+    val idxDir = new org.apache.hadoop.fs.Path(path)
+    val idxFs = idxDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tail = idxFs.listStatus(idxDir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      .filter(_ > throughBatch).sorted
     tail.foreach { b =>
       all.filter(col("batch") === b).select(col("doc_id"), col("sh"), col("bands"))
         .write.mode("overwrite").parquet(s"$targetPath/batch=$b")

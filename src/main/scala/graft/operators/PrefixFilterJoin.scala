@@ -340,9 +340,9 @@ object PrefixFilterJoin {
     // bench/ppjoin_build_probe_r14.md).
     //
     // Exactness: this read NEUTRALIZES file splitting (maxPartitionBytes
-    // and openCostInBytes pinned to 1 PiB for just this action, restored
-    // in finally — the huge open cost also gives each file its own read
-    // partition, so parallelism stays = file count = write width). Whole
+    // and openCostInBytes pinned to 1 PiB on an isolated session — the
+    // huge open cost also gives each file its own read partition, so
+    // parallelism stays = file count = write width). Whole
     // files per chunk means a run can never be cut mid-file, and runs
     // never SPAN files (repartitionByRange keeps equal h in one
     // partition, so h-ranges are disjoint across files); each same-file
@@ -360,12 +360,22 @@ object PrefixFilterJoin {
     // derivation, including under session confs forcing 2 KB splits and
     // multi-row-group files, by PrefixFilterJoinSpec.
     withPhase(s, "ppidx:pstats") {
-      import s.implicits._
-      val prevMax = s.conf.getOption("spark.sql.files.maxPartitionBytes")
-      val prevOpen = s.conf.getOption("spark.sql.files.openCostInBytes")
-      s.conf.set("spark.sql.files.maxPartitionBytes", (1L << 50).toString)
-      s.conf.set("spark.sql.files.openCostInBytes", (1L << 50).toString)
-      try {
+      // The split pins live on an ISOLATED session (shared SparkContext,
+      // own SQLConf), not on the caller's: a save/restore on the shared
+      // session races under concurrent builds (thread B snapshots
+      // thread A's pinned value as "previous" and re-pins it forever)
+      // and leaks the 1 PiB values into any query another thread plans
+      // during the window. The isolated session sees none of the
+      // caller's runtime conf changes — which is exactly the immunity
+      // the derivation wants — except the shuffle width, copied
+      // explicitly because the final pstats write ranges by h under it.
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      iso.conf.set("spark.sql.files.maxPartitionBytes", (1L << 50).toString)
+      iso.conf.set("spark.sql.files.openCostInBytes", (1L << 50).toString)
+      import iso.implicits._
+      {
         // the file marker is xxhash64(path), not the path string: the
         // walk only needs stretch-CHANGE detection, and a codegen'd
         // long avoids a per-row UTF8String→String decode over the
@@ -373,7 +383,7 @@ object PrefixFilterJoin {
         // same-partition collision could only MERGE two adjacent file
         // stretches — harmless under the forced one-file-per-partition
         // read, where multi-file partitions don't exist at all.
-        val runs = s.read.parquet(s"$path/prefix/batch=$batchId")
+        val runs = iso.read.parquet(s"$path/prefix/batch=$batchId")
           .select(col("h"), xxhash64(input_file_name()).as("fn"))
           .as[(Long, Long)]
           .mapPartitions { rows =>
@@ -400,11 +410,6 @@ object PrefixFilterJoin {
           .filter(col("n") > ServeCandidateHotFloor)
           .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
           .write.mode("overwrite").parquet(s"$path/pstats/batch=$batchId")
-      } finally {
-        def restore(k: String, v: Option[String]): Unit =
-          v.fold(s.conf.unset(k))(s.conf.set(k, _))
-        restore("spark.sql.files.maxPartitionBytes", prevMax)
-        restore("spark.sql.files.openCostInBytes", prevOpen)
       }
     }
   }

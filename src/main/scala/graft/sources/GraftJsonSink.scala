@@ -523,9 +523,16 @@ private[sources] class GraftJsonBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     // layout knobs resolve HERE, on the driver, where the session's
     // SQLConf is visible — task writers get the value by serialization
-    // (executor-side SQLConf.get silently misses session overrides)
+    // (executor-side SQLConf.get silently misses session overrides).
+    // Resolution (and its fail-fast validation) is gated on the format
+    // that actually consumes the knob: a malformed parquet knob must
+    // not fail a JSON-format write that ignores it entirely.
     new GraftJsonWriterFactory(path, schema, failPartitionOnce, partitionCol,
-      format, GraftFormat.resolvedParquetRowGroupBytes())
+      format,
+      format match {
+        case ParquetFormat => GraftFormat.resolvedParquetRowGroupBytes()
+        case _ => org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong
+      })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
@@ -666,10 +673,12 @@ private class GraftJsonWriterFactory(
     path: String,
     schema: StructType,
     failPartitionOnce: Option[Int],
-    partitionCol: Option[String] = None,
-    format: GraftFormat = JsonFormat,
-    parquetRowGroupBytes: Long = GraftFormat.resolvedParquetRowGroupBytes())
-  extends DataWriterFactory {
+    partitionCol: Option[String],
+    format: GraftFormat,
+    // resolved by the DRIVER in createBatchWriterFactory — deliberately
+    // no default, so a future call site can't silently re-resolve it
+    // off the driver thread (the environment-dependent-layout hole)
+    parquetRowGroupBytes: Long) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val tmpDir = Paths.get(path, "_tmp")

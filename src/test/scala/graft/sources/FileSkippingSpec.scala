@@ -279,6 +279,17 @@ class FileSkippingSpec extends AnyFunSuite {
       // and a well-formed value still writes
       Seq(1L, 2L).toDF("id").writeTo("skipcat.ns.rgbad").append()
       assert(spark.table("skipcat.ns.rgbad").count() == 2)
+      // a JSON-format table never consumes the knob, so a malformed
+      // value must NOT fail its writes (resolution is format-gated)
+      spark.sql("CREATE TABLE skipcat.ns.rgjson (id BIGINT)")
+      spark.conf.set("spark.graft.parquet.rowGroupBytes", "64m")
+      try {
+        Seq(1L, 2L).toDF("id").writeTo("skipcat.ns.rgjson").append()
+        assert(spark.table("skipcat.ns.rgjson").count() == 2)
+      } finally {
+        spark.conf.unset("spark.graft.parquet.rowGroupBytes")
+        spark.sql("DROP TABLE skipcat.ns.rgjson")
+      }
     } finally spark.sql("DROP TABLE skipcat.ns.rgbad")
   }
 
