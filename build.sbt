@@ -18,9 +18,12 @@ run / fork := true
 // longer exists under test-classes — so a `testOnly` run doesn't wipe
 // the other suites' reports (which would under-count, the inverse
 // problem). Runs after compile, so the class set is current.
-Test / testOptions += Tests.Setup(() => {
+Test / testOptions += {
+  // derived, not hardcoded: a literal "target/scala-2.13/test-classes"
+  // would silently disable the cleanup on a Scala version bump
+  val classes = (Test / classDirectory).value
+  Tests.Setup(() => {
   val reports = new java.io.File("target/test-reports")
-  val classes = new java.io.File("target/scala-2.13/test-classes")
   if (reports.exists && classes.exists)
     Option(reports.listFiles).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("TEST-") && f.getName.endsWith(".xml"))
@@ -29,7 +32,8 @@ Test / testOptions += Tests.Setup(() => {
           .replace('.', java.io.File.separatorChar) + ".class"
         if (!new java.io.File(classes, cls).exists) f.delete()
       }
-})
+  })
+}
 // The per-round driver parses Bench/Verify stdout for the single JSON
 // metrics line; sbt's default logger prefixes forked-run output with
 // "[info] ", which breaks that parse. Inherit the parent's stdout.

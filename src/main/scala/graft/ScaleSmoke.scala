@@ -244,7 +244,7 @@ object ScaleSmoke {
     // the bound the guard computed on the steady serve — artifact
     // evidence the pstats arithmetic engaged at this scale
     val ppCandBound = spark.conf
-      .getOption("spark.graft.ppjoin.lastServeCandidateBound").getOrElse("absent")
+      .getOption("spark.graft.ppjoin.debug.lastServeCandidateBound").getOrElse("absent")
     // guard ENGAGED: candidate budget forced to 1 row degrades the
     // rescore join to shuffle_hash — the answer must be bit-identical
     // (the zero-false-negative contract never bends; only the plan does)

@@ -183,10 +183,8 @@ object Bm25Index {
     val pruneLimit = spark.conf
       .getOption("spark.graft.bm25.serveTermPruneLimit")
       .map(_.toInt).getOrElse(DefaultServeTermPruneLimit)
-    def cut(df: DataFrame): DataFrame = maxBatchExclusive match {
-      case Some(b) => df.filter(col("batch") < b)
-      case None => df
-    }
+    def cut(df: DataFrame): DataFrame =
+      IndexLifecycle.cutBatches(df, maxBatchExclusive)
     // scan-pushed In prune for human-scale query batches; bulk batches
     // prune via a broadcast semi-join on the same sorted scan
     def pruned(df: DataFrame): DataFrame =
@@ -243,23 +241,16 @@ object Bm25Index {
       ranged.sortWithinPartitions(col("term"))
         .write.mode("overwrite").parquet(targetDir)
     }
-    // per-artifact tails from an O(1) DIRECTORY LISTING, not a
-    // distinct scan of the relation (enumerating ids by scanning a
-    // year of postings just to read directory names triples the
-    // maintenance job's I/O): a crash window can leave a batch with
-    // postings landed but df/stats missing — each artifact carries
-    // exactly its own dirs. Non-numeric dirs are tooling leftovers,
-    // not batches; they are skipped (partition discovery skips their
-    // empty dirs too).
-    def tailIds(sub: String): Seq[Long] = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).filter(_.isDirectory)
-        .map(_.getPath.getName).filter(_.startsWith("batch="))
-        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
-        .filter(_ > throughBatch).toSeq.sorted
-    }
+    // per-artifact tails from an O(1) DIRECTORY LISTING (see
+    // IndexLifecycle.tailIds — shared by all four index lifecycles): a
+    // crash window can leave a batch with postings landed but df/stats
+    // missing — each artifact carries exactly its own dirs. Listed
+    // BEFORE any write so an off-contract file-bearing dir fails the
+    // whole compaction fast instead of silently dropping its rows from
+    // the folds below.
+    val tails = Seq("postings", "df", "stats")
+      .map(sub => sub -> IndexLifecycle.tailIds(spark, s"$path/$sub", throughBatch))
+      .toMap
     val postings = spark.read.parquet(s"$path/postings")
     val dfreq = spark.read.parquet(s"$path/df")
     val stats = spark.read.parquet(s"$path/stats")
@@ -273,17 +264,17 @@ object Bm25Index {
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         sum(col("dl_sum")).as("dl_sum"))
       .write.mode("overwrite").parquet(s"$targetPath/stats/batch=-1")
-    tailIds("postings").foreach { b =>
+    tails("postings").foreach { b =>
       sortedWrite(postings.filter(col("batch") === b)
         .select(col("term"), col("doc_id"), col("dl"), col("tf")),
         s"$targetPath/postings/batch=$b")
     }
-    tailIds("df").foreach { b =>
+    tails("df").foreach { b =>
       sortedWrite(dfreq.filter(col("batch") === b)
         .select(col("term"), col("df")),
         s"$targetPath/df/batch=$b")
     }
-    tailIds("stats").foreach { b =>
+    tails("stats").foreach { b =>
       stats.filter(col("batch") === b).select(col("n"), col("dl_sum"))
         .write.mode("overwrite").parquet(s"$targetPath/stats/batch=$b")
     }

@@ -213,9 +213,8 @@ object IvfIndex {
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       nprobe: Int, k: Int,
       maxBatchExclusive: Option[Long] = None): DataFrame = {
-    def cut(df: DataFrame): DataFrame =
-      maxBatchExclusive.fold(df)(b => df.filter(col("batch") < b))
-    val indexed = cut(spark.read.parquet(s"$path/corpus"))
+    val indexed = IndexLifecycle
+      .cutBatches(spark.read.parquet(s"$path/corpus"), maxBatchExclusive)
       .select(col("vec_id"), col("v"), col("norm2"), col("centroid_id"))
     searchAssigned(indexed, readCentroids(spark, path), queries, nprobe, k)
   }
@@ -235,6 +234,11 @@ object IvfIndex {
     */
   def compactIndex(spark: SparkSession, path: String, targetPath: String,
       throughBatch: Long = Long.MaxValue): Unit = {
+    // tail ids from a directory listing, not a corpus scan (the fold
+    // below is the only full read compaction should pay) — listed FIRST
+    // so an off-contract file-bearing batch dir fails fast instead of
+    // silently dropping rows from the fold (IndexLifecycle.tailIds)
+    val tail = IndexLifecycle.tailIds(spark, s"$path/corpus", throughBatch)
     readCentroids(spark, path)
       .write.mode("overwrite").parquet(s"$targetPath/centroids")
     val all = spark.read.parquet(s"$path/corpus")
@@ -242,15 +246,6 @@ object IvfIndex {
       all.filter(col("batch") <= throughBatch)
         .select(col("vec_id"), col("v"), col("norm2"), col("centroid_id")),
       s"$targetPath/corpus/batch=-1")
-    // tail ids from a directory listing, not a corpus scan (the fold
-    // above is the only full read compaction should pay)
-    val corpusDir = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    val fs = corpusDir
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tail = fs.listStatus(corpusDir).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
-      .filter(_ > throughBatch).sorted
     tail.foreach { b =>
       writeCells(
         all.filter(col("batch") === b)

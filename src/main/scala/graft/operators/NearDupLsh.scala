@@ -308,9 +308,21 @@ object NearDupLsh {
       val staging = s"${statsPath(path)}/.staging-${java.util.UUID.randomUUID()}"
       stats.write.mode("overwrite").parquet(staging)
       val rb = spark.read.parquet(staging)
-      rb.write.mode("append").parquet(s"${statsPath(path)}/batch=$batchId")
+      // HOT lands BEFORE stats: both appends accumulate into an existing
+      // batch=-1 dir, so hotBuckets' dir-granular completeness check
+      // cannot see a crash between them. Hot-first makes the crash
+      // window leave hot ⊇ stats deltas — the skip list derived from the
+      // sidecar stays a superset of the exact-stats one, so the perf
+      // guard (the reason the skip list exists: a degenerate bucket must
+      // never fan out) cannot be silently defeated. Stats-first left the
+      // inverse window: over-floor stats deltas with no hot counterpart,
+      // under-skipping a genuinely over-cap bucket beyond the documented
+      // floor×batches bound. Either way the signature part-files move
+      // only after the sidecars land, and a crashed writeIndex must be
+      // retried as a whole.
       rb.filter(col("n") > HotStatsFloor)
         .write.mode("append").parquet(s"${hotStatsPath(path)}/batch=$batchId")
+      rb.write.mode("append").parquet(s"${statsPath(path)}/batch=$batchId")
       val sp = new org.apache.hadoop.fs.Path(staging)
       sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
     } else {
@@ -386,6 +398,12 @@ object NearDupLsh {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
     }
+    // uncommitted tail ids listed FIRST — an off-contract file-bearing
+    // batch dir fails the compaction before any target write
+    // (IndexLifecycle.tailIds, shared by all four index lifecycles); a
+    // legacy flat layout has no batch dirs and an empty tail, exactly
+    // as the old distinct over the synthesized batch=-1 column gave.
+    val tail = IndexLifecycle.tailIds(spark, path, throughBatch)
     val all0 = readIndex(spark, path)
     val all =
       if (all0.columns.contains("batch")) all0
@@ -424,16 +442,7 @@ object NearDupLsh {
       .write.mode("overwrite").parquet(s"${bandsPath(targetPath)}/batch=-1")
     // uncommitted tail: carry each partition through under its own id
     // (the hot tail re-derives from the carried stats delta — identical
-    // truncation, and it uniformly covers sources missing the sidecar).
-    // Tail ids come from a directory listing, not an index scan — a
-    // legacy flat layout has no batch dirs and an empty tail, exactly
-    // as the old distinct over the synthesized batch=-1 column gave.
-    val idxDir = new org.apache.hadoop.fs.Path(path)
-    val idxFs = idxDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tail = idxFs.listStatus(idxDir).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
-      .filter(_ > throughBatch).sorted
+    // truncation, and it uniformly covers sources missing the sidecar)
     tail.foreach { b =>
       all.filter(col("batch") === b).select(col("doc_id"), col("sh"), col("bands"))
         .write.mode("overwrite").parquet(s"$targetPath/batch=$b")
@@ -475,25 +484,12 @@ object NearDupLsh {
   def hotBuckets(spark: SparkSession, path: String, maxBucket: Int,
       maxBatchExclusive: Option[Long] = None): DataFrame = {
     // legacy flat stats carry no batch column and always serve whole
-    def cut(df: DataFrame): DataFrame = maxBatchExclusive match {
-      case Some(b) if df.columns.contains("batch") => df.filter(col("batch") < b)
-      case _ => df
-    }
+    def cut(df: DataFrame): DataFrame =
+      IndexLifecycle.cutBatches(df, maxBatchExclusive)
     // None = a batch dir that isn't `batch=<long>` (tooling leftovers):
     // the layout is off-contract, use the exact path
-    def batchDirIds(p: String): Option[Set[Long]] = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(hp)) Some(Set.empty)
-      else {
-        val parsed = fs.listStatus(hp).filter(_.isDirectory)
-          .map(_.getPath.getName).filter(_.startsWith("batch="))
-          .map(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
-        if (parsed.contains(None)) None
-        else Some(maxBatchExclusive
-          .fold(parsed.flatten.toSet)(b => parsed.flatten.toSet.filter(_ < b)))
-      }
-    }
+    def batchDirIds(p: String): Option[Set[Long]] =
+      IndexLifecycle.batchDirIds(spark, p, maxBatchExclusive)
     val sidecarComplete = (batchDirIds(statsPath(path)), batchDirIds(hotStatsPath(path))) match {
       case (Some(statsBatches), Some(hotBatches)) =>
         statsBatches.nonEmpty && statsBatches.subsetOf(hotBatches)

@@ -276,6 +276,35 @@ object PrefixFilterJoin {
         Seq(col("p"), col("h")): _*)
   }
 
+  /** One isolated split-pinned session per PARENT SparkSession, cached:
+    * the pstats derivation runs per micro-batch on a streaming ingest
+    * (PpJoinIndexStream), and a fresh `newSession()` per call accrues
+    * session state and listener-bus registrations reclaimed only on GC.
+    * Weak keys release the child when a parent (tests spin up many) is
+    * discarded; the child holds the shared SparkContext, not the parent
+    * session, so no value→key cycle pins the entry. The 1 PiB split
+    * pins are set once at creation; the shuffle width re-copies per use
+    * (the caller may retune it between batches — concurrent builds on
+    * ONE parent could interleave widths, which only moves the pstats
+    * output file count, never a row).
+    */
+  private val isoSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def isolatedSession(s: SparkSession): SparkSession =
+    isoSessions.synchronized {
+      val iso = Option(isoSessions.get(s)).getOrElse {
+        val fresh = s.newSession()
+        fresh.conf.set("spark.sql.files.maxPartitionBytes", (1L << 50).toString)
+        fresh.conf.set("spark.sql.files.openCostInBytes", (1L << 50).toString)
+        isoSessions.put(s, fresh)
+        fresh
+      }
+      iso.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      iso
+    }
+
   /** Runs `body` under a Spark job description — phase attribution for
     * the index lifecycle's multi-job cascades (visible in the UI and to
     * stage-level probes like PpBuildProbe; zero effect on the plans).
@@ -369,11 +398,10 @@ object PrefixFilterJoin {
       // caller's runtime conf changes — which is exactly the immunity
       // the derivation wants — except the shuffle width, copied
       // explicitly because the final pstats write ranges by h under it.
-      val iso = s.newSession()
-      iso.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.sql.shuffle.partitions"))
-      iso.conf.set("spark.sql.files.maxPartitionBytes", (1L << 50).toString)
-      iso.conf.set("spark.sql.files.openCostInBytes", (1L << 50).toString)
+      // Cached per parent session (see isolatedSession), not created
+      // per call: a long-running ingest stream calls this per
+      // micro-batch.
+      val iso = isolatedSession(s)
       import iso.implicits._
       {
         // the file marker is xxhash64(path), not the path string: the
@@ -513,7 +541,7 @@ object PrefixFilterJoin {
     * voided (oversized/off-contract layout ⇒ shuffle_hash candidates).
     * This is the race-free channel for callers that plan serves
     * concurrently on one session: the
-    * `spark.graft.ppjoin.lastServeCandidateBound` conf is still written
+    * `spark.graft.ppjoin.debug.lastServeCandidateBound` conf is still written
     * as a best-effort observability breadcrumb, but it is session-global
     * and two concurrent serves race on it, so programmatic consumers
     * must read THIS return value.
@@ -532,10 +560,8 @@ object PrefixFilterJoin {
     // strictly-earlier cut on the batch partition column; legacy
     // (pre-partition-layout) indexes carry no `batch` column and serve
     // whole, exactly as before
-    def cut(df: DataFrame): DataFrame = maxBatchExclusive match {
-      case Some(b) if df.columns.contains("batch") => df.filter(col("batch") < b)
-      case _ => df
-    }
+    def cut(df: DataFrame): DataFrame =
+      IndexLifecycle.cutBatches(df, maxBatchExclusive)
     val corpusSets = cut(spark.read.parquet(s"$path/sets"))
       .select(col("doc_id").as("old_id"), col("sh").as("sh_o"))
     val corpusPrefix = cut(spark.read.parquet(s"$path/prefix"))
@@ -639,21 +665,8 @@ object PrefixFilterJoin {
     // leftovers like `batch=1.bak`) — the layout is off-contract, so the
     // bound is VOIDED (shuffle_hash, the answer-identical direction)
     // instead of the serve crashing on a NumberFormatException.
-    def batchDirIds(sub: String): Option[Set[Long]] = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Some(Set.empty)
-      else {
-        val parsed = fs.listStatus(p).filter(_.isDirectory)
-          .map(_.getPath.getName).filter(_.startsWith("batch="))
-          .map(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
-        if (parsed.contains(None)) None
-        else {
-          val ids = parsed.flatten.toSet
-          Some(maxBatchExclusive.fold(ids)(b => ids.filter(_ < b)))
-        }
-      }
-    }
+    def batchDirIds(sub: String): Option[Set[Long]] =
+      IndexLifecycle.batchDirIds(spark, s"$path/$sub", maxBatchExclusive)
     val candBound: Long =
       if (oversized || !freqBroadcastable) Long.MaxValue
       else if (!hasPstats) 0L
@@ -701,7 +714,7 @@ object PrefixFilterJoin {
     // bound. The bound never feeds back into planning (candSide captures
     // `candBound` by value) and programmatic consumers get it from this
     // method's return value, so the race affects the breadcrumb alone.
-    spark.conf.set("spark.graft.ppjoin.lastServeCandidateBound",
+    spark.conf.set("spark.graft.ppjoin.debug.lastServeCandidateBound",
       if (candBound == Long.MaxValue) "inf" else candBound.toString)
     def candSide(df: DataFrame): DataFrame =
       if (!oversized && candBound <= candCap) broadcast(df)

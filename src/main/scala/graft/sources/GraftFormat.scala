@@ -284,10 +284,18 @@ case object ParquetFormat extends GraftFormat {
     * row-group knob off the calling thread's SQLConf. All call sites of
     * this arity are driver-side maintenance/DML paths; the DSv2 sink's
     * task writers receive the driver-resolved value via the 3-arg
-    * overload instead.
+    * overload instead. ENFORCED, not assumed: an executor-side caller
+    * would silently miss session overrides (`SQLConf.get` falls back to
+    * task-propagated defaults — the exact bug class the 3-arg plumbing
+    * fixed), so this overload refuses to run inside a task.
     */
-  override def newWriter(path: Path, schema: StructType): GraftFormat.RowWriter =
+  override def newWriter(path: Path, schema: StructType): GraftFormat.RowWriter = {
+    require(org.apache.spark.TaskContext.get() == null,
+      "2-arg newWriter resolves spark.graft.parquet.rowGroupBytes from the " +
+        "driver SQLConf; executor-side writers must receive the " +
+        "driver-resolved value via the 3-arg overload")
     newWriter(path, schema, GraftFormat.resolvedParquetRowGroupBytes())
+  }
 
   override def newWriter(path: Path, schema: StructType,
       parquetRowGroupBytes: Long): GraftFormat.RowWriter =

@@ -227,7 +227,7 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
     val bound = boundOpt.get
     // the session-global breadcrumb mirrors the returned value when
     // serves run one-at-a-time (the only regime where reading it is valid)
-    assert(spark.conf.get("spark.graft.ppjoin.lastServeCandidateBound")
+    assert(spark.conf.get("spark.graft.ppjoin.debug.lastServeCandidateBound")
       == bound.toString)
     // independently computed upper bound the formula claims: Σ_h m_h·n_h
     // with m_h over ALL batch shingle occurrences and n_h the corpus
@@ -309,7 +309,7 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
       "off-contract layout must degrade, never change the answer")
     assert(boundOpt.isEmpty,
       "unparseable batch dir must void the bound (shuffle_hash), not crash")
-    assert(spark.conf.get("spark.graft.ppjoin.lastServeCandidateBound") == "inf")
+    assert(spark.conf.get("spark.graft.ppjoin.debug.lastServeCandidateBound") == "inf")
   }
 
   test("legacy flat-layout indexes (no batch dirs, no pstats) serve unchanged") {
@@ -336,7 +336,7 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
       spark, docs.filter(col("doc_id") % 10 === 7), idx, 4, 5))
     assert(served == truth,
       s"legacy serve diverged: missing=${truth -- served}, extra=${served -- truth}")
-    assert(spark.conf.get("spark.graft.ppjoin.lastServeCandidateBound") == "0",
+    assert(spark.conf.get("spark.graft.ppjoin.debug.lastServeCandidateBound") == "0",
       "no pstats sidecar → the pre-sidecar batch-probe-only guard (bound 0)")
   }
 
