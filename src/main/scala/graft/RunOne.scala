@@ -13,6 +13,7 @@ object RunOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 2
     val doExplain = args.length > 3 && args(3) == "explain"
+    val doShow = args.length > 3 && args(3) == "show"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,6 +27,7 @@ object RunOne {
     val q = GraftQuery.all.find(_.name == name)
       .getOrElse(sys.error(s"no such query: $name"))
     if (doExplain) q.fn(spark, sfDir).explain("formatted")
+    if (doShow) q.fn(spark, sfDir).show(100, truncate = false)
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

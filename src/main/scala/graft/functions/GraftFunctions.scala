@@ -41,6 +41,16 @@ object GraftFunctions {
     // InjectRuntimeFilter's contract.
     registry.createOrReplaceTempFunction(
       "sum128", exprs => Sum128(exprs.head), "scala_udf")
+    // the merge table rides as a string literal (wire form — see
+    // BpeEncode.encodeMergesArg), decoded once at resolution
+    registry.createOrReplaceTempFunction(
+      "bpe_encode",
+      exprs => BpeEncode(exprs.head,
+        BpeEncode.decodeMergesArg(exprs(1).eval().toString)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "bpe_pairs",
+      exprs => BpePairs(exprs.head,
+        BpeEncode.decodeMergesArg(exprs(1).eval().toString)), "scala_udf")
     // cap is a literal at call sites; evaluated once at resolution
     registry.createOrReplaceTempFunction(
       "collect_capped",
@@ -81,6 +91,20 @@ object GraftFunctions {
 
   /** Sorted distinct 3-gram hashes of an array<string> token column. */
   def ngram_hashes(c: Column): Column = call_function("ngram_hashes", c)
+
+  /** BPE tokens (array<string>) of a text column under a frozen merge
+    * table — pre-tokenize, then greedy-by-rank merge (see BpeEncode).
+    */
+  def bpe_encode(c: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_encode", c,
+      org.apache.spark.sql.functions.lit(BpeEncode.encodeMergesArg(merges)))
+
+  /** Adjacent symbol-pair keys of every pre-token under a merge table —
+    * the BPE trainer's counting input (see BpePairs).
+    */
+  def bpe_pairs(c: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_pairs", c,
+      org.apache.spark.sql.functions.lit(BpeEncode.encodeMergesArg(merges)))
 
   /** Fused-loop dot product of two array<double> columns. */
   def dot_product(a: Column, b: Column): Column =

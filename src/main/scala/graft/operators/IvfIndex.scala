@@ -166,8 +166,25 @@ object IvfIndex {
   def readCentroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/centroids")
 
+  /** Quantizer-drift alarm thresholds (see [[driftReport]]): an append
+    * batch is flagged `drifted` when its mean squared assignment
+    * distortion exceeds `driftDistortionRatio` × the build-time mean,
+    * OR its cell-occupancy distribution sits further than `driftTvMax`
+    * total-variation distance from the build-time distribution. The
+    * defaults separate the measured failure mode cleanly: the planted
+    * half-cluster drift fixture posts ratio ≈ 3–6 and TV ≈ 0.7–0.9,
+    * while representative appends (the sim_ivf_stream split) stay near
+    * ratio 1.0 / TV ≤ 0.2. Tunable via
+    * `spark.graft.ivf.driftDistortionRatio` /
+    * `spark.graft.ivf.driftTvMax`.
+    */
+  val DefaultDriftDistortionRatio: Double = 2.0
+  val DefaultDriftTvMax: Double = 0.5
+
   /** Build: train the quantizer on the standing corpus, persist it, and
-    * land the assigned corpus in the `batch=-1` bootstrap partition.
+    * land the assigned corpus in the `batch=-1` bootstrap partition
+    * (plus its drift sidecar — the build-time reference the drift
+    * metric compares appends against).
     */
   def writeIndex(vectors: DataFrame, path: String,
       nlist: Int, iters: Int, init: String = "first"): Unit = {
@@ -177,6 +194,33 @@ object IvfIndex {
     writeCells(
       assign(vectors.select(col("vec_id"), col("v"), col("norm2")), "v", centroids),
       s"$path/corpus/batch=-1")
+    writeDriftStats(vectors.sparkSession, path, -1L)
+  }
+
+  /** Per-batch drift sidecar: (centroid_id, n, d2_sum) rows — cell
+    * occupancy and summed squared assignment distortion — derived from
+    * a READ-BACK of the just-written batch partition (narrow columns +
+    * a broadcast centroid join; the same read-back-derivation pattern
+    * as the LSH/BM25 sidecars, never a second assignment pass over the
+    * source). Lands with OVERWRITE in `drift/batch=<id>` — the same
+    * crash-idempotent layout as the corpus partitions. The decimal sum
+    * makes d2_sum independent of partitioning, so drift verdicts are
+    * bit-stable.
+    */
+  private def writeDriftStats(spark: SparkSession, path: String,
+      batchId: Long): Unit = {
+    val centroids = readCentroids(spark, path)
+    spark.read.parquet(s"$path/corpus/batch=$batchId")
+      .select(col("centroid_id"), col("v"))
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"),
+        // d2_sum STAYS decimal in the sidecar: compaction folds batches
+        // by summing these, and a double-typed partial would make the
+        // fold differ from a from-scratch derivation in the last ulp
+        sum(dist2(col("v"), col("centroid")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("d2_sum"))
+      .write.mode("overwrite").parquet(s"$path/drift/batch=$batchId")
   }
 
   /** Cell-partitioned write, clustered by cell FIRST: a raw partitionBy
@@ -202,6 +246,137 @@ object IvfIndex {
     writeCells(
       assign(vectors.select(col("vec_id"), col("v"), col("norm2")), "v", centroids),
       s"$path/corpus/batch=$batchId")
+    // drift sidecar last: a crash window that landed cells but not the
+    // sidecar leaves the batch invisible to driftReport's per-batch rows
+    // (it reports exactly the sidecars that exist) and the redelivered
+    // batch OVERWRITES both — the metric is monitoring, never a serve
+    // dependency, so a missing partition degrades observability only
+    writeDriftStats(vectors.sparkSession, path, batchId)
+  }
+
+  /** Quantizer-drift report: one row per APPEND batch in the drift
+    * sidecar — `(batch, n, mean_d2, distortion_ratio, tv, drifted)` —
+    * each compared against the `batch=-1` build-time reference the
+    * FROZEN quantizer was shaped for:
+    *
+    *  - `distortion_ratio` = batch mean squared assignment distortion /
+    *    build mean. Appends drawn from the build distribution assign
+    *    about as tightly as the build did (ratio ≈ 1); a shifted
+    *    distribution lands far from every frozen centroid and the ratio
+    *    grows without the quantizer ever "failing" visibly — recall
+    *    relative to the quantizer stays contractual while recall
+    *    relative to BRUTE TRUTH silently erodes, which is exactly what
+    *    this metric watches. A zero-distortion build (every vector on a
+    *    centroid) makes any nonzero batch distortion ratio = Infinity —
+    *    the right direction.
+    *  - `tv` = total-variation distance (half L1) between the batch's
+    *    and the build's cell-occupancy SHARES, in [0,1]: 0 = identical
+    *    cell usage, 1 = disjoint. Catches drift that keeps per-vector
+    *    distortion low but crowds mass into few cells (serve-cost skew
+    *    and candidate starvation for the crowded queries).
+    *
+    * `drifted` ORs the two threshold tests (see
+    * [[DefaultDriftDistortionRatio]]/[[DefaultDriftTvMax]]). The inputs
+    * are the metadata-tiny drift sidecars (≤ nlist rows per batch), so
+    * the report costs a listing-scale read — cheap enough to run per
+    * append or per maintenance cycle; `rebuildIndex` is the response
+    * when it fires. `maxBatchExclusive` restricts to strictly-earlier
+    * batches (the serve cut); batches whose sidecar never landed (a
+    * crash window) are simply absent.
+    */
+  def driftReport(spark: SparkSession, path: String,
+      maxBatchExclusive: Option[Long] = None): DataFrame = {
+    val ratioMax = spark.conf
+      .getOption("spark.graft.ivf.driftDistortionRatio")
+      .map(_.toDouble).getOrElse(DefaultDriftDistortionRatio)
+    val tvMax = spark.conf.getOption("spark.graft.ivf.driftTvMax")
+      .map(_.toDouble).getOrElse(DefaultDriftTvMax)
+    val stats = IndexLifecycle.cutBatches(
+      spark.read.parquet(s"$path/drift"), maxBatchExclusive)
+    val totals = stats.groupBy(col("batch"))
+      .agg(sum(col("n")).as("bn"), sum(col("d2_sum")).as("bd2"))
+    val ref = totals.filter(col("batch") === -1)
+      .select((col("bd2").cast("double") / col("bn")).as("ref_mean_d2"))
+    val shares = stats.join(totals.select(col("batch"), col("bn")), Seq("batch"))
+      .select(col("batch"), col("centroid_id"),
+        (col("n").cast("double") / col("bn")).as("share"))
+    val refShares = shares.filter(col("batch") === -1)
+      .select(col("centroid_id"), col("share").as("ref_share"))
+    val appendShares = shares.filter(col("batch") >= 0)
+    // grid = append batches × build-used cells, so cells the batch never
+    // touched still contribute |0 − ref_share|; batch-only cells (cells
+    // the BUILD never used) survive the full join with ref_share = 0
+    val grid = appendShares.select(col("batch")).distinct()
+      .crossJoin(refShares)
+    val tv = grid.join(appendShares, Seq("batch", "centroid_id"), "full")
+      .groupBy(col("batch"))
+      .agg((sum(abs(coalesce(col("share"), lit(0d)) -
+        coalesce(col("ref_share"), lit(0d)))) / 2).as("tv"))
+    totals.filter(col("batch") >= 0)
+      .select(col("batch"), col("bn").as("n"),
+        (col("bd2").cast("double") / col("bn")).as("mean_d2"))
+      .crossJoin(broadcast(ref))
+      .join(tv, Seq("batch"))
+      .select(col("batch"), col("n"), col("mean_d2"),
+        (col("mean_d2") / col("ref_mean_d2")).as("distortion_ratio"),
+        col("tv"))
+      .withColumn("drifted",
+        col("distortion_ratio") > ratioMax || col("tv") > tvMax)
+      .orderBy(col("batch"))
+  }
+
+  /** Retrain-and-swap: the response when [[driftReport]] fires. Trains
+    * a FRESH quantizer on the standing corpus read from the index
+    * itself (committed batches up to `throughBatch`; `trainFraction`
+    * sub-samples deterministically by vec_id hash — "representative
+    * standing sample" at a bounded training cost), re-assigns every
+    * committed vector under it into a new `batch=-1` bootstrap, and
+    * carries uncommitted tail batches under their own ids — ALSO
+    * re-assigned, because cell partitions must match the new centroid
+    * table for serve-side pruning to be sound. Drift sidecars are
+    * re-derived under the new quantizer, so the report's reference
+    * resets with the rebuild.
+    *
+    * Atomic by the same staged-swap discipline as compactIndex: the
+    * source index is never mutated; the caller swaps the serve/stream
+    * path to `targetPath` after the write completes. A stream resuming
+    * from its checkpoint keeps appending under its own ids (batch=-1
+    * sorts before every micro-batch id), and `throughBatch` MUST be the
+    * last checkpoint-COMMITTED batch when a stream feeds this index,
+    * for the same reason as compaction: a crashed batch folded into the
+    * bootstrap could never again be excluded by the strictly-earlier
+    * serve filter.
+    */
+  def rebuildIndex(spark: SparkSession, path: String, targetPath: String,
+      nlist: Int, iters: Int, init: String = "first",
+      throughBatch: Long = Long.MaxValue,
+      trainFraction: Double = 1.0): Unit = {
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction must be in (0,1]: $trainFraction")
+    val tail = IndexLifecycle.tailIds(spark, s"$path/corpus", throughBatch)
+    val all = spark.read.parquet(s"$path/corpus")
+    val standing = all.filter(col("batch") <= throughBatch)
+      .select(col("vec_id"), col("v"), col("norm2"))
+    // deterministic id-hash sample: the same vectors train on any
+    // partitioning/layout (a seeded .sample() is partitioning-dependent)
+    val trainSrc =
+      if (trainFraction >= 1.0) standing
+      else standing.filter(
+        pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+          lit((trainFraction * 1000000L).toLong))
+    val centroids = train(trainSrc.select(col("vec_id"), col("v")),
+      "v", nlist, iters, init)
+    centroids.write.mode("overwrite").parquet(s"$targetPath/centroids")
+    writeCells(assign(standing, "v", centroids),
+      s"$targetPath/corpus/batch=-1")
+    writeDriftStats(spark, targetPath, -1L)
+    tail.foreach { b =>
+      writeCells(
+        assign(all.filter(col("batch") === b)
+          .select(col("vec_id"), col("v"), col("norm2")), "v", centroids),
+        s"$targetPath/corpus/batch=$b")
+      writeDriftStats(spark, targetPath, b)
+    }
   }
 
   /** Serve: ANN top-k per query from the persisted artifacts only —
@@ -251,6 +426,32 @@ object IvfIndex {
         all.filter(col("batch") === b)
           .select(col("vec_id"), col("v"), col("norm2"), col("centroid_id")),
         s"$targetPath/corpus/batch=$b")
+    }
+    // drift sidecar: committed per-cell rows FOLD to sums (compaction
+    // never retrains, so per-vector d2 values stay valid under the
+    // copied centroids — the folded reference is exactly what a fresh
+    // writeDriftStats over the folded bootstrap would derive); tails
+    // carry over unchanged. A legacy index without the sidecar derives
+    // it from the just-written target partitions (the migration step,
+    // like NearDupLsh's sidecar derivation in compaction).
+    val driftDir = new org.apache.hadoop.fs.Path(s"$path/drift")
+    val hasDrift = driftDir
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(driftDir)
+    if (hasDrift) {
+      val drift = spark.read.parquet(s"$path/drift")
+      drift.filter(col("batch") <= throughBatch)
+        .groupBy(col("centroid_id"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("d2_sum")).cast("decimal(38,12)").as("d2_sum"))
+        .write.mode("overwrite").parquet(s"$targetPath/drift/batch=-1")
+      IndexLifecycle.tailIds(spark, s"$path/drift", throughBatch).foreach { b =>
+        drift.filter(col("batch") === b)
+          .select(col("centroid_id"), col("n"), col("d2_sum"))
+          .write.mode("overwrite").parquet(s"$targetPath/drift/batch=$b")
+      }
+    } else {
+      writeDriftStats(spark, targetPath, -1L)
+      tail.foreach(b => writeDriftStats(spark, targetPath, b))
     }
   }
 

@@ -117,12 +117,20 @@ object Coverage3 {
     // the token budget is spent. The running total uses the distributed
     // prefix-sum operator (range partition + offset broadcast), not a
     // single-partition global window — same result, no scale cliff.
+    // Budgets count REAL merge-table BPE tokens under the frozen vocab
+    // (BpeVocab.Default — whitespace/regex counts differ 1.3–2× on
+    // non-English/code text, so a budget in estimator tokens over- or
+    // under-buys the corpus); the oracle replays the merge sequence in
+    // SQL (BpeEncode.oracleCountSql).
     GraftQuery(
       "pipe_token_budget",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val docs = Tables.table(s, dir, "documents")
           .select(col("doc_id"), col("n_chars"),
-            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+            size(graft.functions.GraftFunctions.bpe_encode(
+              col("text"), graft.functions.BpeVocab.Default))
+              .cast(LongType).as("n_tok"))
         graft.operators.PrefixSum
           .runningTotal(docs,
             Seq(col("n_chars").desc, col("doc_id").asc),
@@ -131,7 +139,9 @@ object Coverage3 {
           .select(col("doc_id"), col("n_tok"), col("cum_tok"))
       },
       Some("WITH t AS (SELECT doc_id, n_chars, " +
-        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        graft.functions.BpeEncode.oracleCountSql(
+          graft.functions.BpeVocab.Default, "text") +
+        " AS n_tok FROM documents), " +
         "c AS (SELECT doc_id, n_tok, CAST(SUM(n_tok) OVER (" +
         "ORDER BY n_chars DESC, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok FROM t) " +

@@ -225,12 +225,18 @@ object Pipeline {
     // boundary. The global running total uses the distributed prefix-sum
     // operator (range partition + broadcast offsets), NOT a global
     // window, so no single partition ever holds the corpus.
+    // Windows count REAL BPE tokens under the frozen vocab (the packer
+    // must budget in the tokens the model actually consumes); oracle
+    // replays the merges in SQL.
     GraftQuery(
       "pipe_seq_packing",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val docs = Tables.table(s, dir, "documents")
           .select(col("doc_id"),
-            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+            size(graft.functions.GraftFunctions.bpe_encode(
+              col("text"), graft.functions.BpeVocab.Default))
+              .cast(LongType).as("n_tok"))
         PrefixSum.runningTotal(docs, Seq(col("doc_id")), col("n_tok"), "cum_tok")
           .select(
             col("doc_id"), col("n_tok"),
@@ -239,10 +245,14 @@ object Pipeline {
             expr("(cum_tok - 1) div 256").as("last_win"))
           .withColumn("n_windows", col("last_win") - col("first_win") + 1)
       },
-      Some("WITH c AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
-        "CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER " +
+      Some("WITH b AS (SELECT doc_id, " +
+        graft.functions.BpeEncode.oracleCountSql(
+          graft.functions.BpeVocab.Default, "text") +
+        " AS n_tok FROM documents), " +
+        "c AS (SELECT doc_id, n_tok, " +
+        "CAST(SUM(n_tok) OVER " +
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok " +
-        "FROM documents) " +
+        "FROM b) " +
         "SELECT doc_id, n_tok, cum_tok - n_tok AS start_tok, " +
         "(cum_tok - n_tok) // 256 AS first_win, (cum_tok - 1) // 256 AS last_win, " +
         "(cum_tok - 1) // 256 - (cum_tok - n_tok) // 256 + 1 AS n_windows FROM c")),
@@ -637,16 +647,20 @@ object Pipeline {
     // Dataset card / datasheet: the one-row corpus summary a training-
     // data pipeline publishes alongside the data — sizes, language and
     // source coverage, exact-duplicate rate, token-count distribution.
-    // One pass over the corpus: the narrow per-doc projection (token
-    // count + content hash) feeds a single global aggregate; the
+    // One pass over the corpus: the narrow per-doc projection (REAL BPE
+    // token count under the frozen vocab + content hash) feeds a single
+    // global aggregate; the
     // count-distincts are the only expand, and every statistic is exact
     // integer arithmetic (the dup ratio is one final IEEE division).
     GraftQuery(
       "pipe_dataset_card",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val perDoc = Tables.table(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-            size(split(col("text"), " ")).cast("long").as("n_toks"),
+            size(graft.functions.GraftFunctions.bpe_encode(
+              col("text"), graft.functions.BpeVocab.Default))
+              .cast("long").as("n_toks"),
             md5(col("text")).as("sig"))
         perDoc.agg(
           count(lit(1)).as("n_docs"),
@@ -670,11 +684,14 @@ object Pipeline {
         "count(DISTINCT md5(text)) AS n_unique_texts, " +
         "count(DISTINCT lang) AS n_langs, " +
         "count(DISTINCT source) AS n_sources, " +
-        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
-        "quantile_disc(CAST(len(string_split(text, ' ')) AS BIGINT), 0.5) AS p50_toks, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS total_tokens, " +
+        "quantile_disc(n_toks, 0.5) AS p50_toks, " +
         "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
         "CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio " +
-        "FROM documents")),
+        "FROM (SELECT *, " +
+        graft.functions.BpeEncode.oracleCountSql(
+          graft.functions.BpeVocab.Default, "text") +
+        " AS n_toks FROM documents)")),
 
     // Global training-order shuffle, the scale-correct way: a true global
     // sort of 100 TB for "random" example order is one giant range

@@ -107,6 +107,31 @@ object Similarity {
       "CAST(1 AS BIGINT) AS results_ok, CAST(1 AS BIGINT) AS recall_ok " +
       "FROM embeddings WHERE vec_id < 10"
 
+  /** (n_exact, n_hits, n_ann) of an ANN result for an arbitrary query
+    * frame against brute-force top-5 truth over `full` — the
+    * generalized flavor of [[annVerdict]] the drift gate composes its
+    * integer-exact cells from (recall ≥ 0.8 ⟺ 5·hits ≥ 4·exact, no
+    * double thresholds anywhere near the verdict).
+    */
+  private def recallCounts(full: DataFrame, q: DataFrame,
+      ann: DataFrame): (Long, Long, Long) = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val exact = full.select(col("vec_id").as("neighbor_id"), col("v"), col("norm2"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("norm2")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val r = exact.join(
+      ann.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+      Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L))).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1), ann.count())
+  }
+
   /** Raw LSH ANN top-5 per query (query_id, neighbor_id, cosine, rank) —
     * the pipeline under the `sim_lsh_ann` verdict; specs assert on this
     * directly.
@@ -414,6 +439,89 @@ object Similarity {
           bruteTopK(e, 5), minRecall = 0.8)
       },
       Some(annVerdictSql)),
+
+    // Quantizer-DRIFT detection + retrain-and-swap — the failure mode
+    // the frozen-quantizer contract leaves open: appends from a shifted
+    // embedding distribution keep assigning (and keep their recall
+    // contract RELATIVE TO THE QUANTIZER) while recall against brute
+    // truth silently erodes. The gate plants a drifted batch — the
+    // corpus displaced into 16 novel regions, offset 1.2 along a
+    // vec_id-chosen basis dim, comparable to the fixture's ~1.2 vector
+    // norms so the regions OVERLAP the original cloud and the frozen
+    // quantizer SCATTERS their members across cells (larger offsets
+    // crowd one cell instead and cost serve time, never recall —
+    // IvfDriftProbe's grid) — then checks the whole response loop:
+    //   1. driftReport FIRES on the append (distortion_ratio 2.50–2.57
+    //      vs the 2.0 default; the sim_ivf_stream-style representative
+    //      split posts 1.03–1.07 — the negative control, spec'd in
+    //      IvfIndexSpec);
+    //   2. the frozen index PROVABLY serves the drifted-region queries
+    //      below the 0.8 bar (recall@5 0.704–0.728 at nprobe=4 across
+    //      the three SFs);
+    //   3. rebuildIndex (retrain at the same nlist, more Lloyd
+    //      iterations, swap-by-path) restores them to 1.000 — and the
+    //      STANDING region holds ≥ 0.8 too (0.904–0.912; the doubled
+    //      corpus earns a doubled probe budget), so the rebuild never
+    //      trades one population's recall for the other's;
+    //   4. the alarm CLEARS on the rebuilt index (its reference reset
+    //      by the retrain).
+    // All cells integer-exact: recall ≥ 0.8 ⟺ 5·hits ≥ 4·exact.
+    GraftQuery(
+      "sim_ivf_drift",
+      (s, dir) => {
+        val e = corpus(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ivf_drift_gate").toString
+        val standing = e.select(col("vec_id"), col("v"), col("norm2"))
+        val drifted = e.select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"),
+            (x, i) => x + when(i === pmod(col("vec_id"), lit(16)) * 4,
+              lit(1.2)).otherwise(lit(0.0))).as("v"))
+          .withColumn("norm2", dot(col("v"), col("v")))
+        val full = standing.unionByName(drifted)
+        val queries = full
+          .filter(col("vec_id") < 25 ||
+            (col("vec_id") >= 1000000L && col("vec_id") < 1000025L))
+          .select(col("vec_id").as("query_id"),
+            col("v").as("qv"), col("norm2").as("qn"))
+        val qDrift = queries.filter(col("query_id") >= 1000000L)
+        val qStand = queries.filter(col("query_id") < 1000000L)
+        graft.operators.IvfIndex.writeIndex(
+          standing, s"$root/idx", nlist = 16, iters = 2)
+        graft.operators.IvfIndex.appendIndex(drifted, s"$root/idx", 0L)
+        val fired = graft.operators.IvfIndex.driftReport(s, s"$root/idx")
+          .filter(col("batch") === 0 && col("drifted")).count() == 1
+        val (fe, fh, fa) = recallCounts(full, qDrift,
+          graft.operators.IvfIndex.topK(s, s"$root/idx", qDrift, nprobe = 4, k = 5))
+        graft.operators.IvfIndex.rebuildIndex(
+          s, s"$root/idx", s"$root/idx2", nlist = 16, iters = 5)
+        val cleared = graft.operators.IvfIndex.driftReport(s, s"$root/idx2")
+          .filter(col("drifted")).count() == 0
+        val (rde, rdh, rda) = recallCounts(full, qDrift,
+          graft.operators.IvfIndex.topK(s, s"$root/idx2", qDrift, nprobe = 8, k = 5))
+        val (rse, rsh, rsa) = recallCounts(full, qStand,
+          graft.operators.IvfIndex.topK(s, s"$root/idx2", qStand, nprobe = 8, k = 5))
+        val nq = queries.count()
+        s.range(1).select(
+          lit(nq).as("n_queries"),
+          lit(rde + rse).as("n_exact"),
+          when(lit(fa == 5 * (nq / 2) && rda == 5 * (nq / 2) && rsa == 5 * (nq / 2)),
+            lit(1L)).otherwise(lit(0L)).as("results_ok"),
+          when(lit(fired), lit(1L)).otherwise(lit(0L)).as("drift_fired"),
+          when(lit(cleared), lit(1L)).otherwise(lit(0L)).as("drift_cleared"),
+          when(lit(5 * fh < 4 * fe), lit(1L)).otherwise(lit(0L)).as("frozen_drift_below"),
+          when(lit(5 * rdh >= 4 * rde), lit(1L)).otherwise(lit(0L)).as("rebuilt_drift_ok"),
+          when(lit(5 * rsh >= 4 * rse), lit(1L)).otherwise(lit(0L)).as("rebuilt_standing_ok"))
+      },
+      Some("SELECT CAST(2 * count(*) AS BIGINT) AS n_queries, " +
+        "CAST(10 * count(*) AS BIGINT) AS n_exact, " +
+        "CAST(1 AS BIGINT) AS results_ok, CAST(1 AS BIGINT) AS drift_fired, " +
+        "CAST(1 AS BIGINT) AS drift_cleared, " +
+        "CAST(1 AS BIGINT) AS frozen_drift_below, " +
+        "CAST(1 AS BIGINT) AS rebuilt_drift_ok, " +
+        "CAST(1 AS BIGINT) AS rebuilt_standing_ok " +
+        "FROM embeddings WHERE vec_id < 25")),
 
     // IVF-PQ: coarse cells prune the probe set AND the stored index
     // holds trained PQ codes instead of vectors (the FAISS IVFPQ

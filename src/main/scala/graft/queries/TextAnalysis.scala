@@ -95,6 +95,37 @@ object TextAnalysis {
         "CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS BIGINT) " +
         "AS n_distinct_bpe_tokens FROM documents")),
 
+    // REAL merge-table BPE (not the pre-tokenization estimator above):
+    // greedy-by-rank encode under the frozen 48-merge vocab artifact
+    // (BpeVocab.Default — trained by BpeTokenizer.trainMerges on this
+    // fixture, lineage pinned by BpeVocabSpec), as a native codegen'd
+    // expression. The oracle REPLAYS the merge sequence in plain SQL:
+    // each pre-token's characters are wrapped RS·c·US and the 48 merges
+    // apply as chained replace() calls in rank order — exactly the
+    // greedy encode under the replayability invariant (see BpeEncode's
+    // scaladoc for the proof sketch), so the fingerprint cell pins
+    // every token STRING, not just counts.
+    GraftQuery(
+      "txt_bpe_encode",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        def toks = graft.functions.GraftFunctions
+          .bpe_encode(col("text"), graft.functions.BpeVocab.Default)
+        Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_bpe_real_tokens"),
+          md5(concat_ws("", transform(toks,
+            t => concat(lit("\u001E"), t, lit("\u001F")))))
+            .as("bpe_fingerprint"))
+      },
+      Some("SELECT doc_id, " +
+        graft.functions.BpeEncode.oracleCountSql(
+          graft.functions.BpeVocab.Default, "text") +
+        " AS n_bpe_real_tokens, " +
+        graft.functions.BpeEncode.oracleFingerprintSql(
+          graft.functions.BpeVocab.Default, "text") +
+        " AS bpe_fingerprint FROM documents")),
+
     // Quality scoring: stopword ratio, mean token length, composite score.
     // All-double arithmetic on identical operands — bit-stable vs DuckDB.
     GraftQuery(

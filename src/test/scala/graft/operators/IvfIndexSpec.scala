@@ -96,6 +96,122 @@ class IvfIndexSpec extends AnyFunSuite {
       maxBatchExclusive = Some(1L))) == cut)
   }
 
+  /** The sim_ivf_drift gate's planted drifted batch: the corpus
+    * displaced into 16 novel overlapping regions (offset 1.2 along a
+    * vec_id-chosen basis dim), ids disjoint from the standing corpus.
+    */
+  private def plantedDrift(e: DataFrame): DataFrame = e.select(
+    (col("vec_id") + 1000000L).as("vec_id"),
+    transform(col("v"),
+      (x, i) => x + when(i === pmod(col("vec_id"), lit(16)) * 4, lit(1.2))
+        .otherwise(lit(0.0))).as("v"))
+    .withColumn("norm2",
+      graft.functions.GraftFunctions.dot_product(col("v"), col("v")))
+
+  test("drift metric: fires on the planted shift, silent on a representative append") {
+    val e = corpus
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_dr").toString
+    IvfIndex.writeIndex(e, s"$idx/p", nlist = 16, iters = 2)
+    IvfIndex.appendIndex(plantedDrift(e), s"$idx/p", batchId = 0L)
+    val planted = IvfIndex.driftReport(spark, s"$idx/p").collect()
+    assert(planted.length == 1)
+    assert(planted.head.getAs[Boolean]("drifted"))
+    assert(planted.head.getAs[Double]("distortion_ratio") > 2.0)
+    // negative control: the sim_ivf_stream-style representative split
+    IvfIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 7), s"$idx/r",
+      nlist = 16, iters = 2)
+    IvfIndex.appendIndex(e.filter(col("vec_id") % 10 === 7), s"$idx/r", 0L)
+    val rep = IvfIndex.driftReport(spark, s"$idx/r").collect()
+    assert(rep.length == 1 && !rep.head.getAs[Boolean]("drifted"),
+      s"representative append must not fire: ${rep.head}")
+    assert(rep.head.getAs[Double]("distortion_ratio") < 1.5)
+    // determinism: the report is decimal-aggregated — bit-stable
+    assert(IvfIndex.driftReport(spark, s"$idx/p").collect().toSeq
+      == planted.toSeq)
+  }
+
+  test("drift sidecar is redelivery-idempotent and honors the serve cut") {
+    val e = corpus
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_dri").toString
+    IvfIndex.writeIndex(e, idx, nlist = 16, iters = 2)
+    val batch = plantedDrift(e)
+    IvfIndex.appendIndex(batch, idx, batchId = 0L)
+    val once = IvfIndex.driftReport(spark, idx).collect().toSeq
+    IvfIndex.appendIndex(batch, idx, batchId = 0L) // redelivery
+    assert(IvfIndex.driftReport(spark, idx).collect().toSeq == once,
+      "OVERWRITE layout: a redelivered append must not change the report")
+    assert(IvfIndex.driftReport(spark, idx, maxBatchExclusive = Some(0L))
+      .isEmpty, "the strictly-earlier cut must hide the batch's sidecar")
+  }
+
+  test("rebuild: retrain-and-swap restores the new-region serve; watermark " +
+      "carries the uncommitted tail re-assigned under the new quantizer") {
+    val e = corpus
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_rb").toString
+    IvfIndex.writeIndex(e, idx, nlist = 16, iters = 2)
+    IvfIndex.appendIndex(plantedDrift(e), idx, batchId = 0L) // committed
+    IvfIndex.appendIndex(
+      plantedDrift(e).withColumn("vec_id", col("vec_id") + 1000000L),
+      idx, batchId = 1L) // uncommitted
+    val rb = java.nio.file.Files.createTempDirectory("graft_ivf_rb_t").toString
+    IvfIndex.rebuildIndex(spark, idx, rb, nlist = 16, iters = 5,
+      throughBatch = 0L)
+    def dirs(root: String): Set[String] =
+      new java.io.File(s"$root/corpus").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs(rb) == Set("batch=-1", "batch=1"),
+      "committed batches fold; the uncommitted tail carries under its id")
+    // the tail is re-assigned under the NEW quantizer: every corpus
+    // partition's cells must come from the rebuilt centroid table
+    val newAssign = IvfIndex.assign(
+      spark.read.parquet(s"$rb/corpus/batch=1")
+        .select(col("vec_id"), col("v"), col("norm2")),
+      "v", IvfIndex.readCentroids(spark, rb))
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).intValue)).sorted
+    val stored = spark.read.parquet(s"$rb/corpus/batch=1")
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).intValue)).sorted
+    assert(stored.sameElements(newAssign))
+    // serve-cut equivalence: the rebuilt index cut at the watermark is
+    // indistinguishable from a rebuild of a source that never had the
+    // uncommitted batch (same standing corpus → same training → same
+    // quantizer → identical serves on every replay)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_ivf_rb_c").toString
+    IvfIndex.writeIndex(e, idx2, nlist = 16, iters = 2)
+    IvfIndex.appendIndex(plantedDrift(e), idx2, batchId = 0L)
+    val rb2 = java.nio.file.Files.createTempDirectory("graft_ivf_rb_c_t").toString
+    IvfIndex.rebuildIndex(spark, idx2, rb2, nlist = 16, iters = 5)
+    assert(rows(IvfIndex.topK(spark, rb, queries(e), 8, 5,
+      maxBatchExclusive = Some(1L)))
+      == rows(IvfIndex.topK(spark, rb2, queries(e), 8, 5)))
+  }
+
+  test("compaction folds the drift sidecar exactly; a legacy index derives it") {
+    val e = corpus
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_dcp").toString
+    IvfIndex.writeIndex(e.filter(col("vec_id") % 2 === 0), idx, nlist = 16, iters = 2)
+    IvfIndex.appendIndex(e.filter(col("vec_id") % 2 =!= 0), idx, batchId = 0L)
+    def driftRows(root: String): Seq[(Int, Long, Double)] =
+      spark.read.parquet(s"$root/drift/batch=-1")
+        .select(col("centroid_id"), col("n"), col("d2_sum").cast("double"))
+        .collect().map(r => (r.getAs[Number](0).intValue, r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    val cpt = java.nio.file.Files.createTempDirectory("graft_ivf_dcp_a").toString
+    IvfIndex.compactIndex(spark, idx, cpt)
+    // the fold must equal the from-scratch derivation over the folded
+    // corpus (same frozen centroids, decimal sums): strip the sidecar
+    // and let compaction migrate-derive it, then compare
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/drift"), true)
+    val cptLegacy = java.nio.file.Files.createTempDirectory("graft_ivf_dcp_b").toString
+    IvfIndex.compactIndex(spark, idx, cptLegacy)
+    assert(driftRows(cpt).nonEmpty)
+    assert(driftRows(cpt) == driftRows(cptLegacy),
+      "sidecar fold ≡ re-derivation under the copied quantizer")
+  }
+
   test("streamed ingest serves identically to one batch-append of the same docs") {
     val e = corpus
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_str").toString
