@@ -132,30 +132,47 @@ object Similarity {
     (r.getLong(0), r.getLong(1), ann.count())
   }
 
-  /** Raw LSH ANN top-5 per query (query_id, neighbor_id, cosine, rank) —
-    * the pipeline under the `sim_lsh_ann` verdict; specs assert on this
-    * directly.
+  // Zero caches (the NearDupLsh shape): the QUERY side is its own
+  // pruned scan — `vec_id < 10` pushes to the parquet reader, so its
+  // signature pass touches ten rows — and broadcasts into the bucket
+  // join; the CORPUS signature relation is consumed exactly once by
+  // one full scan. Caching the corpus+signature relation (the r8
+  // layout) pins the whole embedding table in the block manager —
+  // chaotic eviction/recompute at 100 TB, and the recompute path is
+  // one scan anyway.
+  private[queries] def withBands(df: DataFrame): DataFrame = df
+    .withColumn("sig", lshSignature(col("v")))
+    .select(
+      col("vec_id"), col("v"), col("norm2"),
+      posexplode(array((0 until 4).map { j =>
+        shiftright(col("sig"), 4 * j).bitwiseAND(lit(0xF))
+      }: _*)).as(Seq("band", "band_val")))
+    .drop("sig")
+
+  /** Raw LSH ANN top-5 per query (query_id, neighbor_id, cosine, rank).
+    * `probeBits` > 0 turns on MULTI-PROBE (Lv et al., "Multi-Probe LSH",
+    * VLDB'07): each QUERY band additionally probes the buckets at
+    * Hamming distance 1 from its own value in the first `probeBits`
+    * signature bits — for a random-hyperplane signature, the nearest
+    * misclassified neighbors differ in exactly one marginal bit, so
+    * Hamming-1 perturbation recovers most of what single-probe banding
+    * loses. The expansion lives ENTIRELY on the broadcast query side
+    * (10 queries × 4 bands × (1 + probeBits) rows); the corpus relation
+    * and its single scan are byte-identical to single-probe, which is
+    * the multi-probe trade's whole point at 100 TB: recall rises
+    * without growing the index or adding a corpus pass — candidates
+    * (and so rescore cost) grow ~(1 + probeBits)×, bounded by the
+    * query-side fan-out.
     */
-  def lshAnn(s: SparkSession, dir: String): DataFrame = {
-    // Zero caches (the NearDupLsh shape): the QUERY side is its own
-    // pruned scan — `vec_id < 10` pushes to the parquet reader, so its
-    // signature pass touches ten rows — and broadcasts into the bucket
-    // join; the CORPUS signature relation is consumed exactly once by
-    // one full scan. Caching the corpus+signature relation (the r8
-    // layout) pins the whole embedding table in the block manager —
-    // chaotic eviction/recompute at 100 TB, and the recompute path is
-    // one scan anyway.
-    def withBands(df: DataFrame): DataFrame = df
-      .withColumn("sig", lshSignature(col("v")))
-      .select(
-        col("vec_id"), col("v"), col("norm2"),
-        posexplode(array((0 until 4).map { j =>
-          shiftright(col("sig"), 4 * j).bitwiseAND(lit(0xF))
-        }: _*)).as(Seq("band", "band_val")))
-      .drop("sig")
+  def lshAnn(s: SparkSession, dir: String, probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 4, s"probeBits in [0,4]: $probeBits")
     val e = corpus(s, dir)
+    val probeVals =
+      col("band_val") +: (0 until probeBits).map(b =>
+        col("band_val").bitwiseXOR(lit(1 << b)))
     val q = withBands(e.filter(col("vec_id") < 10)).select(
-      col("band"), col("band_val"),
+      col("band"),
+      explode(array(probeVals: _*)).as("band_val"),
       col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn"))
     val c = withBands(e).select(
       col("band"), col("band_val"),
@@ -577,8 +594,16 @@ object Similarity {
     // neighbor lists are additionally recall-asserted in SimilaritySpec.
     GraftQuery(
       "sim_lsh_ann",
+      // MULTI-probe (probeBits = 4: each query band also probes its 4
+      // Hamming-1 buckets — 5× query-side fan-out, corpus scan
+      // unchanged): recall@5 measured 0.90/0.98/0.96 at
+      // sf0.001/0.01/0.1 vs single-probe's 0.38/0.50/0.50, so the
+      // verdict bar sits at the IVF family's 0.8 instead of the old
+      // single-probe 0.35. Per-probeBits recall curve and candidate
+      // cost are pinned in SimilaritySpec.
       (s, dir) =>
-        annVerdict(lshAnn(s, dir), bruteTopK(corpus(s, dir), 5), minRecall = 0.35),
+        annVerdict(lshAnn(s, dir, probeBits = 4), bruteTopK(corpus(s, dir), 5),
+          minRecall = 0.8),
       Some(annVerdictSql)),
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023): partition the

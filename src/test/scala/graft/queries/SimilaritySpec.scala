@@ -41,6 +41,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("multi-probe LSH: recall rises with probeBits at bounded candidate cost") {
+    val brute = graft.SparkEntry.queries("sim_brute_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(pb: Int): Double = {
+      val ann = Similarity.lshAnn(spark, dir, probeBits = pb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (ann & brute).size.toDouble / brute.size
+    }
+    val r0 = recallAt(0)
+    val r4 = recallAt(4)
+    // measured on this fixture: 0.38 single-probe → 0.90 at probeBits=4
+    // (0.50 → 0.96–0.98 at the larger SFs) — the sim_lsh_ann verdict
+    // bar (0.8) needs the multi-probe path
+    assert(r4 >= 0.8, s"multi-probe recall@5 $r4")
+    assert(r4 > r0, s"multi-probe ($r4) must beat single-probe ($r0)")
+    // candidate cost: the fan-out lives on the QUERY side only — each
+    // band probes exactly (1 + probeBits) buckets, so the candidate
+    // relation grows at most 5× while the corpus side is untouched
+    val e = graft.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm2",
+        graft.functions.GraftFunctions.dot_product(col("v"), col("v")))
+    def candidates(pb: Int): Long = {
+      val probeVals = col("band_val") +: (0 until pb).map(b =>
+        col("band_val").bitwiseXOR(lit(1 << b)))
+      val q = Similarity.withBands(e.filter(col("vec_id") < 10))
+        .select(col("band"), explode(array(probeVals: _*)).as("band_val"),
+          col("vec_id").as("query_id"))
+      Similarity.withBands(e)
+        .select(col("band"), col("band_val"), col("vec_id").as("neighbor_id"))
+        .join(q, Seq("band", "band_val"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .count()
+    }
+    val c0 = candidates(0)
+    val c4 = candidates(4)
+    assert(c4 <= 5 * c0,
+      s"probe fan-out must bound candidate growth: $c0 -> $c4")
+    assert(c4 > c0)
+  }
+
   test("IVF ANN: valid cosines, deterministic, better recall than blind chance") {
     val brute = graft.SparkEntry.queries("sim_brute_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
