@@ -279,4 +279,18 @@ object Bm25Index {
         .write.mode("overwrite").parquet(s"$targetPath/stats/batch=$b")
     }
   }
+
+  /** Auto-maintenance trigger — compacts only when the committed
+    * batch-dir count under `postings/` exceeds
+    * `spark.graft.index.compactMinBatches` (not-due = one directory
+    * listing). Returns true when a compacted index was written at
+    * `targetPath` (caller swaps paths); false = not due, `targetPath`
+    * untouched.
+    */
+  def maintain(spark: SparkSession, path: String, targetPath: String,
+      width: Int = 0, throughBatch: Long = Long.MaxValue): Boolean = {
+    val due = IndexLifecycle.compactDue(spark, s"$path/postings", throughBatch)
+    if (due) compactIndex(spark, path, targetPath, width, throughBatch)
+    due
+  }
 }

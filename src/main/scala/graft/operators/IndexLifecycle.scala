@@ -99,6 +99,35 @@ object IndexLifecycle {
     ids.filter(_ > throughBatch).toSeq.sorted
   }
 
+  /** Compaction trigger for the auto-maintenance layer (each index's
+    * `maintain`): fold only when the committed batch-dir count under a
+    * long-running ingest exceeds this, so directory-listing cost per
+    * serve stays bounded without an operator remembering to compact.
+    * Tunable via `spark.graft.index.compactMinBatches`.
+    */
+  val DefaultCompactMinBatches: Int = 16
+
+  /** True when `dir` holds more than the conf'd number of committed
+    * (id ≤ `throughBatch`, bootstrap included) batch directories — the
+    * cheap (one listing, no data read) check each index's `maintain`
+    * gates its compaction on. Off-contract file-bearing dirs fail fast
+    * exactly like [[tailIds]]: a maintenance decision must not silently
+    * miscount the layout it is about to rewrite.
+    */
+  def compactDue(spark: SparkSession, dir: String,
+      throughBatch: Long): Boolean = {
+    val threshold = spark.conf
+      .getOption("spark.graft.index.compactMinBatches")
+      .map(_.toInt).getOrElse(DefaultCompactMinBatches)
+    val (ids, bad) = listBatchDirs(spark, dir)
+    val fileBearing = bad.filter(p =>
+      fsOf(spark, p).getContentSummary(p).getFileCount > 0)
+    require(fileBearing.isEmpty,
+      s"off-contract batch directories with data under $dir: " +
+        s"${fileBearing.mkString(", ")} — fix the layout before maintenance")
+    ids.count(_ <= throughBatch) > threshold
+  }
+
   /** The strictly-earlier serve cut on the `batch` partition column —
     * pass the last checkpoint-COMMITTED batch id + 1 to keep a
     * half-landed micro-batch invisible; `None` serves everything.

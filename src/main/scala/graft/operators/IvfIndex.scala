@@ -485,4 +485,19 @@ object IvfIndex {
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
   }
+
+  /** Auto-maintenance trigger — compacts only when the committed
+    * batch-dir count under `corpus/` exceeds
+    * `spark.graft.index.compactMinBatches` (not-due = one directory
+    * listing). Returns true when a compacted index was written at
+    * `targetPath` (caller swaps paths); false = not due, `targetPath`
+    * untouched. Maintenance never retrains — when `driftReport` fires,
+    * the response is `rebuildIndex`, a deliberate operator act.
+    */
+  def maintain(spark: SparkSession, path: String, targetPath: String,
+      throughBatch: Long = Long.MaxValue): Boolean = {
+    val due = IndexLifecycle.compactDue(spark, s"$path/corpus", throughBatch)
+    if (due) compactIndex(spark, path, targetPath, throughBatch)
+    due
+  }
 }

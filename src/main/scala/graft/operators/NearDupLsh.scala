@@ -457,6 +457,19 @@ object NearDupLsh {
     }
   }
 
+  /** Auto-maintenance trigger — compacts only when the committed
+    * batch-dir count exceeds `spark.graft.index.compactMinBatches`
+    * (not-due = one directory listing). Returns true when a compacted
+    * index was written at `targetPath` (caller swaps paths); false =
+    * not due, `targetPath` untouched.
+    */
+  def maintain(spark: SparkSession, path: String, targetPath: String,
+      width: Int = 0, throughBatch: Long = Long.MaxValue): Boolean = {
+    val due = IndexLifecycle.compactDue(spark, path, throughBatch)
+    if (due) compactIndex(spark, path, targetPath, width, throughBatch)
+    due
+  }
+
   /** Summed per-bucket counts across all appended batches. */
   def readBucketStats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(statsPath(path))

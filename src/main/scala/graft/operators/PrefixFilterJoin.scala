@@ -368,26 +368,39 @@ object PrefixFilterJoin {
     // task-s, ~30 GB of aggregation-hash spill for near-unique keys —
     // bench/ppjoin_build_probe_r14.md).
     //
-    // Exactness: this read NEUTRALIZES file splitting (maxPartitionBytes
-    // and openCostInBytes pinned to 1 PiB on an isolated session — the
-    // huge open cost also gives each file its own read partition, so
-    // parallelism stays = file count = write width). Whole
-    // files per chunk means a run can never be cut mid-file, and runs
-    // never SPAN files (repartitionByRange keeps equal h in one
-    // partition, so h-ranges are disjoint across files); each same-file
-    // stretch's FIRST and LAST runs are still marked boundary (kept
-    // unfiltered, <= 2 rows/file) as a belt against any whole-file
-    // packing, while interior runs — provably total — pre-filter to the
-    // hot tail before the only (tiny) shuffle. Boundaries are per FILE
-    // STRETCH (input_file_name), not per partition: Spark bin-packs a
-    // split file's final chunk behind other files in a FilePartition,
-    // and the old per-partition rule silently dropped the interior piece
-    // of a run cut at such a chunk boundary when its count was at or
-    // under the hot floor (ADVICE r15) — with splitting neutralized that
-    // cut is impossible, and the per-file rule keeps the walk exact even
-    // if a future caller re-enables splitting. Pinned ≡ the groupBy
-    // derivation, including under session confs forcing 2 KB splits and
-    // multi-row-group files, by PrefixFilterJoinSpec.
+    writePstatsFromPrefix(s, path, batchId)
+  }
+
+  /** Derive the `pstats` partition of `root`'s batch `batchId` from its
+    * ALREADY-WRITTEN prefix partition — shared by build/append (the
+    * writePrefixAndStats tail) and compaction (which re-derives pstats
+    * over the FOLDED prefix artifact: the per-batch sidecars are
+    * hot-floor-truncated, so their sums cannot reconstruct the folded
+    * partition's exact hot set).
+    *
+    * Exactness: this read NEUTRALIZES file splitting (maxPartitionBytes
+    * and openCostInBytes pinned to 1 PiB on an isolated session — the
+    * huge open cost also gives each file its own read partition, so
+    * parallelism stays = file count = write width). Whole
+    * files per chunk means a run can never be cut mid-file, and runs
+    * never SPAN files (repartitionByRange keeps equal h in one
+    * partition, so h-ranges are disjoint across files); each same-file
+    * stretch's FIRST and LAST runs are still marked boundary (kept
+    * unfiltered, <= 2 rows/file) as a belt against any whole-file
+    * packing, while interior runs — provably total — pre-filter to the
+    * hot tail before the only (tiny) shuffle. Boundaries are per FILE
+    * STRETCH (input_file_name), not per partition: Spark bin-packs a
+    * split file's final chunk behind other files in a FilePartition,
+    * and the old per-partition rule silently dropped the interior piece
+    * of a run cut at such a chunk boundary when its count was at or
+    * under the hot floor (ADVICE r15) — with splitting neutralized that
+    * cut is impossible, and the per-file rule keeps the walk exact even
+    * if a future caller re-enables splitting. Pinned ≡ the groupBy
+    * derivation, including under session confs forcing 2 KB splits and
+    * multi-row-group files, by PrefixFilterJoinSpec.
+    */
+  private def writePstatsFromPrefix(s: SparkSession, root: String,
+      batchId: Long): Unit = {
     withPhase(s, "ppidx:pstats") {
       // The split pins live on an ISOLATED session (shared SparkContext,
       // own SQLConf), not on the caller's: a save/restore on the shared
@@ -411,7 +424,7 @@ object PrefixFilterJoin {
         // same-partition collision could only MERGE two adjacent file
         // stretches — harmless under the forced one-file-per-partition
         // read, where multi-file partitions don't exist at all.
-        val runs = iso.read.parquet(s"$path/prefix/batch=$batchId")
+        val runs = iso.read.parquet(s"$root/prefix/batch=$batchId")
           .select(col("h"), xxhash64(input_file_name()).as("fn"))
           .as[(Long, Long)]
           .mapPartitions { rows =>
@@ -437,7 +450,7 @@ object PrefixFilterJoin {
         runs.groupBy(col("h")).agg(sum(col("n")).as("n"))
           .filter(col("n") > ServeCandidateHotFloor)
           .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
-          .write.mode("overwrite").parquet(s"$path/pstats/batch=$batchId")
+          .write.mode("overwrite").parquet(s"$root/pstats/batch=$batchId")
       }
     }
   }
@@ -503,6 +516,88 @@ object PrefixFilterJoin {
   private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").head()
     (r.getAs[Int]("num"), r.getAs[Int]("den"))
+  }
+
+  /** Consolidate an append-only exact-similarity index into a fresh
+    * directory: committed batches (≤ `throughBatch`) fold into ONE
+    * `batch=-1` partition set per artifact — sets re-sharded at `width`,
+    * prefix rows UNIONED and re-range-sorted on h (ranks FROZE at build
+    * time, so the unioned rows are row-for-row what a fresh derivation
+    * over the folded sets would produce — compaction never re-ranks;
+    * re-ranking is rebuild's job), and pstats RE-DERIVED from the
+    * folded prefix artifact via the build's run-length walk (the
+    * per-batch sidecars are hot-floor-TRUNCATED per partition, so their
+    * sums cannot reconstruct the folded partition's exact hot set — a
+    * fold from deltas would under-count shingles cold in every batch
+    * and break the candidate bound's upper-bound contract).
+    * freq/ re-lands h-sorted and meta/ copies verbatim.
+    *
+    * Uncommitted tails carry over per-ARTIFACT (a crash window that
+    * landed sets but not prefix/pstats carries exactly what exists —
+    * the serve's bound check voids on the mismatch exactly as on the
+    * uncompacted index); the source is never mutated and the caller
+    * swaps the serve path after the write. `throughBatch` MUST be the
+    * last checkpoint-COMMITTED batch when a stream feeds this index,
+    * for the same reason as the other three lifecycles.
+    */
+  def compactIndex(spark: SparkSession, path: String, targetPath: String,
+      width: Int = 0, throughBatch: Long = Long.MaxValue): Unit = {
+    // per-artifact tails listed FIRST: an off-contract file-bearing
+    // batch dir fails the compaction before any target write
+    val tails = Seq("sets", "prefix", "pstats")
+      .map(a => a -> IndexLifecycle.tailIds(spark, s"$path/$a", throughBatch))
+      .toMap
+    def sortedByH(rows: DataFrame, w: Int): DataFrame = {
+      val ranged =
+        if (w > 0) rows.repartitionByRange(w, col("h"))
+        else rows.repartitionByRange(col("h"))
+      ranged.sortWithinPartitions(col("h"))
+    }
+    sortedByH(spark.read.parquet(s"$path/freq"), 0)
+      .write.mode("overwrite").parquet(s"$targetPath/freq")
+    spark.read.parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"$targetPath/meta")
+    val sets = spark.read.parquet(s"$path/sets")
+    val prefix = spark.read.parquet(s"$path/prefix")
+    val pstats = spark.read.parquet(s"$path/pstats")
+    val foldedSets = sets.filter(col("batch") <= throughBatch)
+      .select(col("doc_id"), col("sh"), col("sz"))
+    (if (width > 0) foldedSets.repartition(width) else foldedSets)
+      .write.mode("overwrite").parquet(s"$targetPath/sets/batch=-1")
+    sortedByH(prefix.filter(col("batch") <= throughBatch)
+      .select(col("h"), col("doc_id"), col("sz"), col("p")), width)
+      .write.mode("overwrite").parquet(s"$targetPath/prefix/batch=-1")
+    writePstatsFromPrefix(spark, targetPath, -1L)
+    tails("sets").foreach { b =>
+      sets.filter(col("batch") === b)
+        .select(col("doc_id"), col("sh"), col("sz"))
+        .write.mode("overwrite").parquet(s"$targetPath/sets/batch=$b")
+    }
+    tails("prefix").foreach { b =>
+      sortedByH(prefix.filter(col("batch") === b)
+        .select(col("h"), col("doc_id"), col("sz"), col("p")), 0)
+        .write.mode("overwrite").parquet(s"$targetPath/prefix/batch=$b")
+    }
+    tails("pstats").foreach { b =>
+      sortedByH(pstats.filter(col("batch") === b)
+        .select(col("h"), col("n")), 0)
+        .write.mode("overwrite").parquet(s"$targetPath/pstats/batch=$b")
+    }
+  }
+
+  /** Auto-maintenance trigger — the call a long-running ingest makes
+    * per maintenance tick: compacts only when the committed batch-dir
+    * count exceeds `spark.graft.index.compactMinBatches` (not-due =
+    * one directory listing, no reads or writes, so calling this every
+    * micro-batch is free). Returns true when a compacted index was
+    * written at `targetPath` (the caller swaps the serve/stream path);
+    * false = not due, `targetPath` untouched.
+    */
+  def maintain(spark: SparkSession, path: String, targetPath: String,
+      width: Int = 0, throughBatch: Long = Long.MaxValue): Boolean = {
+    val due = IndexLifecycle.compactDue(spark, s"$path/sets", throughBatch)
+    if (due) compactIndex(spark, path, targetPath, width, throughBatch)
+    due
   }
 
   /** EXACT incremental pairs (new_id, old_id, jaccard >= num/den) of a

@@ -709,6 +709,36 @@ object GraftCatalog {
     }
   }
 
+  /** Auto-maintenance policy for a catalog table — the trigger a
+    * long-running writer calls per commit tick (the same policy layer
+    * as the index lifecycles' `maintain`): when the live manifest holds
+    * more than `spark.graft.catalog.maintainMaxFiles` data files,
+    * `compactSmall` bin-packs the files under `maintainSmallBytes`
+    * into ~`maintainTargetBytes` merges (history-preserving); snapshots
+    * older than `spark.graft.catalog.snapshotRetentionMs` then expire
+    * (the latest main snapshot is always retained, so a freshly
+    * maintained table keeps its readable head). Not-due compaction =
+    * one manifest read; expiry always runs (that is what a retention
+    * HORIZON means). Returns (filesBefore, filesAfter,
+    * snapshotsExpired).
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession, tableDir: Path,
+      schema: StructType): (Int, Int, Int) = {
+    def confL(k: String, d: Long): Long =
+      spark.conf.getOption(k).map(_.toLong).getOrElse(d)
+    val maxFiles = confL("spark.graft.catalog.maintainMaxFiles", 64L).toInt
+    val live = GraftJsonSink.readManifest(tableDir)._2.size
+    val (before, after) =
+      if (live > maxFiles)
+        compactSmall(tableDir, schema,
+          minBytes = confL("spark.graft.catalog.maintainSmallBytes", 8L << 20),
+          targetBytes = confL("spark.graft.catalog.maintainTargetBytes", 128L << 20))
+      else (live, live)
+    val (expired, _) = expireSnapshots(tableDir,
+      confL("spark.graft.catalog.snapshotRetentionMs", 7L * 24 * 3600 * 1000))
+    (before, after, expired.size)
+  }
+
   def expireSnapshots(tableDir: Path, olderThanMillis: Long): (Seq[Long], Seq[String]) =
     GraftJsonSink.withCommitLock(tableDir) {
       val cutoff = System.currentTimeMillis() - olderThanMillis

@@ -69,6 +69,50 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("build threshold"))
   }
 
+  test("compaction changes no serve; the watermark carries per-artifact tails; " +
+      "pstats re-derive exactly over the folded prefix") {
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pp_cpt").toString
+    PrefixFilterJoin.writeIndex(oldDocs.filter(col("doc_id") % 3 === 0), idx, 4, 5)
+    PrefixFilterJoin.appendIndex(oldDocs.filter(col("doc_id") % 3 === 1), idx, batchId = 0L)
+    PrefixFilterJoin.appendIndex(oldDocs.filter(col("doc_id") % 3 === 2), idx, batchId = 1L)
+    val full = pairSet(PrefixFilterJoin.pairsAgainstIndex(spark, newDocs, idx, 4, 5))
+    val cut = pairSet(PrefixFilterJoin.pairsAgainstIndex(spark, newDocs, idx, 4, 5,
+      maxBatchExclusive = Some(1L)))
+    assert(full == bruteMixed(4, 5))
+    def batchDirs(root: String, artifact: String): Set[String] =
+      new java.io.File(s"$root/$artifact").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+    // clean-stop fold: one bootstrap partition per artifact
+    val cptAll = java.nio.file.Files.createTempDirectory("graft_pp_cpt_a").toString
+    PrefixFilterJoin.compactIndex(spark, idx, cptAll, width = 2)
+    Seq("sets", "prefix", "pstats").foreach(a =>
+      assert(batchDirs(cptAll, a) == Set("batch=-1"), a))
+    assert(pairSet(PrefixFilterJoin.pairsAgainstIndex(
+      spark, newDocs, cptAll, 4, 5)) == full)
+    // pstats re-derivation exactness: the folded sidecar must equal the
+    // groupBy ground truth over the folded prefix artifact (hot floor
+    // applied to the EXACT folded totals, not summed per-batch deltas)
+    val truthPstats = spark.read.parquet(s"$cptAll/prefix/batch=-1")
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > PrefixFilterJoin.ServeCandidateHotFloor)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPstats = spark.read.parquet(s"$cptAll/pstats/batch=-1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPstats == truthPstats)
+    // watermarked fold: batch 1 carries per-artifact under its own id;
+    // whole and strictly-earlier serves both unchanged
+    val cptW = java.nio.file.Files.createTempDirectory("graft_pp_cpt_w").toString
+    PrefixFilterJoin.compactIndex(spark, idx, cptW, width = 2, throughBatch = 0L)
+    Seq("sets", "prefix", "pstats").foreach(a =>
+      assert(batchDirs(cptW, a) == Set("batch=-1", "batch=1"), a))
+    assert(pairSet(PrefixFilterJoin.pairsAgainstIndex(
+      spark, newDocs, cptW, 4, 5)) == full)
+    assert(pairSet(PrefixFilterJoin.pairsAgainstIndex(
+      spark, newDocs, cptW, 4, 5, maxBatchExclusive = Some(1L))) == cut)
+  }
+
   test("redelivered / crash-window appends replace their partitions — no duplicate pairs") {
     val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
     val newDocs = docs.filter(col("doc_id") % 10 === 7)
