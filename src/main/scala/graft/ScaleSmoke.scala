@@ -728,6 +728,92 @@ object ScaleSmoke {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", plain)
     require(nSkewOn == nSkewOff,
       s"skew join diverged: $nSkewOn vs $nSkewOff")
+    // IVF ANN lifecycle at design scale: 64 planted clusters of 64-dim
+    // vectors (centers in ±1, noise ±0.15) — the distribution IVF
+    // exists for. Build trains the quantizer on a 1% id-hash sample
+    // (the representative-standing-sample rule: Lloyd over the full
+    // corpus dominates the build for no recall gain), assigns
+    // everything into nlist=256 cell-partitioned files; 24 micro-
+    // appends then grow the index to 25 batch dirs × 256 cell dirs —
+    // the many-directory state whose listing/planning cost the
+    // auto-maintenance trigger exists to bound. Serving before vs
+    // after maintain() (25 committed dirs > the 16 default → due)
+    // measures exactly that; the served neighbor set must be
+    // IDENTICAL. Recall@5 for 10 queries is checked against the exact
+    // brute top-5 computed with the two-phase TopKPerKey operator (the
+    // row_number window would sort 10M rows per query partition).
+    System.err.println("[smoke] start ivf_lifecycle")
+    graft.functions.GraftFunctions.register(spark)
+    org.apache.spark.sql.graft.GraftPlans.install(spark)
+    val ivfVecs = spark.range(nDocs).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> " +
+        "(cast(pmod(xxhash64(pmod(id, 64) * 64 + i), 1000) as double) / 500.0 - 1.0) + " +
+        "(cast(pmod(xxhash64(id * 64 + i + 7), 1000) as double) / 1000.0 - 0.5) * 0.3)").as("v"))
+      .withColumn("norm2",
+        graft.functions.GraftFunctions.dot_product(col("v"), col("v")))
+    val ivfRoot = java.nio.file.Files.createTempDirectory("graft_smoke_ivf").toString
+    val ivfIdx = s"$ivfRoot/idx"
+    val ivfNlist = 256
+    val ivfAppendBatches = 24
+    val (tIvfBuild, _) = time {
+      operators.IvfIndex.writeIndex(ivfVecs.filter(col("vec_id") % 10 =!= 7),
+        ivfIdx, nlist = ivfNlist, iters = 2, trainFraction = 0.01)
+      1L
+    }
+    val (tIvfAppend, _) = time {
+      val appendVecs = ivfVecs.filter(col("vec_id") % 10 === 7)
+      (0 until ivfAppendBatches).foreach { b =>
+        operators.IvfIndex.appendIndex(
+          appendVecs.filter(pmod(xxhash64(col("vec_id")), lit(ivfAppendBatches.toLong)) === b),
+          ivfIdx, b.toLong)
+      }
+      1L
+    }
+    def ivfBatchDirs(p: String): Int =
+      Option(new java.io.File(s"$p/corpus").listFiles()).getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    val ivfDirsBefore = ivfBatchDirs(ivfIdx)
+    val ivfQ = ivfVecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn"))
+    def ivfServe(p: String): Seq[(Long, Long)] =
+      operators.IvfIndex.topK(spark, p, ivfQ, nprobe = 32, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val (tIvfServeSingle, _) = time { ivfServe(ivfIdx).size.toLong }
+    var ivfServedMany: Seq[(Long, Long)] = Nil
+    val (tIvfServeMany, _) = time { ivfServedMany = ivfServe(ivfIdx); 1L }
+    var ivfBrute: Set[(Long, Long)] = Set.empty
+    val (tIvfBrute, _) = time {
+      val scored = ivfVecs
+        .select(col("vec_id").as("neighbor_id"), col("v"), col("norm2"))
+        .join(broadcast(ivfQ), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (graft.functions.GraftFunctions.dot_product(col("qv"), col("v")) /
+            (sqrt(col("qn")) * sqrt(col("norm2")))).as("cosine"))
+      ivfBrute = org.apache.spark.sql.graft.GraftPlans.topKPerKey(
+        scored, Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc), 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivfBrute.size.toLong
+    }
+    val ivfHits = ivfServedMany.count(ivfBrute.contains)
+    require(ivfBrute.size == 50 && ivfServedMany.size == 50,
+      s"expected 50 exact and served rows, got ${ivfBrute.size}/${ivfServedMany.size}")
+    val (tIvfMaintain, _) = time {
+      require(operators.IvfIndex.maintain(spark, ivfIdx, s"$ivfRoot/idx2"),
+        s"$ivfDirsBefore committed dirs must trip the default trigger")
+      1L
+    }
+    val ivfDirsAfter = ivfBatchDirs(s"$ivfRoot/idx2")
+    var ivfServedCompact: Seq[(Long, Long)] = Nil
+    val (tIvfServeCompact, _) = time {
+      ivfServedCompact = ivfServe(s"$ivfRoot/idx2"); 1L
+    }
+    require(ivfServedCompact == ivfServedMany,
+      "maintenance must not change a serve decision")
+    reclaim(ivfRoot)
+
     // PQ encode throughput: nDocs synthetic 64-dim vectors through the
     // 8×16 product quantizer — the ingest-time compression pass (128
     // fused dot products per vector, whole-stage codegen, zero shuffle).
@@ -792,6 +878,14 @@ object ScaleSmoke {
         s""""fuzzy_join_sec":$tFuzzy,"fuzzy_pairs":$nFuzzy,""" +
         s""""skew_max_task_ms_off":$msSkewOff,"skew_max_task_ms_on":$msSkewOn,""" +
         s""""pq_encode_sec":$tPqEnc,"pq_vectors":$nDocs,""" +
+        s""""ivf_build_sec":$tIvfBuild,"ivf_append_sec":$tIvfAppend,""" +
+        s""""ivf_append_batches":$ivfAppendBatches,"ivf_nlist":$ivfNlist,""" +
+        s""""ivf_serve_single_shot_sec":$tIvfServeSingle,""" +
+        s""""ivf_serve_manydirs_sec":$tIvfServeMany,""" +
+        s""""ivf_maintain_sec":$tIvfMaintain,""" +
+        s""""ivf_serve_compact_sec":$tIvfServeCompact,""" +
+        s""""ivf_batch_dirs_before":$ivfDirsBefore,"ivf_batch_dirs_after":$ivfDirsAfter,""" +
+        s""""ivf_brute_sec":$tIvfBrute,"ivf_recall_hits":$ivfHits,"ivf_recall_total":50,""" +
         s""""load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
         s""""noisy":${loadStart > maxLoad}}""")
     spark.stop()
