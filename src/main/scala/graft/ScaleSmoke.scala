@@ -743,6 +743,13 @@ object ScaleSmoke {
     // brute top-5 computed with the two-phase TopKPerKey operator (the
     // row_number window would sort 10M rows per query partition).
     System.err.println("[smoke] start ivf_lifecycle")
+    // entering with ~60+ GB of earlier sections' shuffle files still on
+    // disk: force the ContextCleaner sweep FIRST — this section's own
+    // fold shuffle (~6 GB) plus the corpus artifact (×2 with the
+    // maintenance copy) tipped a 252 GB disk into ENOSPC twice without
+    // it (observed: SPILL_OUT_OF_MEMORY "No space left on device" in
+    // the fold's sorter)
+    reclaim()
     graft.functions.GraftFunctions.register(spark)
     org.apache.spark.sql.graft.GraftPlans.install(spark)
     val ivfVecs = spark.range(nDocs).select(col("id").as("vec_id"),
@@ -800,6 +807,7 @@ object ScaleSmoke {
     val ivfHits = ivfServedMany.count(ivfBrute.contains)
     require(ivfBrute.size == 50 && ivfServedMany.size == 50,
       s"expected 50 exact and served rows, got ${ivfBrute.size}/${ivfServedMany.size}")
+    reclaim() // drop the append/serve/brute shuffles before the fold
     val (tIvfMaintain, _) = time {
       require(operators.IvfIndex.maintain(spark, ivfIdx, s"$ivfRoot/idx2"),
         s"$ivfDirsBefore committed dirs must trip the default trigger")

@@ -119,16 +119,26 @@ object IvfIndex {
       .toSeq.toDF("centroid_id", "centroid")
   }
 
-  /** Assign each vector to its nearest centroid (ties by centroid id). */
+  /** Assign each vector to its nearest centroid (ties by centroid id) —
+    * a MAP over the collected quantizer (see
+    * [[graft.functions.NearestCentroid]]): one codegen'd argmin loop
+    * per row, zero join fan-out, zero shuffle. The former
+    * join-window-filter formulation materialized corpus × nlist rows
+    * into per-task window sorts and overflowed the 10M ScaleSmoke's
+    * disk; the quantizer is nlist ≤ 65536 rows that k-means already
+    * collects, so baking it into the expression is the
+    * broadcast-small-side shape, not a new collect.
+    */
   def assign(vectors: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("centroid_id").asc)
-    vectors.join(broadcast(centroids))
-      .withColumn("d2", dist2(col(vecCol), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "d2", "centroid")
+    val sorted = centroids.collect()
+      .map(r => (r.getAs[Number]("centroid_id").intValue,
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+      .sortBy(_._1)
+    vectors.withColumn("centroid_id",
+      org.apache.spark.sql.graft.GraftPlans.exprColumn(
+        graft.functions.NearestCentroid(
+          org.apache.spark.sql.graft.GraftPlans.columnExpr(col(vecCol)),
+          sorted.map(_._1), sorted.map(_._2))))
   }
 
   /** Query: probe the nprobe nearest cells per query vector, exact

@@ -32,6 +32,20 @@ object GraftPlans {
       spark.experimental.extraOptimizations = cur :+ TopKRewriteRule
   }
 
+  /** Wrap a Catalyst expression as a public Column (`ExpressionUtils
+    * .column` is `private[sql]` territory — the same shim rationale as
+    * the rest of this object). Used by operators that construct
+    * parameterized expressions directly (e.g. IvfIndex's map-side
+    * nearest-centroid assignment, whose baked centroid matrix has no
+    * literal encoding).
+    */
+  def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column (inverse of [[exprColumn]]). */
+  def columnExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Block until the SparkContext's async listener bus has delivered
     * every queued event (bounded by `timeoutMillis`). Measurement code
     * that reads SparkListener-accumulated metrics (e.g. ScaleSmoke's
