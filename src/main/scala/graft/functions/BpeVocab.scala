@@ -6,8 +6,9 @@ package graft.functions
   * the vocab artifact (the same freeze-an-artifact discipline as the
   * IVF quantizer: budgets, packing, and dataset cards tokenize under a
   * FIXED table; retrain-and-swap is a deliberate maintenance act, never
-  * an implicit side effect). `BpeVocabSpec` pins this list against a
-  * fresh training run, so the lineage is checked, not asserted.
+  * an implicit side effect). `BpeSpec` ("Default is trainMerges'
+  * verbatim output") pins this list against a fresh training run, so
+  * the lineage is checked, not asserted.
   *
   * The table satisfies the replayability invariant (BpeEncode) by
   * construction, which is what lets every gate oracle replay the

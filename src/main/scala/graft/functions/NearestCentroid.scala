@@ -34,6 +34,8 @@ case class NearestCentroid(child: Expression,
     s"ids (${ids.length}) and centroid rows (${mat.length}) must match, nonempty")
   require(ids.zip(ids.tail).forall { case (a, b) => a < b },
     "centroid ids must be strictly increasing (first-minimum = lowest id)")
+  require(mat.forall(_.length == mat(0).length),
+    "centroid rows must share one dimension (ragged table = corrupt quantizer)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -75,12 +77,19 @@ case class NearestCentroid(child: Expression,
 object NearestCentroid {
 
   def nearest(v: ArrayData, ids: Array[Int], mat: Array[Array[Double]]): Int = {
+    // fail fast on dimension mismatch: scoring a silent prefix would
+    // assign a malformed vector PLAUSIBLY (wrong cell, no error) — a
+    // corrupted corpus must surface at assignment, not at recall time
+    if (v.numElements() != mat(0).length)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: vector dimension ${v.numElements()} != " +
+          s"centroid dimension ${mat(0).length}")
     var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0
     while (c < mat.length) {
       val cent = mat(c)
-      val n = math.min(v.numElements(), cent.length)
+      val n = cent.length
       var acc = 0.0d
       var i = 0
       while (i < n) {

@@ -57,7 +57,13 @@ object BpeTokenizer {
         }
         .find { case ((l, r), _) =>
           val concat = l + r
-          !taken.contains(concat) &&
+          // mirror validateReplayable's marker check: corpus text can
+          // contain the RS/US wrap markers (the class-3 pre-tokenizer
+          // keeps them), and a merge whose symbols embed one would be
+          // rejected at encode time — and a left symbol equal to US
+          // would even mis-split this candidate's own pair-key parse
+          !concat.exists(c => c == BpeEncode.RS || c == BpeEncode.US) &&
+            !taken.contains(concat) &&
             !merges.exists { case (pl, pr) => pl == concat || pr == concat }
         }
       next match {

@@ -116,9 +116,20 @@ object IndexLifecycle {
     */
   def compactDue(spark: SparkSession, dir: String,
       throughBatch: Long): Boolean = {
-    val threshold = spark.conf
-      .getOption("spark.graft.index.compactMinBatches")
-      .map(_.toInt).getOrElse(DefaultCompactMinBatches)
+    val key = "spark.graft.index.compactMinBatches"
+    val threshold = spark.conf.getOption(key).map { raw =>
+      // fail-fast parse, same pattern as the rowGroupBytes knob: a
+      // malformed value must not surface as a bare NumberFormatException
+      // with no hint of WHICH conf broke the maintenance tick
+      val n =
+        try raw.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be a plain integer batch count, got '$raw'")
+        }
+      require(n > 0, s"$key must be positive, got $n")
+      n
+    }.getOrElse(DefaultCompactMinBatches)
     val (ids, bad) = listBatchDirs(spark, dir)
     val fileBearing = bad.filter(p =>
       fsOf(spark, p).getContentSummary(p).getFileCount > 0)

@@ -239,9 +239,19 @@ object IvfIndex {
     * bit-stable.
     */
   private def writeDriftStats(spark: SparkSession, path: String,
-      batchId: Long): Unit = {
-    val centroids = readCentroids(spark, path)
-    spark.read.parquet(s"$path/corpus/batch=$batchId")
+      batchId: Long): Unit =
+    writeDriftStatsFrom(spark, s"$path/corpus/batch=$batchId", path, batchId)
+
+  /** Same derivation, but the corpus partition and the index the sidecar
+    * lands in may differ — compaction's appends-only migration derives
+    * the build-time reference from the SOURCE bootstrap (the original
+    * build distribution, intact because compaction never mutates its
+    * source) while writing into the target's layout.
+    */
+  private def writeDriftStatsFrom(spark: SparkSession, corpusBatchDir: String,
+      indexPath: String, batchId: Long): Unit = {
+    val centroids = readCentroids(spark, indexPath)
+    spark.read.parquet(corpusBatchDir)
       .select(col("centroid_id"), col("v"))
       .join(broadcast(centroids), Seq("centroid_id"))
       .groupBy(col("centroid_id"))
@@ -251,7 +261,7 @@ object IvfIndex {
         // fold differ from a from-scratch derivation in the last ulp
         sum(dist2(col("v"), col("centroid")).cast("decimal(38,12)"))
           .cast("decimal(38,12)").as("d2_sum"))
-      .write.mode("overwrite").parquet(s"$path/drift/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$indexPath/drift/batch=$batchId")
   }
 
   /** Cell-partitioned write, clustered by cell FIRST: a raw partitionBy
@@ -317,6 +327,20 @@ object IvfIndex {
     */
   def driftReport(spark: SparkSession, path: String,
       maxBatchExclusive: Option[Long] = None): DataFrame = {
+    // fail fast on layouts that cannot be adjudicated, instead of the
+    // two silent failure shapes a missing reference used to produce (a
+    // path-not-found throw with no migration hint, or — worse — an
+    // EMPTY report from the ref-join dropping every append row, which
+    // reads as "no drift" on an index that was never being watched)
+    val driftPath = new org.apache.hadoop.fs.Path(s"$path/drift")
+    val dfs = driftPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(dfs.exists(driftPath),
+      s"no drift sidecars under $path — the index predates drift " +
+        "tracking; compactIndex or rebuildIndex migrates the layout")
+    require(dfs.exists(new org.apache.hadoop.fs.Path(s"$path/drift/batch=-1")),
+      s"no drift reference (drift/batch=-1) under $path — appends carry " +
+        "sidecars but the build-time baseline is missing; compactIndex " +
+        "derives it from the build bootstrap, rebuildIndex resets it")
     val ratioMax = spark.conf
       .getOption("spark.graft.ivf.driftDistortionRatio")
       .map(_.toDouble).getOrElse(DefaultDriftDistortionRatio)
@@ -450,29 +474,52 @@ object IvfIndex {
           .select(col("vec_id"), col("v"), col("norm2"), col("centroid_id")),
         s"$targetPath/corpus/batch=$b")
     }
-    // drift sidecar: committed per-cell rows FOLD to sums (compaction
-    // never retrains, so per-vector d2 values stay valid under the
-    // copied centroids — the folded reference is exactly what a fresh
-    // writeDriftStats over the folded bootstrap would derive); tails
-    // carry over unchanged. A legacy index without the sidecar derives
-    // it from the just-written target partitions (the migration step,
-    // like NearDupLsh's sidecar derivation in compaction).
+    // drift sidecar: compaction NEVER re-baselines the alarm. The
+    // batch=-1 build-time reference carries VERBATIM (folding appends
+    // into it would make every committed drift the new normal — a slow
+    // shift below threshold accumulates into the baseline and the alarm
+    // can never fire again: the boiling-frog failure). Folded appends
+    // the report currently clears drop as resolved history; a folded
+    // batch the report CURRENTLY flags `drifted` keeps its sidecar
+    // under its own id — the corpus rows still fold (compaction never
+    // changes a serve) but the standing alarm survives, so
+    // compact-after-drift cannot silently acknowledge a drift the
+    // operator never acted on. Only `rebuildIndex` (retrain) or a
+    // deliberate threshold change clears it. Tails carry unchanged.
     val driftDir = new org.apache.hadoop.fs.Path(s"$path/drift")
-    val hasDrift = driftDir
-      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(driftDir)
-    if (hasDrift) {
+    val dfs = driftDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasRef =
+      dfs.exists(new org.apache.hadoop.fs.Path(s"$path/drift/batch=-1"))
+    if (hasRef) {
       val drift = spark.read.parquet(s"$path/drift")
-      drift.filter(col("batch") <= throughBatch)
-        .groupBy(col("centroid_id"))
-        .agg(sum(col("n")).as("n"),
-          sum(col("d2_sum")).cast("decimal(38,12)").as("d2_sum"))
-        .write.mode("overwrite").parquet(s"$targetPath/drift/batch=-1")
-      IndexLifecycle.tailIds(spark, s"$path/drift", throughBatch).foreach { b =>
+      def carry(b: Long): Unit = drift.filter(col("batch") === b)
+        .select(col("centroid_id"), col("n"), col("d2_sum"))
+        .write.mode("overwrite").parquet(s"$targetPath/drift/batch=$b")
+      carry(-1L)
+      driftReport(spark, path)
+        .filter(col("drifted") && col("batch") <= throughBatch)
+        .select(col("batch").cast("long")).collect()
+        .map(_.getLong(0)).foreach(carry)
+      IndexLifecycle.tailIds(spark, s"$path/drift", throughBatch).foreach(carry)
+    } else if (dfs.exists(driftDir)) {
+      // appends-only legacy (sidecars without a reference): the original
+      // build bootstrap is still intact at the SOURCE's corpus/batch=-1
+      // — derive the build-time baseline from it, never from the folded
+      // target (which would bake the appends into the reference). The
+      // folded appends' sidecars carry verbatim: with no baseline they
+      // were never adjudicated, and dropping them would discard the only
+      // record the now-armed report could flag.
+      writeDriftStatsFrom(spark, s"$path/corpus/batch=-1", targetPath, -1L)
+      val drift = spark.read.parquet(s"$path/drift")
+      IndexLifecycle.tailIds(spark, s"$path/drift", -1L).foreach { b =>
         drift.filter(col("batch") === b)
           .select(col("centroid_id"), col("n"), col("d2_sum"))
           .write.mode("overwrite").parquet(s"$targetPath/drift/batch=$b")
       }
     } else {
+      // fully legacy (no drift dir): derive from the just-written target
+      // partitions — the folded bootstrap is the best available baseline
+      // for an index whose build distribution was never recorded
       writeDriftStats(spark, targetPath, -1L)
       tail.foreach(b => writeDriftStats(spark, targetPath, b))
     }

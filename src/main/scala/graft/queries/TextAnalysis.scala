@@ -98,7 +98,7 @@ object TextAnalysis {
     // REAL merge-table BPE (not the pre-tokenization estimator above):
     // greedy-by-rank encode under the frozen 48-merge vocab artifact
     // (BpeVocab.Default — trained by BpeTokenizer.trainMerges on this
-    // fixture, lineage pinned by BpeVocabSpec), as a native codegen'd
+    // fixture, lineage pinned by BpeSpec), as a native codegen'd
     // expression. The oracle REPLAYS the merge sequence in plain SQL:
     // each pre-token's characters are wrapped RS·c·US and the 48 merges
     // apply as chained replace() calls in rank order — exactly the

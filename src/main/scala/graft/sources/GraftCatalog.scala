@@ -721,6 +721,16 @@ object GraftCatalog {
     * one manifest read; expiry always runs (that is what a retention
     * HORIZON means). Returns (filesBefore, filesAfter,
     * snapshotsExpired).
+    *
+    * Concurrency contract: the TRIGGER read happens outside the commit
+    * lock by design — a maintenance tick must not serialize against
+    * live writers just to decide "not due". `compactSmall` re-reads the
+    * manifest under its own lock, so table correctness and the counts
+    * it returns are exact for the compaction actually performed; only
+    * the not-due branch's (live, live) echo is advisory under a racing
+    * concurrent commit (a writer landing mid-tick is picked up by the
+    * next tick — the same eventual-trigger semantics as the index
+    * lifecycles' `compactDue`).
     */
   def maintain(spark: org.apache.spark.sql.SparkSession, tableDir: Path,
       schema: StructType): (Int, Int, Int) = {

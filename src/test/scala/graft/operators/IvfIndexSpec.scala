@@ -187,29 +187,108 @@ class IvfIndexSpec extends AnyFunSuite {
       == rows(IvfIndex.topK(spark, rb2, queries(e), 8, 5)))
   }
 
-  test("compaction folds the drift sidecar exactly; a legacy index derives it") {
+  private def driftRows(root: String, batch: Long = -1L): Seq[(Int, Long, Double)] =
+    spark.read.parquet(s"$root/drift/batch=$batch")
+      .select(col("centroid_id"), col("n"), col("d2_sum").cast("double"))
+      .collect().map(r => (r.getAs[Number](0).intValue, r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+
+  private def driftBatchDirs(root: String): Set[String] =
+    new java.io.File(s"$root/drift").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+
+  test("compaction carries the build reference verbatim and drops resolved history") {
     val e = corpus
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_dcp").toString
     IvfIndex.writeIndex(e.filter(col("vec_id") % 2 === 0), idx, nlist = 16, iters = 2)
     IvfIndex.appendIndex(e.filter(col("vec_id") % 2 =!= 0), idx, batchId = 0L)
-    def driftRows(root: String): Seq[(Int, Long, Double)] =
-      spark.read.parquet(s"$root/drift/batch=-1")
-        .select(col("centroid_id"), col("n"), col("d2_sum").cast("double"))
-        .collect().map(r => (r.getAs[Number](0).intValue, r.getLong(1), r.getDouble(2)))
-        .toSeq.sorted
+    val buildRef = driftRows(idx)
     val cpt = java.nio.file.Files.createTempDirectory("graft_ivf_dcp_a").toString
     IvfIndex.compactIndex(spark, idx, cpt)
-    // the fold must equal the from-scratch derivation over the folded
-    // corpus (same frozen centroids, decimal sums): strip the sidecar
-    // and let compaction migrate-derive it, then compare
+    // the reference is the BUILD-TIME distribution, not the fold: a
+    // reference that absorbed every committed append could never flag a
+    // slow below-threshold shift again (the boiling-frog failure)
+    assert(driftRows(cpt) == buildRef,
+      "batch=-1 reference must carry verbatim across compaction")
+    assert(driftBatchDirs(cpt) == Set("batch=-1"),
+      "a cleared (non-drifted) folded append's sidecar is resolved history")
+  }
+
+  test("compact-after-drift does NOT clear the alarm; rebuild does") {
+    val e = corpus
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_dal").toString
+    IvfIndex.writeIndex(e, idx, nlist = 16, iters = 2)
+    IvfIndex.appendIndex(plantedDrift(e), idx, batchId = 0L)
+    assert(IvfIndex.driftReport(spark, idx).collect()
+      .exists(_.getAs[Boolean]("drifted")))
+    val full = rows(IvfIndex.topK(spark, idx, queries(e), 8, 5))
+    val cpt = java.nio.file.Files.createTempDirectory("graft_ivf_dal_c").toString
+    IvfIndex.compactIndex(spark, idx, cpt)
+    // corpus rows fold (serve identical), but the flagged batch keeps
+    // its sidecar under its own id — compaction must not silently
+    // acknowledge a drift the operator never acted on
+    assert(rows(IvfIndex.topK(spark, cpt, queries(e), 8, 5)) == full)
+    val standing = IvfIndex.driftReport(spark, cpt).collect()
+    assert(standing.length == 1 &&
+      standing.head.getAs[Number]("batch").longValue == 0L &&
+      standing.head.getAs[Boolean]("drifted"),
+      s"standing alarm must survive the fold: ${standing.toSeq}")
+    // the deliberate response — retrain — is what clears it
+    val rb = java.nio.file.Files.createTempDirectory("graft_ivf_dal_r").toString
+    IvfIndex.rebuildIndex(spark, cpt, rb, nlist = 16, iters = 5)
+    assert(!IvfIndex.driftReport(spark, rb).collect()
+      .exists(_.getAs[Boolean]("drifted")))
+  }
+
+  test("legacy migrations: no drift dir derives from the fold; a missing " +
+      "reference derives from the SOURCE bootstrap and carries appends") {
+    val e = corpus
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_dcl").toString
+    IvfIndex.writeIndex(e.filter(col("vec_id") % 2 === 0), idx, nlist = 16, iters = 2)
+    IvfIndex.appendIndex(e.filter(col("vec_id") % 2 =!= 0), idx, batchId = 0L)
+    val buildRef = driftRows(idx)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // appends-only legacy: strip just the reference — compaction must
+    // re-derive the BUILD-TIME baseline from the source's intact
+    // bootstrap (deterministic: equals the stripped original), never
+    // from the folded target, and must keep the never-adjudicated
+    // append sidecar instead of dropping it as resolved
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/drift/batch=-1"), true)
+    val cptRef = java.nio.file.Files.createTempDirectory("graft_ivf_dcl_a").toString
+    IvfIndex.compactIndex(spark, idx, cptRef)
+    assert(driftRows(cptRef) == buildRef,
+      "migration must recover the build-time baseline, not bake in appends")
+    assert(driftBatchDirs(cptRef) == Set("batch=-1", "batch=0"))
+    // fully legacy: no drift dir at all — the folded bootstrap is the
+    // best available baseline; derive it there (and only there)
     fs.delete(new org.apache.hadoop.fs.Path(s"$idx/drift"), true)
-    val cptLegacy = java.nio.file.Files.createTempDirectory("graft_ivf_dcp_b").toString
-    IvfIndex.compactIndex(spark, idx, cptLegacy)
-    assert(driftRows(cpt).nonEmpty)
-    assert(driftRows(cpt) == driftRows(cptLegacy),
-      "sidecar fold ≡ re-derivation under the copied quantizer")
+    val cptNone = java.nio.file.Files.createTempDirectory("graft_ivf_dcl_b").toString
+    IvfIndex.compactIndex(spark, idx, cptNone)
+    val derived = driftRows(cptNone)
+    assert(derived.nonEmpty && derived.map(_._2).sum == e.count(),
+      "fully-legacy baseline covers the whole folded corpus")
+  }
+
+  test("driftReport fails fast with a migration hint on unadjudicable layouts") {
+    val e = corpus
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_dff").toString
+    IvfIndex.writeIndex(e, idx, nlist = 16, iters = 2)
+    IvfIndex.appendIndex(plantedDrift(e), idx, batchId = 0L)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/drift/batch=-1"), true)
+    val noRef = intercept[IllegalArgumentException] {
+      IvfIndex.driftReport(spark, idx).collect()
+    }
+    assert(noRef.getMessage.contains("build-time baseline is missing"),
+      s"got: ${noRef.getMessage}")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/drift"), true)
+    val noDir = intercept[IllegalArgumentException] {
+      IvfIndex.driftReport(spark, idx).collect()
+    }
+    assert(noDir.getMessage.contains("predates drift tracking"),
+      s"got: ${noDir.getMessage}")
   }
 
   test("streamed ingest serves identically to one batch-append of the same docs") {
