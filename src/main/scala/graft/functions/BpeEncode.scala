@@ -285,4 +285,54 @@ object BpeEncode {
   def oracleFingerprintSql(merges: Seq[(String, String)], textCol: String): String =
     s"md5(coalesce(list_aggregate(${oracleWordsSql(merges, textCol)}, " +
       "'string_agg', ''), ''))"
+
+  /** COMPLETE DuckDB statement replaying a LARGE merge table: the
+    * chained-replace oracle above nests one `replace()` per merge and
+    * dies on the parser's expression-depth ceiling (~1000) long before a
+    * real vocab; this one iterates a recursive CTE — depth O(1), one
+    * `replace()` application per (distinct pre-token × rank) — and
+    * replays over DISTINCT pre-tokens only, joining the replayed symbol
+    * strings back to the per-document pre-token sequence by position.
+    * Emits `($idCol, $countAlias, $fpAlias)` — cell-identical to the
+    * engine's greedy encode by the replayability invariant (the same
+    * proof the 48-merge oracle stands on; only the replay's execution
+    * shape changed).
+    */
+  def oracleRecursiveSql(merges: Seq[(String, String)], table: String,
+      idCol: String, textCol: String,
+      countAlias: String, fpAlias: String): String = {
+    require(merges.nonEmpty, "recursive replay oracle needs >= 1 merge")
+    validateReplayable(merges)
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val vals = merges.zipWithIndex
+      .map { case ((l, r), i) => s"($i, ${lit(l)}, ${lit(r)})" }
+      .mkString(", ")
+    val n = merges.size
+    val pre = "'[a-z]+|[0-9]+|[^a-z0-9 ]+'"
+    s"""WITH RECURSIVE
+m(rank, l, r) AS (SELECT * FROM (VALUES $vals) t(rank, l, r)),
+w(w) AS (SELECT DISTINCT unnest(regexp_extract_all($textCol, $pre)) FROM $table),
+rep(w, s, k) AS (
+  SELECT w, regexp_replace(w, '(.)', chr(30) || '\\1' || chr(31), 'g'), 0 FROM w
+  UNION ALL
+  SELECT rep.w,
+         replace(rep.s, chr(30) || m.l || chr(31) || chr(30) || m.r || chr(31),
+                 chr(30) || m.l || m.r || chr(31)),
+         rep.k + 1
+  FROM rep JOIN m ON m.rank = rep.k
+  WHERE rep.k < $n),
+fin AS (SELECT w, s FROM rep WHERE k = $n),
+toks AS (
+  SELECT $idCol, unnest(regexp_extract_all($textCol, $pre)) AS w,
+         generate_subscripts(regexp_extract_all($textCol, $pre), 1) AS ord
+  FROM $table),
+agg AS (
+  SELECT t.$idCol,
+         CAST(sum(length(f.s) - length(replace(f.s, chr(30), ''))) AS BIGINT) AS n_toks,
+         md5(string_agg(f.s, '' ORDER BY t.ord)) AS fp
+  FROM toks t JOIN fin f ON f.w = t.w GROUP BY t.$idCol)
+SELECT d.$idCol, coalesce(a.n_toks, 0) AS $countAlias,
+       coalesce(a.fp, md5('')) AS $fpAlias
+FROM $table d LEFT JOIN agg a USING ($idCol)"""
+  }
 }

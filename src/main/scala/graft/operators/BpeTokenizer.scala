@@ -74,6 +74,156 @@ object BpeTokenizer {
     merges
   }
 
+  /** What [[trainMergesScalable]] learned, plus the bound-and-coverage
+    * evidence a 100 TB training run must publish: how many distinct
+    * pre-tokens the corpus held, how many the `maxPreTokens` bound kept,
+    * and what share of token OCCURRENCES the kept table covers — "train
+    * on a bounded representative sample" is enforced by the bound and
+    * measured by the coverage, never asserted.
+    */
+  final case class BpeTrainResult(
+      merges: Seq[(String, String)],
+      distinctPreTokens: Long,
+      keptPreTokens: Int,
+      occurrenceCoverage: Double,
+      corpusScans: Int)
+
+  /** Corpus-scale BPE training: the corpus is scanned a CONSTANT number
+    * of times (twice — once for the pre-token frequency table, once for
+    * the coverage totals), independent of the merge count; everything
+    * else is driver-side work over the bounded frequency table. This is
+    * the classic Sennrich formulation — BPE statistics depend only on
+    * (pre-token, count), so the 100 TB corpus collapses to a frequency
+    * table ONE map-side-combinable aggregation wide, capped at the
+    * `maxPreTokens` most frequent pre-tokens (heavy-tail: the kept top
+    * covers almost all occurrence mass, and the result reports exactly
+    * how much). Per merge the driver updates pair counts incrementally —
+    * only words containing the merged pair are touched — so a 32k-merge
+    * table costs minutes of driver arithmetic, not 32k corpus scans
+    * (which is why [[trainMerges]], one scan PER merge, stays the
+    * small-fixture reference implementation, not the scale path).
+    *
+    * Equivalence: selection order (count desc, then `left·US·right`
+    * lexicographic), the minCount stop, the collision skip, and the
+    * marker skip all mirror [[trainMerges]]; incremental application of
+    * each selected merge equals re-encoding under the table-so-far by
+    * the replayability invariant (greedy-by-rank ≡ rank-order replay —
+    * [[BpeEncode]]'s proof sketch), so the two trainers emit the SAME
+    * table on the same corpus (spec-pinned). The one deliberate
+    * difference: trainMerges stops if its top-64 candidate window is all
+    * collisions; this trainer sees every candidate, so it can only learn
+    * a superset in that degenerate case.
+    *
+    * `trainFraction` sub-samples documents deterministically by text
+    * hash (the IVF trainFraction rule) — the bounded-cost knob when even
+    * two scans are too dear.
+    */
+  def trainMergesScalable(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L, maxPreTokens: Int = 1 << 20,
+      trainFraction: Double = 1.0): BpeTrainResult = {
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction must be in (0,1]: $trainFraction")
+    require(maxPreTokens > 0, s"maxPreTokens must be positive: $maxPreTokens")
+    val sampled =
+      if (trainFraction >= 1.0) docs
+      else docs.filter(
+        pmod(xxhash64(col(textCol)), lit(1000000L)) <
+          lit((trainFraction * 1000000L).toLong))
+    val freq = sampled
+      .select(explode(regexp_extract_all(col(textCol),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val top = freq.orderBy(col("n").desc, col("w").asc)
+      .limit(maxPreTokens)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totals = freq.agg(sum(col("n")), count(lit(1))).collect().head
+    val totalOcc = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val distinct = totals.getLong(1)
+    val keptOcc = top.iterator.map(_._2).sum
+    val merges = trainOnFrequencies(top, nMerges, minCount)
+    BpeTrainResult(merges, distinct, top.length,
+      if (totalOcc == 0L) 1.0 else keptOcc.toDouble / totalOcc,
+      corpusScans = 2)
+  }
+
+  /** Driver-side incremental trainer over a (pre-token, count) table —
+    * the arithmetic core of [[trainMergesScalable]], separated so specs
+    * can drive it on hand-built tables.
+    */
+  def trainOnFrequencies(table: Array[(String, Long)], nMerges: Int,
+      minCount: Long): Seq[(String, String)] = {
+    import scala.collection.mutable
+    // current symbolization of each distinct pre-token (starts as chars)
+    val words: Array[Array[String]] =
+      table.map { case (w, _) => w.toCharArray.map(String.valueOf) }
+    val freq: Array[Long] = table.map(_._2)
+    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addWord(wi: Int, sign: Long): Unit =
+      pairsOf(words(wi)).foreach { p =>
+        val n = pairCount.getOrElse(p, 0L) + sign * freq(wi)
+        if (n == 0L) { pairCount.remove(p); pairWords.get(p).foreach(_ -= wi) }
+        else {
+          pairCount.update(p, n)
+          if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        }
+      }
+    words.indices.foreach(addWord(_, 1L))
+    // leftmost-non-overlapping single-merge application — char-for-char
+    // BpeEncode.encodeWord's merge step
+    def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+      val out = new mutable.ArrayBuffer[String](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+    var merges = Vector.empty[(String, String)]
+    val taken = mutable.HashSet.empty[String] // symbols created by merges
+    val operands = mutable.HashSet.empty[String] // symbols used as l or r
+    def valid(l: String, r: String): Boolean = {
+      val concat = l + r
+      !concat.exists(c => c == BpeEncode.RS || c == BpeEncode.US) &&
+        !taken.contains(concat) && !operands.contains(concat)
+    }
+    var continue = true
+    while (continue && merges.size < nMerges) {
+      // full-scan argmax with trainMerges' exact ordering: count desc,
+      // then the l·US·r pair key ascending; invalid candidates skipped
+      // AT SELECTION (order-independent — no reliance on map iteration)
+      var best: (String, String) = null
+      var bestN = 0L
+      pairCount.foreach { case (p@(l, r), n) =>
+        if (n >= minCount && valid(l, r) &&
+            (best == null || n > bestN ||
+              (n == bestN &&
+                (l + BpeEncode.US + r) < (best._1 + BpeEncode.US + best._2)))) {
+          best = p; bestN = n
+        }
+      }
+      if (best == null) continue = false
+      else {
+        val (l, r) = best
+        merges = merges :+ best
+        taken += (l + r); operands += l; operands += r
+        // incremental: only words currently containing the pair change
+        pairWords.get(best).map(_.toArray).getOrElse(Array.empty).foreach { wi =>
+          addWord(wi, -1L)
+          words(wi) = applyMerge(words(wi), l, r)
+          addWord(wi, 1L)
+        }
+        pairCount.remove(best)
+        pairWords.remove(best)
+      }
+    }
+    merges
+  }
+
   /** Persist a merge table as the frozen vocab artifact: (rank, left,
     * right), one overwrite — tiny, read whole.
     */

@@ -126,6 +126,31 @@ object TextAnalysis {
           graft.functions.BpeVocab.Default, "text") +
         " AS bpe_fingerprint FROM documents")),
 
+    // The PRODUCTION-SCALE vocab: same greedy encode, under the frozen
+    // 1,536-merge table (BpeVocab.Big — trainMergesScalable over the
+    // five-column fixture corpus, constant corpus scans, lineage pinned
+    // by BpeSpec). The chained-replace oracle can't replay a table this
+    // size (one nested replace() per merge blows DuckDB's expression-
+    // depth ceiling), so the oracle iterates a RECURSIVE CTE over ranks
+    // — still an exact full-token-stream replay, fingerprint included,
+    // by the same replayability invariant.
+    GraftQuery(
+      "txt_bpe_encode_big",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        def toks = graft.functions.GraftFunctions
+          .bpe_encode(col("text"), graft.functions.BpeVocab.Big)
+        Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_bpe_big_tokens"),
+          md5(concat_ws("", transform(toks,
+            t => concat(lit("\u001E"), t, lit("\u001F")))))
+            .as("bpe_big_fingerprint"))
+      },
+      Some(graft.functions.BpeEncode.oracleRecursiveSql(
+        graft.functions.BpeVocab.Big, "documents", "doc_id", "text",
+        "n_bpe_big_tokens", "bpe_big_fingerprint"))),
+
     // Quality scoring: stopword ratio, mean token length, composite score.
     // All-double arithmetic on identical operands — bit-stable vs DuckDB.
     GraftQuery(

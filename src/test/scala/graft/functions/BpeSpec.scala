@@ -94,6 +94,47 @@ class BpeSpec extends AnyFunSuite {
       minCount = 6L) == Seq.empty)
   }
 
+  test("scalable trainer ≡ reference trainer, and the Big artifact is " +
+      "its verbatim output") {
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("text"))
+    // equivalence: the constant-scan trainer's incremental pair updates
+    // must emit the SAME table the scan-per-merge reference trainer does
+    // (selection order, minCount stop, collision+marker skips all mirror)
+    val fast = graft.operators.BpeTokenizer
+      .trainMergesScalable(docs, "text", 48)
+    assert(fast.merges == BpeVocab.Default,
+      "trainMergesScalable must equal trainMerges on the same corpus")
+    assert(fast.corpusScans == 2 && fast.occurrenceCoverage == 1.0)
+    // Big lineage: frozen resource == retrain on the pinned corpus
+    val big = graft.operators.BpeTokenizer.trainMergesScalable(
+      BpeVocab.bigTrainingCorpus(spark, "/root/testdata/sf0.01"), "t",
+      nMerges = BpeVocab.BigMergeBudget, minCount = 1L)
+    assert(big.merges.size == BpeVocab.BigMergeBudget)
+    assert(big.merges == BpeVocab.Big,
+      "BpeVocab.Big must be the verbatim trainMergesScalable output — " +
+        "regenerate with runMain graft.functions.BpeVocabDump")
+  }
+
+  test("scalable trainer enforces and measures the pre-token bound") {
+    import spark.implicits._
+    // 'aaab' x 3 dominates 'ccc' x 2: maxPreTokens=1 keeps only the top
+    // word and the coverage cell says exactly how much mass was kept
+    val docs = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ccc")).toDF("text")
+    val bounded = graft.operators.BpeTokenizer
+      .trainMergesScalable(docs, "text", 10, maxPreTokens = 1)
+    assert(bounded.keptPreTokens == 1 && bounded.distinctPreTokens == 2)
+    assert(bounded.occurrenceCoverage == 3.0 / 5.0)
+    assert(bounded.merges == graft.operators.BpeTokenizer.trainMerges(
+      Seq.fill(3)("aaab").toDF("text"), "text", 10),
+      "the dropped tail word must contribute no merges")
+    // driver core: marker-bearing pre-tokens never produce a merge
+    val marked = graft.operators.BpeTokenizer.trainOnFrequencies(
+      Array(("ab", 5L), ("xy", 3L)), 10, minCount = 2L)
+    assert(marked == Seq(("x", "y")))
+    BpeEncode.validateReplayable(marked)
+  }
+
   test("vocab artifact round-trips") {
     val path = java.nio.file.Files.createTempDirectory("bpe_vocab").toString
     graft.operators.BpeTokenizer.writeVocab(spark, BpeVocab.Default, s"$path/v")
