@@ -130,6 +130,23 @@ object ScaleSmoke {
     val (tTok, _) = time {
       docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
     }
+    // BPE training at design scale: the corpus-collapse trainer's cost
+    // is TWO corpus scans + driver arithmetic over the bounded frequency
+    // table, whatever the merge budget — the property that makes a real
+    // 32k-merge vocab trainable on 100 TB. Budget 1024, floor disabled
+    // (budget-bounded training, the production shape); merge count
+    // recorded because the synthetic vocab can saturate below budget.
+    System.err.println("[smoke] start bpe_train")
+    var bpeMerges = 0
+    val (tBpeTrain, _) = time {
+      val r = operators.BpeTokenizer.trainMergesScalable(
+        docs, "text", nMerges = 1024, minCount = 1L)
+      graft.functions.BpeEncode.validateReplayable(r.merges)
+      require(r.corpusScans == 2 && r.occurrenceCoverage == 1.0,
+        s"unexpected training bound state: $r")
+      bpeMerges = r.merges.size
+      bpeMerges.toLong
+    }
     // persisted BM25 retrieval index (Bm25Index): build once at ingest,
     // serve query batches from term-pruned artifact scans — vs the
     // inline plan that re-tokenizes the whole corpus per query batch.
@@ -843,6 +860,7 @@ object ScaleSmoke {
     println(
       s"""{"n_docs":$nDocs,"minhash_lsh_sec":$tDedup,"neardup_pairs":$nPairs,""" +
         s""""exact_dedup_sec":$tExact,"distinct_docs":$nGroups,"token_count_sec":$tTok,""" +
+        s""""bpe_train_sec":$tBpeTrain,"bpe_train_merges":$bpeMerges,""" +
         s""""bm25_index_build_sec":$tBm25Build,""" +
         s""""bm25_serve_single_shot_sec":$tBm25Single,""" +
         s""""bm25_serve_steady_sec":$tBm25Steady,""" +

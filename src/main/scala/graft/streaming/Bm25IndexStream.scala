@@ -39,6 +39,20 @@ object Bm25IndexStream {
     Bm25Index.appendIndex(
       batch.select(col("doc_id"), col("text")), indexPath, batchId)
 
+  /** Micro-batch tick with auto-maintenance: append to the active
+    * generation, then run the maintenance tick (no-op unless
+    * `spark.graft.index.autoMaintain` is true and compaction is due —
+    * IndexGenerations documents the adoption protocol).
+    */
+  def applyBatchMaintained(spark: SparkSession, indexRoot: String,
+      batchId: Long, batch: DataFrame): Unit = {
+    val active = graft.operators.IndexGenerations.activePath(spark, indexRoot)
+    applyBatch(spark, active, batchId, batch)
+    graft.operators.IndexGenerations.maintainTick(spark, indexRoot, active,
+      batchId, (src, tgt, w) =>
+        Bm25Index.maintain(spark, src, tgt, throughBatch = w))
+  }
+
   def start(
       source: DataFrame,
       indexPath: String,
@@ -47,7 +61,7 @@ object Bm25IndexStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(batch.sparkSession, indexPath, id, batch)
+        applyBatchMaintained(batch.sparkSession, indexPath, id, batch)
       }
       .start()
 

@@ -35,6 +35,23 @@ object IvfIndexStream {
     IvfIndex.appendIndex(
       batch.select(col("vec_id"), col("v"), col("norm2")), indexPath, batchId)
 
+  /** Micro-batch tick with auto-maintenance: append to the active
+    * generation, then run the maintenance tick (no-op unless
+    * `spark.graft.index.autoMaintain` is true and compaction is due —
+    * IndexGenerations documents the adoption protocol). Note the tick
+    * only ever COMPACTS; a standing drift alarm survives it by
+    * IvfIndex.compactIndex's carry contract, so auto-maintenance can
+    * never silently re-baseline a drifted quantizer.
+    */
+  def applyBatchMaintained(spark: SparkSession, indexRoot: String,
+      batchId: Long, batch: DataFrame): Unit = {
+    val active = graft.operators.IndexGenerations.activePath(spark, indexRoot)
+    applyBatch(spark, active, batchId, batch)
+    graft.operators.IndexGenerations.maintainTick(spark, indexRoot, active,
+      batchId, (src, tgt, w) =>
+        IvfIndex.maintain(spark, src, tgt, throughBatch = w))
+  }
+
   def start(
       source: DataFrame,
       indexPath: String,
@@ -43,7 +60,7 @@ object IvfIndexStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(batch.sparkSession, indexPath, id, batch)
+        applyBatchMaintained(batch.sparkSession, indexPath, id, batch)
       }
       .start()
 

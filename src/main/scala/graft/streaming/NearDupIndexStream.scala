@@ -118,6 +118,28 @@ object NearDupIndexStream {
   def acceptedLog(spark: SparkSession, logPath: String): DataFrame =
     spark.read.parquet(logPath).select(col("doc_id"), col("batch"))
 
+  /** One full micro-batch tick with auto-maintenance: resolve the
+    * active generation under `indexRoot`, decide/append against it,
+    * then run the maintenance tick (no-op unless
+    * `spark.graft.index.autoMaintain` is true AND the compaction
+    * trigger is due — see IndexGenerations for the adoption protocol
+    * and why accept decisions are byte-identical across the swap).
+    */
+  def applyBatchMaintained(
+      spark: SparkSession,
+      indexRoot: String,
+      logPath: String,
+      threshold: Double,
+      maxBucket: Int,
+      batchId: Long,
+      batch: DataFrame): Unit = {
+    val active = graft.operators.IndexGenerations.activePath(spark, indexRoot)
+    applyBatch(spark, active, logPath, threshold, maxBucket, batchId, batch)
+    graft.operators.IndexGenerations.maintainTick(spark, indexRoot, active,
+      batchId, (src, tgt, w) =>
+        NearDupLsh.maintain(spark, src, tgt, throughBatch = w))
+  }
+
   def start(
       source: DataFrame,
       indexPath: String,
@@ -129,8 +151,8 @@ object NearDupIndexStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(batch.sparkSession, indexPath, logPath, threshold,
-          maxBucket, id, batch)
+        applyBatchMaintained(batch.sparkSession, indexPath, logPath,
+          threshold, maxBucket, id, batch)
       }
       .start()
 

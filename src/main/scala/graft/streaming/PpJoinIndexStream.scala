@@ -92,6 +92,28 @@ object PpJoinIndexStream {
   def acceptedLog(spark: SparkSession, logPath: String): DataFrame =
     spark.read.parquet(logPath).select(col("doc_id"), col("batch"))
 
+  /** One full micro-batch tick with auto-maintenance: resolve the
+    * active generation under `indexRoot`, decide/append against it,
+    * then run the maintenance tick (no-op unless
+    * `spark.graft.index.autoMaintain` is true and compaction is due —
+    * IndexGenerations documents the adoption protocol and why accept
+    * decisions are byte-identical across the swap).
+    */
+  def applyBatchMaintained(
+      spark: SparkSession,
+      indexRoot: String,
+      logPath: String,
+      num: Int,
+      den: Int,
+      batchId: Long,
+      batch: DataFrame): Unit = {
+    val active = graft.operators.IndexGenerations.activePath(spark, indexRoot)
+    applyBatch(spark, active, logPath, num, den, batchId, batch)
+    graft.operators.IndexGenerations.maintainTick(spark, indexRoot, active,
+      batchId, (src, tgt, w) =>
+        PrefixFilterJoin.maintain(spark, src, tgt, throughBatch = w))
+  }
+
   def start(
       source: DataFrame,
       indexPath: String,
@@ -103,7 +125,8 @@ object PpJoinIndexStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(batch.sparkSession, indexPath, logPath, num, den, id, batch)
+        applyBatchMaintained(batch.sparkSession, indexPath, logPath,
+          num, den, id, batch)
       }
       .start()
 
