@@ -606,6 +606,47 @@ object Similarity {
           minRecall = 0.8),
       Some(annVerdictSql)),
 
+    // The PERSISTED multi-probe LSH serve (operators/LshAnnIndex): the
+    // plane table freezes at build like the IVF quantizer, the corpus
+    // lands bucket-partitioned (batch=<id>/band/band_val — a serve
+    // reads only probed buckets), and an append batch rides under the
+    // frozen planes. Verdict adds `served_eq_inline`: given the same
+    // plane table, the persisted serve must return the IDENTICAL
+    // top-k set to the inline multi-probe operator — the lifecycle is
+    // lossless, not approximately-as-good — plus the same 0.8 recall
+    // bar vs brute truth.
+    GraftQuery(
+      "sim_lsh_ann_persisted",
+      (s, dir) => {
+        val e = corpus(s, dir)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_lshann_idx").toString
+        def slice(pred: Column) = e.filter(pred)
+          .select(col("vec_id"), col("v"), col("norm2"))
+        graft.operators.LshAnnIndex.writeIndex(
+          slice(col("vec_id") % 10 =!= 7), idx,
+          hyperplanes.map(_.toSeq), bands = 4)
+        graft.operators.LshAnnIndex.appendIndex(
+          slice(col("vec_id") % 10 === 7), idx, batchId = 0L)
+        val q = e.filter(col("vec_id") < 10).select(
+          col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm2").as("qn"))
+        val served = graft.operators.LshAnnIndex
+          .topK(s, idx, q, probeBits = 4, k = 5)
+        def ids(df: DataFrame) =
+          df.select(col("query_id"), col("neighbor_id"))
+        val inline = ids(lshAnn(s, dir, probeBits = 4))
+        val diff = ids(served).exceptAll(inline)
+          .union(inline.exceptAll(ids(served)))
+          .agg(count(lit(1)).as("n_diff"))
+        annVerdict(served, bruteTopK(e, 5), minRecall = 0.8)
+          .crossJoin(diff.select(
+            when(col("n_diff") === 0, lit(1L)).otherwise(lit(0L))
+              .as("served_eq_inline")))
+      },
+      Some(annVerdictSql.replace(" FROM embeddings",
+        ", CAST(1 AS BIGINT) AS served_eq_inline FROM embeddings"))),
+
     // SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
     // corpus into clusters, then find near-duplicate pairs INSIDE each
     // cluster only — the clustering turns an O(n²) cosine join into
