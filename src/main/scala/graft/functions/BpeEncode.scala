@@ -254,8 +254,11 @@ object BpeEncode {
     * marker-wrapped symbol string; count tokens by counting RS markers.
     */
   def oracleReplaySql(merges: Seq[(String, String)], word: String): String = {
+    // (?s): RE2's dot skips newlines by default, but a class-3
+    // pre-token can contain one — an unwrapped char would silently
+    // desync both the count (missing RS) and the fingerprint
     val wrapped =
-      s"regexp_replace($word, '(.)', chr(30) || '\\1' || chr(31), 'g')"
+      s"regexp_replace($word, '(?s)(.)', chr(30) || '\\1' || chr(31), 'g')"
     merges.foldLeft(wrapped) { case (acc, (l, r)) =>
       def lit(s: String) = "'" + s.replace("'", "''") + "'"
       s"replace($acc, chr(30) || ${lit(l)} || chr(31) || chr(30) || ${lit(r)} " +
@@ -313,7 +316,7 @@ object BpeEncode {
 m(rank, l, r) AS (SELECT * FROM (VALUES $vals) t(rank, l, r)),
 w(w) AS (SELECT DISTINCT unnest(regexp_extract_all($textCol, $pre)) FROM $table),
 rep(w, s, k) AS (
-  SELECT w, regexp_replace(w, '(.)', chr(30) || '\\1' || chr(31), 'g'), 0 FROM w
+  SELECT w, regexp_replace(w, '(?s)(.)', chr(30) || '\\1' || chr(31), 'g'), 0 FROM w
   UNION ALL
   SELECT rep.w,
          replace(rep.s, chr(30) || m.l || chr(31) || chr(30) || m.r || chr(31),

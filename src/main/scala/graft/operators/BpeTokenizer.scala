@@ -161,12 +161,36 @@ object BpeTokenizer {
       (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // Lazy max-heap selection: every count change pushes a fresh
+    // (count, key, pair) entry; pops discard entries whose count no
+    // longer matches the live map. O(log P) per update/selection
+    // instead of a full pairCount scan per merge — the full scan made
+    // training O(nMerges × distinct_pairs) driver work, which at the
+    // advertised scale (32k merges over the 2^20 pre-token bound) is
+    // hours, not minutes. Ordering mirrors trainMerges'
+    // orderBy(n desc, p asc) with the tie key compared in UTF-8 BYTES
+    // — Spark's string ordering — NOT UTF-16 code units: the two
+    // disagree on supplementary characters vs U+FFFF.., and the
+    // trainers must pick the same merge on ties.
+    final case class Cand(n: Long, key: Array[Byte], p: (String, String))
+    val candOrd: Ordering[Cand] = new Ordering[Cand] {
+      def compare(a: Cand, b: Cand): Int = {
+        val c = java.lang.Long.compare(a.n, b.n)
+        if (c != 0) c
+        else java.util.Arrays.compareUnsigned(b.key, a.key) // smaller key wins
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[Cand](candOrd)
+    def keyBytes(p: (String, String)): Array[Byte] =
+      (p._1 + BpeEncode.US + p._2)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def addWord(wi: Int, sign: Long): Unit =
       pairsOf(words(wi)).foreach { p =>
         val n = pairCount.getOrElse(p, 0L) + sign * freq(wi)
         if (n == 0L) { pairCount.remove(p); pairWords.get(p).foreach(_ -= wi) }
         else {
           pairCount.update(p, n)
+          heap.enqueue(Cand(n, keyBytes(p), p))
           if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
         }
       }
@@ -193,17 +217,25 @@ object BpeTokenizer {
     }
     var continue = true
     while (continue && merges.size < nMerges) {
-      // full-scan argmax with trainMerges' exact ordering: count desc,
-      // then the l·US·r pair key ascending; invalid candidates skipped
-      // AT SELECTION (order-independent — no reliance on map iteration)
+      // pop to the first CURRENT entry (count matches the live map).
+      // Stale entries drop; an entry whose pair became invalid
+      // (collision/marker) drops permanently — validity only ever
+      // shrinks, and its count-current duplicates re-surface and drop
+      // the same way. The first current entry is the true maximum: a
+      // live pair's latest count was pushed at its last update and can
+      // only sit BELOW stale-high garbage, never below another current
+      // entry that outranks it.
       var best: (String, String) = null
-      var bestN = 0L
-      pairCount.foreach { case (p@(l, r), n) =>
-        if (n >= minCount && valid(l, r) &&
-            (best == null || n > bestN ||
-              (n == bestN &&
-                (l + BpeEncode.US + r) < (best._1 + BpeEncode.US + best._2)))) {
-          best = p; bestN = n
+      var stop = false
+      while (best == null && !stop) {
+        if (heap.isEmpty) stop = true
+        else {
+          val c = heap.dequeue()
+          if (pairCount.getOrElse(c.p, 0L) == c.n) {
+            if (c.n < minCount) stop = true // true max below the floor
+            else if (valid(c.p._1, c.p._2)) best = c.p
+            // invalid-forever: drop and keep popping
+          }
         }
       }
       if (best == null) continue = false

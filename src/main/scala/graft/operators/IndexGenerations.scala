@@ -172,9 +172,18 @@ object IndexGenerations {
   }
 
   /** Retention: drop all but the newest `keepLatest` ADOPTED
-    * generations (plus the legacy root index, which is never touched).
-    * An explicit operator act — the tick never deletes, because a
-    * serve may still be scanning an old generation.
+    * generations (plus the legacy root index, which is never touched),
+    * AND every never-adopted generation dir with an id BELOW the
+    * newest adopted one — abandoned crash leftovers. A crashed
+    * compaction's target is normally swept by its own id's re-run
+    * tick, but a stream that never redelivers that batch (checkpoint
+    * deleted, stream decommissioned) would otherwise leak a full
+    * folded copy of the index forever, invisible to generations().
+    * Ids at or above the newest adopted generation are left alone: one
+    * may be an IN-FLIGHT compaction (batch ids are monotonic, so
+    * nothing below the adopted head can ever be mid-write). An
+    * explicit operator act — the tick never deletes, because a serve
+    * may still be scanning an old generation.
     */
   def pruneGenerations(spark: SparkSession, root: String,
       keepLatest: Int = 2): Seq[Long] = {
@@ -182,6 +191,18 @@ object IndexGenerations {
     val gens = generations(spark, root)
     val drop = gens.dropRight(keepLatest)
     drop.foreach(deleteGeneration(spark, root, _))
+    gens.lastOption.foreach { newest =>
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = fsOf(spark, rp)
+      fs.listStatus(rp).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.matches("_gen=-?\\d+"))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("_gen=").toLong).toOption)
+        .filter(id => id < newest &&
+          !fs.exists(new org.apache.hadoop.fs.Path(
+            s"${genPath(root, id)}/$Marker")))
+        .foreach(deleteGeneration(spark, root, _))
+    }
     drop
   }
 }

@@ -50,15 +50,25 @@ object LshAnnIndex {
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     round(dot(a, b) / (sqrt(na) * sqrt(nb)), 6)
 
-  /** Signature under a plane table: bit p = sign(v·plane_p). */
+  /** Signature under a plane table: bit p = sign(v·plane_p). LONG bit
+    * arithmetic throughout — an Int accumulator would silently alias
+    * shifts past bit 31 (two planes summing into one wrapped bit carry
+    * into a NEIGHBORING band's bits, and build/serve hash consistently
+    * with the same corrupted function, so recall degrades with no
+    * error); writeIndex bounds the table at 63 planes to match.
+    */
   private def signature(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(v, typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+      when(dot(v, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // band values stay INT (writeIndex bounds bandBits accordingly): the
+  // partition-inferred read-back type must match the probe side's, or
+  // the bucket join would coerce through casts and lose pruning
   private def bandCols(sig: Column, bands: Int, bandBits: Int): Column =
     posexplode(array((0 until bands).map { j =>
-      shiftright(sig, bandBits * j).bitwiseAND(lit((1 << bandBits) - 1))
+      shiftright(sig, bandBits * j).bitwiseAND(lit((1L << bandBits) - 1))
+        .cast("int")
     }: _*))
 
   /** (vec_id, v, norm2, band, band_val) — one row per vector per band
@@ -92,6 +102,10 @@ object LshAnnIndex {
       planes: Seq[Seq[Double]], bands: Int): Unit = {
     require(planes.nonEmpty && bands > 0 && planes.size % bands == 0,
       s"plane count ${planes.size} must split into $bands equal bands")
+    require(planes.size <= 63,
+      s"at most 63 planes (long signature bits), got ${planes.size}")
+    require(planes.size / bands <= 31,
+      s"band width ${planes.size / bands} bits must fit an int band_val")
     val spark = vectors.sparkSession
     import spark.implicits._
     planes.zipWithIndex.map { case (p, i) => (i, p) }

@@ -135,6 +135,18 @@ class BpeSpec extends AnyFunSuite {
     BpeEncode.validateReplayable(marked)
   }
 
+  test("trainer tie-break uses UTF-8 byte order (Spark's string " +
+      "ordering), not UTF-16 code units") {
+    // count-2 tie between (😀,😀) and (U+FFFF,U+FFFF): UTF-16 sorts the
+    // surrogate (D83D) below FFFF, UTF-8 sorts F0.. above EF BF BF —
+    // the driver trainer must agree with trainMerges' Spark orderBy
+    val emoji = "😀"
+    val m = graft.operators.BpeTokenizer.trainOnFrequencies(
+      Array((emoji + emoji, 2L), ("￿￿", 2L)), 3, minCount = 2L)
+    assert(m == Seq(("\uD83D", "\uDE00"), ("￿", "￿"),
+      (emoji, emoji)), s"got $m")
+  }
+
   test("vocab artifact round-trips") {
     val path = java.nio.file.Files.createTempDirectory("bpe_vocab").toString
     graft.operators.BpeTokenizer.writeVocab(spark, BpeVocab.Default, s"$path/v")

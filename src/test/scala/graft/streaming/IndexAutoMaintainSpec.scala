@@ -152,6 +152,32 @@ class IndexAutoMaintainSpec extends AnyFunSuite {
       "representative stream appends must not read as drift")
   }
 
+  test("pruneGenerations sweeps abandoned unadopted targets below the " +
+      "adopted head, never at or above it") {
+    val root = Files.createTempDirectory("graft_am_prune").toString
+    def mk(id: Long, adopted: Boolean): Unit = {
+      val d = new java.io.File(s"$root/_gen=$id"); d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("x.parquet"), "x")
+      if (adopted) IndexGenerations.adopt(spark, root, id)
+    }
+    // 1: crashed target whose batch will never redeliver; 2,3: adopted;
+    // 7: possibly an in-flight compaction above the adopted head
+    mk(1, adopted = false); mk(2, adopted = true)
+    mk(3, adopted = true); mk(7, adopted = false)
+    new java.io.File(s"$root/_gen=1_stats").mkdirs() // sibling artifact
+    assert(IndexGenerations.generations(spark, root) == Seq(2L, 3L))
+    val dropped = IndexGenerations.pruneGenerations(spark, root,
+      keepLatest = 1)
+    assert(dropped == Seq(2L))
+    assert(!new java.io.File(s"$root/_gen=1").exists,
+      "abandoned unadopted target below the head must be swept")
+    assert(!new java.io.File(s"$root/_gen=1_stats").exists)
+    assert(!new java.io.File(s"$root/_gen=2").exists)
+    assert(new java.io.File(s"$root/_gen=3").exists)
+    assert(new java.io.File(s"$root/_gen=7").exists,
+      "an id above the adopted head may be mid-write — never swept")
+  }
+
   test("crash windows across the swap: redelivery after adoption no-ops; " +
       "a never-adopted half-written target is swept and rebuilt") {
     val uncrashed = Files.createTempDirectory("graft_am_cr_u").toString
