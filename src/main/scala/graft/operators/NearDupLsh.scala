@@ -773,8 +773,16 @@ object NearDupLsh {
       // explicit width: the candidate set is bytes-small but
       // compute-heavy, and AQE would coalesce it to ~1 partition,
       // serializing the rescoring. The repartition's hash partitioning
-      // is reused by dropDuplicates — one exchange, not two.
-      .repartition(shufflePartitions, col("doc_a"), col("doc_b"))
+      // is reused by dropDuplicates — one exchange, not two. Width is
+      // derived from the corpus plan-stat size (see AdaptiveWidth): a
+      // one-partition-worth corpus skips the pin entirely — at bench
+      // scale the 32-wide REPARTITION_BY_NUM cost ~10× the rescore
+      // compute in per-task fixed overhead — while 256 MB+ corpora keep
+      // the old shuffle-partitions width exactly.
+      .transform { cand =>
+        val w = AdaptiveWidth.of(docs, shufflePartitions)
+        if (w > 1) cand.repartition(w, col("doc_a"), col("doc_b")) else cand
+      }
       .dropDuplicates("doc_a", "doc_b")
     // stacked rescore: the two pair sides become (pair, role, doc_id)
     // rows so ONE join against the shingle relation attaches both

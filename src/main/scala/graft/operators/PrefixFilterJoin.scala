@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, NGramHashes}
 
 /** PPJoin-style prefix-filtered exact similarity join over word-3-gram
   * shingles (Xiao et al., "Efficient Similarity Joins for Near Duplicate
@@ -65,13 +65,23 @@ object PrefixFilterJoin {
     val windowed = charWindow >= 0
     val ncCols: Seq[org.apache.spark.sql.Column] =
       if (windowed) Seq(col("nc")) else Nil
+    // The empty-set filter is the CHEAP token-count predicate, not
+    // `size(sh) > 0`: predicate pushdown substitutes aliases, so an
+    // sh-referencing filter lands on the scan as a SECOND full
+    // `ngram_hashes` evaluation per row (tokens >= 3 ⟺ at least one
+    // window ⟺ sz >= 1, so semantics match — the same rule as
+    // NearDupLsh.sigRelation). The coalesce makes sh non-nullable so no
+    // consumer ever infers an IsNotNull(ngram_hashes(...)) constraint
+    // that pushdown would re-evaluate at the scan.
     def sets: DataFrame = {
-      val base = docs.select(
-        Seq(col("doc_id")) ++
-          (if (windowed) Seq(col("n_chars").as("nc")) else Nil) :+
-          GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"): _*)
+      val base = docs
+        .filter(size(split(col("text"), " ")) >= NGramHashes.N)
+        .select(
+          Seq(col("doc_id")) ++
+            (if (windowed) Seq(col("n_chars").as("nc")) else Nil) :+
+            GraftFunctions.ngram_hashes(
+              split(coalesce(col("text"), lit("")), " ")).as("sh"): _*)
       base.withColumn("sz", size(col("sh")))
-        .filter(col("sz") > 0)
     }
     // global rarest-first order: frequency, ties by hash. Partial-agg
     // combinable, skew-free (no per-shingle doc lists materialized).
@@ -132,11 +142,19 @@ object PrefixFilterJoin {
       // followed by dropDuplicates reuses that partitioning for the dedup
       // aggregate (no second shuffle), and the explicit numPartitions keeps
       // AQE from coalescing the bytes-small but compute-heavy candidate set
-      // to ~1 partition, which would serialize the rescoring. Width follows
+      // to ~1 partition, which would serialize the rescoring. Width caps at
       // spark.sql.shuffle.partitions — a data/deployment-tunable knob —
       // not defaultParallelism (a fixed cluster-shaped constant that stops
-      // scaling when the candidate set needs more partitions than cores).
-      .repartition(shufflePartitions, col("doc_a"), col("doc_b"))
+      // scaling when the candidate set needs more partitions than cores) —
+      // and is derived from the CORPUS plan-stat size (candidate volume
+      // scales with the corpus): at bench scale the explicit 32-wide pin
+      // cost ~10× the rescore compute in per-task fixed overhead, so a
+      // one-partition-worth corpus skips the pin and lets dropDuplicates'
+      // ENSURE_REQUIREMENTS exchange coalesce under AQE instead.
+      .transform { cand =>
+        val w = AdaptiveWidth.of(docs, shufflePartitions)
+        if (w > 1) cand.repartition(w, col("doc_a"), col("doc_b")) else cand
+      }
       .dropDuplicates("doc_a", "doc_b")
     // rescore: stack the two pair sides into (pair, role, doc_id) rows so
     // ONE join against `sets` attaches both shingle arrays — one corpus
@@ -234,11 +252,14 @@ object PrefixFilterJoin {
     */
   val ServeCandidateHotFloor: Long = 8L
 
+  // cheap token-count filter + non-nullable sh — see `sets` in `pairs`
   private def setsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        GraftFunctions.ngram_hashes(split(col("text"), " ")).as("sh"))
+    docs
+      .filter(size(split(col("text"), " ")) >= NGramHashes.N)
+      .select(col("doc_id"),
+        GraftFunctions.ngram_hashes(
+          split(coalesce(col("text"), lit("")), " ")).as("sh"))
       .withColumn("sz", size(col("sh")))
-      .filter(col("sz") > 0)
 
   private def prefixLenExpr(num: Int, den: Int) =
     expr(s"sz - (($num * sz + ${den - 1}) div $den) + 1").cast("int")

@@ -256,7 +256,7 @@ object Dedup {
   private def ngramJaccardQ(s: SparkSession, documents: DataFrame): DataFrame =
     graft.operators.PrefixFilterJoin.pairs(
       documents
-        .repartition(s.sparkContext.defaultParallelism) // one input file
+        .transform(graft.operators.AdaptiveWidth.spread) // scale-adaptive (was defaultParallelism)
         .select(col("doc_id"), col("n_chars"), col("text")),
       num = 4, den = 5, charWindow = 16)
 
@@ -274,7 +274,7 @@ object Dedup {
   private def ppjoinQ(s: SparkSession, documents: DataFrame): DataFrame =
     graft.operators.PrefixFilterJoin.pairs(
       documents
-        .repartition(s.sparkContext.defaultParallelism) // one input file
+        .transform(graft.operators.AdaptiveWidth.spread) // scale-adaptive (was defaultParallelism)
         .select(col("doc_id"), col("text")),
       num = 4, den = 5)
 
@@ -314,7 +314,7 @@ object Dedup {
 
   private def clusterKeepBestQ(s: SparkSession, documents: DataFrame): DataFrame = {
     val docs = documents
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.AdaptiveWidth.spread)
       .select(col("doc_id"), col("text"))
     val pairs = graft.operators.PrefixFilterJoin.pairs(docs, num = 4, den = 5)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -369,7 +369,7 @@ object Dedup {
     */
   private def clusterIncrementalQ(s: SparkSession, docs0: DataFrame): DataFrame = {
     val docs = docs0
-      .repartition(s.sparkContext.defaultParallelism) // one input file
+      .transform(graft.operators.AdaptiveWidth.spread) // scale-adaptive (was defaultParallelism)
       .select(col("doc_id"), col("text"))
     val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
     val newDocs = docs.filter(col("doc_id") % 10 === 7)
@@ -395,7 +395,7 @@ object Dedup {
     */
   private def incrementalPpjoinQ(s: SparkSession, docs0: DataFrame): DataFrame = {
     val docs = docs0
-      .repartition(s.sparkContext.defaultParallelism) // one input file
+      .transform(graft.operators.AdaptiveWidth.spread) // scale-adaptive (was defaultParallelism)
       .select(col("doc_id"), col("text"))
     val idx = java.nio.file.Files
       .createTempDirectory("graft_ppjoin_idx_gate").toString
@@ -556,7 +556,7 @@ object Dedup {
       "dd_minhash_lsh",
       (s, dir) => graft.operators.NearDupLsh.pairs(
         Tables.table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism) // one input file
+          .transform(graft.operators.AdaptiveWidth.spread) // scale-adaptive (was defaultParallelism)
           .select(col("doc_id"), col("text")),
         threshold = 0.5d),
       oracle = Some(minhashLshOracle(0.5d)),
@@ -576,7 +576,7 @@ object Dedup {
       "dd_incremental_lsh",
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism) // one input file
+          .transform(graft.operators.AdaptiveWidth.spread) // scale-adaptive (was defaultParallelism)
           .select(col("doc_id"), col("text"))
         val newDocs = docs.filter(col("doc_id") % 10 === 7)
         val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
@@ -610,7 +610,7 @@ object Dedup {
       "dd_incremental_lsh_indexed",
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism) // one input file
+          .transform(graft.operators.AdaptiveWidth.spread) // scale-adaptive (was defaultParallelism)
           .select(col("doc_id"), col("text"))
         val newDocs = docs.filter(col("doc_id") % 10 === 7)
         val idx = java.nio.file.Files

@@ -24,7 +24,7 @@ object Pipeline {
 
   private def leakSafeSplitQ(s: SparkSession, documents: DataFrame): DataFrame = {
     val docs = documents
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.AdaptiveWidth.spread)
       .select(col("doc_id"), col("text"))
     val pairs = graft.operators.PrefixFilterJoin.pairs(docs, num = 4, den = 5)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -69,7 +69,7 @@ object Pipeline {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val survivors = docs.join(keepers, Seq("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.AdaptiveWidth.spread)
     val pairs = graft.operators.PrefixFilterJoin
       .pairs(survivors, num = 4, den = 5)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
