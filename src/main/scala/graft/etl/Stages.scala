@@ -74,12 +74,22 @@ object DataQuality {
       sum(when(f1 && f2, 1L).otherwise(0L)).as("n_after_f2")).head()
 
     val afterF2 = df.filter(f1 && f2)
-    val nDistinct =
-      if (dq.removeDuplicates) afterF2.dropDuplicates().count()
-      else row.getLong(3)
-    val deduped = if (dq.removeDuplicates) afterF2.dropDuplicates() else afterF2
-    val nAfterCountry =
-      if (dq.validateCountryCodes) deduped.filter(f4).count() else nDistinct
+    // one aggregate over the deduped relation yields BOTH the distinct
+    // count and the post-country-filter count (sum of the f4 indicator
+    // over distinct rows ≡ deduped.filter(f4).count()) — previously two
+    // separate jobs, each re-running the dedup shuffle
+    val (nDistinct, nAfterCountry) =
+      if (dq.removeDuplicates) {
+        val r = afterF2.dropDuplicates().agg(
+          count(lit(1)).as("n"),
+          sum(when(f4, 1L).otherwise(0L)).as("n_country")).head()
+        (r.getLong(0), if (dq.validateCountryCodes) r.getLong(1) else r.getLong(0))
+      } else {
+        val n = row.getLong(3)
+        val nc =
+          if (dq.validateCountryCodes) afterF2.filter(f4).count() else n
+        (n, nc)
+      }
 
     QualityMetrics(
       inputRows = row.getLong(0),

@@ -27,6 +27,15 @@ object PqEncoder {
   private def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.dot_product(a, b)
 
+  /** ‖codebook(c)'s sp-th subvector‖² folded on the driver with the
+    * DotProduct loop's exact multiply/add order, so the literal is
+    * bit-identical to dot(cs, cs) (the normLut rule).
+    */
+  private def selfDot(codebook: IndexedSeq[Seq[Double]], c: Int,
+      sp: Int, dim: Int): Double =
+    codebook(c).slice(sp * dim, (sp + 1) * dim)
+      .foldLeft(0.0d)((acc, x) => acc + x * x)
+
   /** Per-subspace nearest-codebook-entry codes: array<int>, 1-based. */
   def codes(v: Column, codebook: IndexedSeq[Seq[Double]], sub: Int, dim: Int): Column = {
     val nCodes = codebook.size
@@ -34,7 +43,12 @@ object PqEncoder {
       val xs = slice(v, sp * dim + 1, dim)
       val dists = array((0 until nCodes).map { c =>
         val cs = typedlit(codebook(c).slice(sp * dim, (sp + 1) * dim))
-        dot(xs, xs) - lit(2.0d) * dot(xs, cs) + dot(cs, cs)
+        // cs·cs is a driver-side constant (selfDot, bit-identical to
+        // the folded dot_product): pre-folding it keeps sub·|codebook|
+        // dot_product subtrees out of every analysis/optimization pass
+        // — the optimizer would constant-fold them anyway, but this
+        // query is rebuilt per run and the planning cost is real
+        dot(xs, xs) - lit(2.0d) * dot(xs, cs) + lit(selfDot(codebook, c, sp, dim))
       }: _*)
       array_position(dists, array_min(dists)).cast("int")
     }: _*)
@@ -52,7 +66,8 @@ object PqEncoder {
       val xs = slice(v, sp * dim + 1, dim)
       array_min(array(codebook.indices.map { c =>
         val cs = typedlit(codebook(c).slice(sp * dim, (sp + 1) * dim))
-        dot(xs, xs) - lit(2.0d) * dot(xs, cs) + dot(cs, cs)
+        // pre-folded cs·cs — see codes()
+        dot(xs, xs) - lit(2.0d) * dot(xs, cs) + lit(selfDot(codebook, c, sp, dim))
       }: _*))
     }.reduce(_ + _)
 

@@ -887,17 +887,27 @@ object Dedup {
       "dd_span_dupes_hashed",
       (s, dir) => {
         val k = 8
+        // the two aggregates group on the RAW 16-byte digest and only
+        // the surviving (n_docs >= 2) rows render the hex string: the
+        // span-keyed shuffles carry 16 bytes per window instead of the
+        // 32-char hex text — exactly the "shuffle the digest, not the
+        // span" rule this query exists to demonstrate (guide §2.3,
+        // narrower types). unhex/lower(hex(..)) round-trips md5's
+        // lowercase hex exactly, so the output column is byte-identical.
         spanStarts(Tables.table(s, dir, "documents"), k)
           .select(col("doc_id"),
-            md5(array_join(slice(col("toks"), col("i"), lit(k)), " ")).as("span_h"))
-          .groupBy(col("span_h"), col("doc_id"))
+            unhex(md5(array_join(slice(col("toks"), col("i"), lit(k)), " ")))
+              .as("span_b"))
+          .groupBy(col("span_b"), col("doc_id"))
           .agg(count(lit(1)).as("occ"))
-          .groupBy(col("span_h"))
+          .groupBy(col("span_b"))
           .agg(
             sum(col("occ")).as("n_occurrences"),
             count(lit(1)).as("n_docs"),
             min(col("doc_id")).as("first_doc"))
           .filter(col("n_docs") >= 2)
+          .select(lower(hex(col("span_b"))).as("span_h"),
+            col("n_occurrences"), col("n_docs"), col("first_doc"))
       },
       Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks " +
         "FROM documents), " +
