@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, CreateArray, Literal, PredicateHelper, Size}
+import org.apache.spark.sql.catalyst.expressions.{And, CreateArray, GreaterThan, GreaterThanOrEqual, Literal, PredicateHelper, Size}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import graft.functions.NGramHashes
 
 /** Drops filter conjuncts that are provably true once `size` of an
   * inline-constructed array is folded to its static length.
@@ -29,7 +30,26 @@ object FoldKnownArraySizeGuards extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) =>
-      val conjuncts = splitConjunctivePredicates(cond)
+      val original = splitConjunctivePredicates(cond)
+      val conjuncts = original
+        .map { c =>
+          c.transformUp {
+            // size(ngram_hashes(x)) > 0  ⟺  size(x) >= 3: NGramHashes
+            // emits the empty array below 3 tokens and at least one
+            // distinct window hash from 3 up, and is null-intolerant, so
+            // the null path matches too (size(null ngram, false) > 0 and
+            // size(null x, false) >= 3 are both null ⇒ filtered). The
+            // inferred generate-guard over an exploded shingle relation
+            // otherwise re-runs the WHOLE per-document hashing pass a
+            // second time once pushdown lands it on the scan — the same
+            // trap as the CreateArray case below, but for a
+            // dynamically-sized array where only the emptiness test is
+            // statically characterizable.
+            case GreaterThan(Size(ng: NGramHashes, legacy), Literal(0, _)) =>
+              GreaterThanOrEqual(Size(ng.child, legacy),
+                Literal(NGramHashes.N))
+          }
+        }
       val kept = conjuncts.filterNot { c =>
         val folded = c.transformUp {
           // CreateArray is non-null with exactly children.length elements;
@@ -39,7 +59,7 @@ object FoldKnownArraySizeGuards extends Rule[LogicalPlan] with PredicateHelper {
         }
         folded.foldable && folded.eval(null) == true
       }
-      if (kept.length == conjuncts.length) f
+      if (kept.length == original.length && kept.corresponds(original)(_ eq _)) f
       else kept.reduceOption(And).map(Filter(_, child)).getOrElse(child)
   }
 }

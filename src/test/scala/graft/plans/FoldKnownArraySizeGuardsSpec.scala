@@ -27,6 +27,30 @@ class FoldKnownArraySizeGuardsSpec extends AnyFunSuite {
     assert(df.count() === 8) // 2 rows x 4 slots; semantics intact
   }
 
+  test("ngram emptiness guard rewrites to the cheap token-count test") {
+    GraftFunctions.register(spark)
+    // explode over a computed shingle relation: InferFiltersFromGenerate
+    // guards it with size(ngram_hashes(...)) > 0, and pushdown would land
+    // that full per-document hashing pass on the scan a second time —
+    // the rule must rewrite it to size(tokens) >= 3
+    val df = Seq(("a b c d e", 1L), ("x y", 2L), (null: String, 3L))
+      .toDF("text", "doc_id")
+      .select(col("doc_id"),
+        GraftFunctions.ngram_hashes(
+          split(coalesce(col("text"), lit("")), " ")).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val filterLines = optimized.linesIterator.filter(_.contains("Filter")).toList
+    assert(!filterLines.exists(_.contains("ngram_hashes")),
+      s"ngram guard not rewritten:\n$optimized")
+    // semantics intact: only the 5-token doc shingles (3 windows); the
+    // 2-token and null docs are dropped by the rewritten guard exactly
+    // as by the original
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).distinct.toSeq === Seq(1L))
+    assert(rows.length === 3)
+  }
+
   test("real predicates on the same filter survive the fold") {
     GraftFunctions.register(spark)
     val df = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
