@@ -56,40 +56,54 @@ object DataQuality {
     out
   }
 
-  /** Sequential-delta counters in one aggregate pass + one dedup count.
-    * Order matters: the null-material filter runs before the type
-    * whitelist, so a row failing both counts against null-material only
-    * (same double-count semantics as the reference's eager counts).
+  /** Sequential-delta counters in ONE aggregate job (r18; previously one
+    * aggregate pass + a separate dedup-count job). Order matters: the
+    * null-material filter runs before the type whitelist, so a row
+    * failing both counts against null-material only (same double-count
+    * semantics as the reference's eager counts).
+    *
+    * The dedup layers ride the same aggregate as exact
+    * `count(DISTINCT when(pred, struct(*)))` cells: the struct is null
+    * unless the row survives the preceding filters, so the distinct
+    * count equals `filter(pred).dropDuplicates().count()` exactly
+    * (distinct-then-filter ≡ filter-then-distinct for a row-local
+    * predicate, and both group null fields null-safely). Every
+    * `sum(...)` is coalesced to 0 — over an empty relation sum() is
+    * NULL and getLong would NPE (the r17 empty-input edge). Trade-off,
+    * noted for scale: the two distinct cells plan through one Expand
+    * (×3 row multiplier before the exchange), which is the standard
+    * Spark shape for mixed distinct aggregates — the same full-row
+    * shuffle the dropDuplicates variant paid, one job instead of two.
     */
   def metrics(df: DataFrame, cfg: EtlConfig): QualityMetrics = {
     val dq = cfg.dataQuality
     val f1 = if (dq.removeNullMaterial) materialOk else lit(true)
     val f2 = typeOk(cfg.businessRules.validTypes)
     val f4 = if (dq.validateCountryCodes) countryOk(dq.validCountries) else lit(true)
+    def cnt(pred: Column): Column = coalesce(
+      sum(when(pred, 1L).otherwise(0L)), lit(0L))
+    val allCols = struct(df.columns.map(col): _*)
 
-    val row = df.agg(
+    val aggs = Seq(
       count(lit(1)).as("n_input"),
-      sum(when(!f1, 1L).otherwise(0L)).as("n_f1_removed"),
-      sum(when(f1 && !f2, 1L).otherwise(0L)).as("n_f2_removed"),
-      sum(when(f1 && f2, 1L).otherwise(0L)).as("n_after_f2")).head()
+      cnt(!f1).as("n_f1_removed"),
+      cnt(f1 && !f2).as("n_f2_removed"),
+      cnt(f1 && f2).as("n_after_f2")) ++
+      (if (dq.removeDuplicates)
+        Seq(countDistinct(when(f1 && f2, allCols)).as("n_distinct"),
+          countDistinct(when(f1 && f2 && f4, allCols)).as("n_distinct_country"))
+      else
+        Seq(cnt(f1 && f2 && f4).as("n_after_country")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+      .head()
 
-    val afterF2 = df.filter(f1 && f2)
-    // one aggregate over the deduped relation yields BOTH the distinct
-    // count and the post-country-filter count (sum of the f4 indicator
-    // over distinct rows ≡ deduped.filter(f4).count()) — previously two
-    // separate jobs, each re-running the dedup shuffle
     val (nDistinct, nAfterCountry) =
-      if (dq.removeDuplicates) {
-        val r = afterF2.dropDuplicates().agg(
-          count(lit(1)).as("n"),
-          sum(when(f4, 1L).otherwise(0L)).as("n_country")).head()
-        (r.getLong(0), if (dq.validateCountryCodes) r.getLong(1) else r.getLong(0))
-      } else {
-        val n = row.getLong(3)
-        val nc =
-          if (dq.validateCountryCodes) afterF2.filter(f4).count() else n
-        (n, nc)
-      }
+      if (dq.removeDuplicates)
+        (row.getLong(4),
+          if (dq.validateCountryCodes) row.getLong(5) else row.getLong(4))
+      else
+        (row.getLong(3),
+          if (dq.validateCountryCodes) row.getLong(4) else row.getLong(3))
 
     QualityMetrics(
       inputRows = row.getLong(0),
@@ -228,20 +242,32 @@ object Load {
     * `format`: `csv` (reference-parity, default) or `parquet` — at scale
     * parquet is the right sink (columnar, splittable, statistics for
     * downstream pruning); the directory layout is identical.
+    *
+    * The counts aggregate is submitted CONCURRENTLY with the write
+    * (guide §2.6 — actions are only sequential because the driver calls
+    * them sequentially): both read the same cached upstream, neither
+    * depends on the other, and the counts job back-fills cores the
+    * write's tail leaves idle. Values are unchanged — the aggregate
+    * reads the DataFrame, not the sink.
     */
   def apply(df: DataFrame, outputBase: String, format: String = "csv"): Map[String, Long] = {
     val writer = df.write
       .partitionBy("fecha_proceso")
       .mode("overwrite")
-    format match {
-      case "csv" => writer.option("header", "true").csv(outputBase)
-      case "parquet" => writer.parquet(outputBase)
+    val doWrite: () => Unit = format match {
+      case "csv" => () => writer.option("header", "true").csv(outputBase)
+      case "parquet" => () => writer.parquet(outputBase)
       case other => throw new IllegalArgumentException(
         s"unsupported output format: $other (csv | parquet)")
     }
-    df.groupBy("fecha_proceso").agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toMap
+    val countsF = scala.concurrent.Future {
+      df.groupBy("fecha_proceso").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+    }(scala.concurrent.ExecutionContext.global)
+    doWrite()
+    scala.concurrent.Await.result(countsF,
+      scala.concurrent.duration.Duration.Inf)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Product-quantization encode/reconstruct as pure column expressions.
@@ -70,6 +70,80 @@ object PqEncoder {
         dot(xs, xs) - lit(2.0d) * dot(xs, cs) + lit(selfDot(codebook, c, sp, dim))
       }: _*))
     }.reduce(_ + _)
+
+  // ------------------------------------------------------------------
+  // Staged (DataFrame-level) builders — same arithmetic as [[codes]] /
+  // [[adcLut]], linear expression trees.
+  //
+  // The Column builders above inline every subvector slice into every
+  // distance term, and `array_position(dists, array_min(dists))` repeats
+  // the whole 16-entry distance array twice, so one encode column is a
+  // ~6100-node expression tree. Eager analysis (every select/withColumn
+  // re-analyzes the full tree), each optimizer batch, and every AQE
+  // re-plan walk all of it — for sim_pq_adc the driver measured ~1.0 s
+  // of wall on 0.3 s of task time, and a phase probe (PqAdcProbe)
+  // attributed it to build/analysis + planning, not execution.
+  //
+  // These builders land the shared subexpressions as NAMED COLUMNS in
+  // staged projections instead: slices once, their self-dots once, each
+  // distance array once — downstream expressions hold cheap column
+  // references, so the tree is linear in sub·|codebook| (~1/4 the
+  // nodes). CollapseProject keeps the stages separate (every temp is
+  // referenced more than once and is non-cheap), while whole-stage
+  // codegen still fuses them into ONE stage with the temps as local
+  // variables — per-row work is unchanged (still fused dot products in
+  // codegen, no HOF/interpreted fallback) and the VALUES are
+  // bit-identical: same DotProduct loop, same multiply/add order, same
+  // first-minimum tie-break.
+  // ------------------------------------------------------------------
+
+  private def tempName(prefix: String, i: Int): String = s"__pq_${prefix}_$i"
+
+  /** Appends `out` = the 1-based nearest-codebook-entry codes column
+    * (exactly [[codes]]'s values) via staged projections; the staging
+    * temp columns are dropped from the result.
+    */
+  def withCodes(df: DataFrame, v: Column, codebook: IndexedSeq[Seq[Double]],
+      sub: Int, dim: Int, out: String): DataFrame = {
+    val nCodes = codebook.size
+    val keep = df.columns.toSeq
+    val xs = (0 until sub).map(tempName("xs", _))
+    val xn = (0 until sub).map(tempName("xn", _))
+    val ds = (0 until sub).map(tempName("d", _))
+    val s1 = df.select(keep.map(col) ++
+      (0 until sub).map(sp => slice(v, sp * dim + 1, dim).as(xs(sp))): _*)
+    val s2 = s1.select(s1.columns.map(col) ++
+      (0 until sub).map(sp => dot(col(xs(sp)), col(xs(sp))).as(xn(sp))): _*)
+    val s3 = s2.select(s2.columns.map(col) ++
+      (0 until sub).map { sp =>
+        array((0 until nCodes).map { c =>
+          val cs = typedlit(codebook(c).slice(sp * dim, (sp + 1) * dim))
+          // same three-term expanded dot as [[codes]], with the slice
+          // and its self-dot as column refs — identical IEEE sequence
+          col(xn(sp)) - lit(2.0d) * dot(col(xs(sp)), cs) +
+            lit(selfDot(codebook, c, sp, dim))
+        }: _*).as(ds(sp))
+      }: _*)
+    s3.select(keep.map(col) :+
+      array((0 until sub).map { sp =>
+        array_position(col(ds(sp)), array_min(col(ds(sp)))).cast("int")
+      }: _*).as(out): _*)
+  }
+
+  /** Appends `out` = the flattened sub×|codebook| ADC lookup table
+    * (exactly [[adcLut]]'s values) via staged projections.
+    */
+  def withAdcLut(df: DataFrame, q: Column, codebook: IndexedSeq[Seq[Double]],
+      sub: Int, dim: Int, out: String): DataFrame = {
+    val keep = df.columns.toSeq
+    val qs = (0 until sub).map(tempName("qs", _))
+    val s1 = df.select(keep.map(col) ++
+      (0 until sub).map(sp => slice(q, sp * dim + 1, dim).as(qs(sp))): _*)
+    s1.select(keep.map(col) :+
+      array((for (sp <- 0 until sub; c <- codebook.indices) yield
+        dot(col(qs(sp)),
+          typedlit(codebook(c).slice(sp * dim, (sp + 1) * dim)))): _*).as(out): _*)
+  }
 
   /** Codebook lookup + concat: the reconstruction. ADC serve paths
     * should score via [[adcLut]]/[[adcSum]] instead — reconstructing per

@@ -894,10 +894,26 @@ object Dedup {
         // span" rule this query exists to demonstrate (guide §2.3,
         // narrower types). unhex/lower(hex(..)) round-trips md5's
         // lowercase hex exactly, so the output column is byte-identical.
+        //
+        // ONE exchange, not two (r18, guide §2.4): the explicit
+        // repartition on span_b alone satisfies BOTH aggregations'
+        // distributions (HashPartitioning(span_b) clusters (span_b,
+        // doc_id) too), so the (span, doc) occ-count layer and the
+        // per-span doc layer run back-to-back in the post-shuffle stage
+        // with no second exchange. Measured at sf0.1 (ExchangeProbe):
+        // the old exchanges shipped 5.6 MB + 5.9 MB with near-zero
+        // partial-agg compression between them (235,704 window rows →
+        // 233,351 (span, doc) groups — within-doc repeat spans are
+        // ~1%), so shipping the raw (span_b, doc_id) rows once is
+        // strictly fewer bytes. No-num repartition stays AQE-coalescible
+        // (bytes-adaptive at every scale); the skew exposure is the same
+        // as before — the per-span layer always ends hash-clustered on
+        // span_b — and span digests are near-unique by construction.
         spanStarts(Tables.table(s, dir, "documents"), k)
           .select(col("doc_id"),
             unhex(md5(array_join(slice(col("toks"), col("i"), lit(k)), " ")))
               .as("span_b"))
+          .repartition(col("span_b"))
           .groupBy(col("span_b"), col("doc_id"))
           .agg(count(lit(1)).as("occ"))
           .groupBy(col("span_b"))

@@ -774,19 +774,43 @@ object Similarity {
         val nCodes = 16
         // codebook: the first 16 corpus vectors, collected driver-side
         // (bounded: 16×64 doubles — the IVF-centroid pattern)
-        val cb: IndexedSeq[Seq[Double]] = e.filter(col("vec_id") < nCodes)
-          .select(col("vec_id"), col("v")).collect()
-          .sortBy(_.getLong(0))
-          .map(_.getSeq[Double](1).toSeq).toIndexedSeq
+        val cbRows: IndexedSeq[(Long, Seq[Double])] =
+          e.filter(col("vec_id") < nCodes)
+            .select(col("vec_id"), col("v")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+            .sortBy(_._1).toIndexedSeq
+        val cb: IndexedSeq[Seq[Double]] = cbRows.map(_._2)
         val pq = graft.operators.PqEncoder
         val nLut = typedlit(pq.normLut(cb, sub, dim))
-        val coded = e.select(col("vec_id").as("neighbor_id"),
-            pq.codes(col("v"), cb, sub, dim).as("codes"))
+        // staged builder (withCodes): bit-identical values to the Column
+        // builder, ~1/4 the expression nodes — this query is rebuilt per
+        // run and its wall was dominated by analysis/planning of the
+        // inlined tree (PqAdcProbe: ~1.0 s driver-side on 0.3 s of task
+        // time), not by execution
+        val coded = pq.withCodes(
+            e.select(col("vec_id").as("neighbor_id"), col("v")),
+            col("v"), cb, sub, dim, out = "codes")
+          .select(col("neighbor_id"), col("codes"))
           .withColumn("rn2", pq.adcSum(col("codes"), nLut, sub, nCodes))
-        val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"),
-            pq.adcLut(col("v"), cb, sub, dim).as("lut"),
-            col("norm2").as("qn"))
+        // query side: vec_id < 10 ⊂ the codebook slice already collected,
+        // so the per-query ADC LUTs and self-norms fold on the driver —
+        // the same sequential multiply/add loop as DotProduct.dot, hence
+        // bit-identical to the expression flavor (the normLut precedent)
+        // — and the broadcast side becomes a LocalRelation: no second
+        // corpus scan, no broadcast-build job on the timed path
+        import s.implicits._
+        def fold(a: Seq[Double], b: Seq[Double]): Double = {
+          val n = math.min(a.length, b.length)
+          var acc = 0.0d; var i = 0
+          while (i < n) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        val q = cbRows.filter(_._1 < 10).map { case (id, v) =>
+          val lut = (for (sp <- 0 until sub; c <- cb.indices) yield
+            fold(v.slice(sp * dim, (sp + 1) * dim),
+              cb(c).slice(sp * dim, (sp + 1) * dim))).toSeq
+          (id, lut, fold(v, v))
+        }.toDF("query_id", "lut", "qn")
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("neighbor_id").asc)
         coded.join(broadcast(q), col("neighbor_id") =!= col("query_id"))

@@ -115,4 +115,25 @@ class EtlStagesSpec extends AnyFunSuite {
     val out = Standardize(Transform(DataQuality(sampleDf, config), config), config)
     assert(out.columns.toSeq == Schemas.outputColumns)
   }
+
+  test("quality metrics on an EMPTY input are all zero (no NPE)") {
+    // sum() over an empty relation is NULL — the fused dedup aggregate
+    // must coalesce it back to 0 (the two-job code returned 0 via count)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], Schemas.raw)
+    val m = DataQuality.metrics(empty, config)
+    assert(m == QualityMetrics(0L, 0L, 0L, 0L, 0L))
+    assert(m.outputRows == 0L)
+  }
+
+  test("quality metrics when every row is removed before the dedup layer") {
+    // all rows fail the type whitelist: the deduped relation is empty but
+    // n_input/n_f2_removed are not — the country counter must be 0
+    val rows = Seq(
+      Row("GT", "20250115", "T001", "R001", "COBR", "MAT001", "1.0", "1.0", "CS"),
+      Row("GT", "20250116", "T002", "R002", "COBR", "MAT002", "2.0", "2.0", "ST"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), Schemas.raw)
+    val m = DataQuality.metrics(df, config)
+    assert(m == QualityMetrics(2L, 0L, 2L, 0L, 0L))
+  }
 }
