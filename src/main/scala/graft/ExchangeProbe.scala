@@ -56,6 +56,8 @@ object ExchangeProbe {
     }
     println(s"==== METRICS $name ====")
     walk(df.queryExecution.executedPlan, 0)
+    spark.conf.getAll.filter(_._1.startsWith("spark.graft.debug."))
+      .foreach { case (k, v) => println(s"[debug-conf] $k=$v") }
     spark.stop()
   }
 }

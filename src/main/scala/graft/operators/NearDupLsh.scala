@@ -780,7 +780,13 @@ object NearDupLsh {
       // compute in per-task fixed overhead — while 256 MB+ corpora keep
       // the old shuffle-partitions width exactly.
       .transform { cand =>
-        val w = AdaptiveWidth.of(docs, shufflePartitions)
+        // r18 (VERDICT r17 #5): width = max(corpus derivation, candidate
+        // subtree derivation) — see PrefixFilterJoin.pairs for the
+        // rationale and the limits of static stats here
+        val w = math.max(AdaptiveWidth.of(docs, shufflePartitions),
+          AdaptiveWidth.of(cand, shufflePartitions))
+        cand.sparkSession.conf.set(
+          "spark.graft.debug.lastCandidateWidth", w.toString)
         if (w > 1) cand.repartition(w, col("doc_a"), col("doc_b")) else cand
       }
       .dropDuplicates("doc_a", "doc_b")

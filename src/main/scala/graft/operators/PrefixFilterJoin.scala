@@ -152,7 +152,23 @@ object PrefixFilterJoin {
       // one-partition-worth corpus skips the pin and lets dropDuplicates'
       // ENSURE_REQUIREMENTS exchange coalesce under AQE instead.
       .transform { cand =>
-        val w = AdaptiveWidth.of(docs, shufflePartitions)
+        // r18 (VERDICT r17 #5): the pin width is the MAX of the corpus
+        // derivation (r17's) and the CANDIDATE subtree's own plan-stat
+        // derivation. The candidate subtree embeds the shingle-explosion
+        // and bucket-pairing operators, so its estimate is the closest
+        // thing static stats offer to pair volume — but Catalyst's
+        // width-ratio scaling can also shrink it BELOW the corpus bytes
+        // (candidates project to two longs), so the corpus term stays as
+        // the floor: never looser than r17, tighter whenever the
+        // candidate estimate is larger. True pair volume is
+        // data-dependent and invisible to any static stat — the guard
+        // below the pin remains AQE's byte-based sizing of every
+        // downstream exchange. A breadcrumb conf records the width for
+        // probes; it never feeds planning.
+        val w = math.max(AdaptiveWidth.of(docs, shufflePartitions),
+          AdaptiveWidth.of(cand, shufflePartitions))
+        cand.sparkSession.conf.set(
+          "spark.graft.debug.lastCandidateWidth", w.toString)
         if (w > 1) cand.repartition(w, col("doc_a"), col("doc_b")) else cand
       }
       .dropDuplicates("doc_a", "doc_b")
