@@ -83,16 +83,38 @@ object PrefixFilterJoin {
               split(coalesce(col("text"), lit("")), " ")).as("sh"): _*)
       base.withColumn("sz", size(col("sh")))
     }
-    // global rarest-first order: frequency, ties by hash. Partial-agg
-    // combinable, skew-free (no per-shingle doc lists materialized).
-    val freq = sets.select(explode(col("sh")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("f"))
-    // per-doc prefix under that order — the SAME spill-safe window
-    // derivation as the persisted-index path (see prefixRows): the
-    // former collect_list+array_sort variant buffered per-doc struct
-    // lists in an object-hash aggregate outside the managed memory
-    // pool and exhausted the unified pool at 10M docs.
-    val pref = prefixRows(sets, freq, num, den, carry = ncCols)
+    // global rarest-first order: frequency, ties by hash. r18: the
+    // frequency is a COUNT WINDOW over the one exploded relation, not a
+    // separate freq aggregate joined back — the old shape paid a second
+    // corpus scan + ngram pass to build freq and then clustered the
+    // exploded rows against it anyway (broadcast at small scale, SMJ on
+    // h at large scale, where both sides shuffled). The window clusters
+    // the exploded rows on h exactly once and the extra scan disappears
+    // at every scale; skew exposure is unchanged (the rank join always
+    // ended h-clustered in its non-broadcast regime). `sz` is re-derived
+    // as a count over the doc window, so the h-keyed exchange ships
+    // (doc_id[, nc], h) only — guide §2.3, project before the exchange.
+    // Same spill-safe window machinery as prefixRows (the
+    // collect_list+array_sort variant exhausted the unified pool at 10M
+    // docs); ranks and positions are value-identical: f counts the same
+    // (doc, h) rows the freq aggregate counted, and (f, h) stays a total
+    // order within a doc.
+    val exploded = docs
+      .filter(size(split(col("text"), " ")) >= NGramHashes.N)
+      .select(Seq(col("doc_id")) ++
+        (if (windowed) Seq(col("n_chars").as("nc")) else Nil) :+
+        explode(GraftFunctions.ngram_hashes(
+          split(coalesce(col("text"), lit("")), " "))).as("h"): _*)
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wDocOrd = wDoc.orderBy(col("f"), col("h"))
+    val pref = exploded
+      .withColumn("f", count(lit(1)).over(wH))
+      .withColumn("sz", count(lit(1)).over(wDoc).cast("int"))
+      .withColumn("p", row_number().over(wDocOrd) - 1)
+      .filter(col("p") < prefixLenExpr(num, den))
+      .select(Seq(col("doc_id"), col("sz")) ++ ncCols ++
+        Seq(col("p"), col("h")): _*)
     // inverted index on prefix shingles: pairs are generated inside each
     // bucket, so the ranked-prefix subtree above is computed exactly once
     // (a prefix self-JOIN would read it twice, forcing a cache + eager
